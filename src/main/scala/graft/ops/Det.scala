@@ -1,0 +1,33 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers — SURVEY.md Appendix A.
+  *
+  * Rationale: the driver hash-compares Spark parquet output against DuckDB.
+  * Double addition is order-dependent under shuffle; decimal addition is not.
+  * So every summed metric is cast to DECIMAL(18,4) BEFORE the aggregate (in
+  * both engines), and the aggregate result is cast back to DOUBLE so both
+  * engines emit the identical IEEE754 value regardless of the differing
+  * decimal output precisions (Spark sum → DECIMAL(28,4), DuckDB → (38,4)).
+  */
+object Det {
+  /** Cast to DECIMAL(18,4) pre-aggregation (order-independent addition). */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Decimal-safe sum emitted as double: sum(dec(c)) :: double. */
+  def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Decimal-safe avg emitted as double. */
+  def avgDec(c: Column): Column = avg(dec(c)).cast("double")
+
+  /** Outermost rounding for derived ratios / irrational fns (Appendix A-2). */
+  def r6(c: Column): Column = round(c, 6)
+
+  /** SQL-side twins (DuckDB dialect) for oracle strings. */
+  def sqlDec(e: String): String = s"CAST($e AS DECIMAL(18,4))"
+  def sqlSumDec(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+  def sqlAvgDec(e: String): String = s"CAST(AVG(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
+}

@@ -1,0 +1,24 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One declared operator: a Spark implementation and (unless the op is
+  * non-SQL-expressible) a DuckDB-1.0-runnable oracle over the same tables.
+  * Table names in oracle SQL are bare (`FROM lineitem`) — the driver points
+  * DuckDB at the same parquet files.
+  */
+final case class Op(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  lazy val all: Vector[Op] =
+    Joins.ops
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(o => o.name -> o.fn).toMap
+
+  lazy val oracles: Map[String, String] =
+    all.flatMap(o => o.oracle.map(sql => o.name -> sql)).toMap
+}

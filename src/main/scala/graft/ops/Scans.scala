@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 Scans / sources / sinks. The parquet source is the workhorse — at
+  * 100 TB what matters is that projection+predicates reach the scan (asserted
+  * by plan-shape tests) and that file splits parallelize (Spark handles row
+  * groups natively). CSV exercises the reference's alternate ingestion path.
+  */
+object Scans {
+
+  val scanParquetProject = Op(
+    "scan_parquet_project",
+    (s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber
+      LIMIT 100
+    """)
+  )
+
+  /** Round-trip through CSV with an explicit schema (no inference at read —
+    * schema-on-write is the only scalable CSV discipline). Oracle reads the
+    * parquet original: same rows by construction.
+    */
+  val scanCsvRoundtrip = Op(
+    "scan_csv_roundtrip",
+    (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_csv").toString + "/region_csv"
+      T.region(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).option("header", "true").csv(tmp)
+        .orderBy(col("r_regionkey"))
+    },
+    Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+  )
+
+  /** Two-source scan: nation ∪ region keys unified to one (kind, key, name)
+    * relation via unionByName.
+    */
+  val scanUnionSf = Op(
+    "scan_union_sf",
+    (s, d) => {
+      val n = T.nation(s, d).select(
+        lit("nation").as("kind"), col("n_nationkey").as("key"), col("n_name").as("name"))
+      val r = T.region(s, d).select(
+        lit("region").as("kind"), col("r_regionkey").as("key"), col("r_name").as("name"))
+      n.unionByName(r).orderBy(col("kind"), col("key"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'nation' AS kind, n_nationkey AS key, n_name AS name FROM nation
+        UNION ALL
+        SELECT 'region' AS kind, r_regionkey AS key, r_name AS name FROM region
+      ) ORDER BY kind, key
+    """)
+  )
+
+  /** Semi-structured ingestion: JSON props string → typed int projection. */
+  val scanJsonlProps = Op(
+    "scan_jsonl_props",
+    (s, d) =>
+      T.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id, CAST(props->>'$.k' AS INT) AS k
+      FROM events
+      ORDER BY event_id
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps)
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Local t2 mirror: run each oracle_sql.json query in DuckDB over the fixture
+tables (registered as bare-name views) and compare with the Spark parquet
+output written by graft.Verify. Mirrors the driver: sort columns by name,
+then compare row-for-row.
+
+Usage: python3 tools/check.py <sfDir> <outDir> [key ...]
+"""
+import json, sys, math
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET threads=4")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for key, sql in sorted(oracles.items()):
+        if only and key not in only:
+            continue
+        try:
+            exp = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {key}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            got = con.sql(f"SELECT * FROM '{out_dir}/{key}/*.parquet'").df()
+        except Exception as e:
+            print(f"FAIL {key}: spark output missing/unreadable: {e}")
+            n_fail += 1
+            continue
+        exp = exp[sorted(exp.columns)]
+        got = got[sorted(got.columns)]
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {key}: columns differ: oracle={list(exp.columns)} spark={list(got.columns)}")
+            n_fail += 1
+            continue
+        if len(exp) != len(got):
+            print(f"FAIL {key}: rows differ: oracle={len(exp)} spark={len(got)}")
+            n_fail += 1
+            continue
+        bad = None
+        for ci, c in enumerate(exp.columns):
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for ri in range(len(ev)):
+                a, b = ev[ri], gv[ri]
+                if a is None and b is None:
+                    continue
+                if isinstance(a, float) and isinstance(b, float):
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    if a != b:
+                        bad = (ri, c, a, b); break
+                elif str(a) != str(b):
+                    bad = (ri, c, a, b); break
+            if bad:
+                break
+        if bad:
+            ri, c, a, b = bad
+            print(f"FAIL {key}: row {ri} col {c}: oracle={a!r} spark={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {key} ({len(exp)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
