@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** §2.4 Aggregations. All hash aggregations with map-side partial agg (Spark
+  * plans partial+final automatically). Averages are emitted as
+  * round6(decimal-sum / count) rather than engine-native AVG so both engines
+  * compute the identical double. Distinct counts use the Expand-based exact
+  * path; the scalable twin is `agg_approx_hll` (HLL++, constant memory).
+  */
+object Aggs {
+
+  private def avg6(sumDecCol: org.apache.spark.sql.Column, cnt: org.apache.spark.sql.Column) =
+    round(sumDecCol / cnt, 6)
+
+  /** TPC-H Q1 shape: 4-wide agg over lineitem by (returnflag, linestatus). */
+  val aggHashGroupby = Op(
+    "agg_hash_groupby",
+    (s, d) =>
+      T.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Det.sumDec(col("l_quantity")).as("sum_qty"),
+          Det.sumDec(col("l_extendedprice")).as("sum_base_price"),
+          Det.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          round(Det.sumDec(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+          round(Det.sumDec(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+             ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)
+  )
+
+  /** Global (no groupBy) single-row aggregate. */
+  val aggGlobalNogroup = Op(
+    "agg_global_nogroup",
+    (s, d) =>
+      T.lineitem(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          Det.sumDec(col("l_extendedprice")).as("sum_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          countDistinct(col("l_orderkey")).as("n_orders")),
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+             MIN(l_shipdate) AS min_ship,
+             MAX(l_shipdate) AS max_ship,
+             COUNT(DISTINCT l_orderkey) AS n_orders
+      FROM lineitem
+    """)
+  )
+
+  val aggCountDistinct = Op(
+    "agg_count_distinct",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
+  /** Two distinct aggregates in one pass → Spark's Expand operator. */
+  val aggMultiDistinct = Op(
+    "agg_multi_distinct",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(to_date(col("ts"))).as("n_days"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             COUNT(DISTINCT user_id) AS n_users,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
+  /** HLL++ approximate distinct — the 100 TB path (constant memory per group
+    * vs Expand's per-value state). Oracle-exempt (engine-specific sketches);
+    * AggSpec bounds rel-error < 5% vs exact.
+    */
+  val aggApproxHll = Op(
+    "agg_approx_hll",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type")),
+    None
+  )
+
+  private def ordersNation(s: org.apache.spark.sql.SparkSession, d: String) =
+    T.orders(s, d)
+      .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+
+  val aggRollup = Op(
+    "agg_rollup",
+    (s, d) =>
+      ordersNation(s, d)
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(Det.sumDec(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment")),
+    Some("""
+      SELECT n_name, c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP(n_name, c_mktsegment)
+      ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """)
+  )
+
+  val aggCube = Op(
+    "agg_cube",
+    (s, d) =>
+      ordersNation(s, d)
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(Det.sumDec(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment")),
+    Some("""
+      SELECT n_name, c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE(n_name, c_mktsegment)
+      ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """)
+  )
+
+  /** Explicit GROUPING SETS via Spark SQL over temp views. */
+  val aggGroupingSets = Op(
+    "agg_grouping_sets",
+    (s, d) => {
+      ordersNation(s, d).createOrReplaceTempView("graft_on")
+      s.sql("""
+        SELECT n_name, c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM graft_on
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+        ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+      """)
+    },
+    Some("""
+      SELECT n_name, c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_orders
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((n_name, c_mktsegment), (n_name), ())
+      ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST
+    """)
+  )
+
+  /** Conditional aggregation — sum/count FILTER twins via when(). */
+  val aggFilterClause = Op(
+    "agg_filter_clause",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(
+          sum(Det.dec(when(col("event_type") === "purchase", col("value"))))
+            .cast("double").as("purchase_value"),
+          count(when(col("event_type") === "view", lit(1))).as("n_views"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT user_id % 10 AS bucket,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS n_views,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1 ORDER BY 1
+    """)
+  )
+
+  /** Deterministic collect: array_sort(collect_list) then slice — Appendix
+    * A-6 (never emit unsorted collections).
+    */
+  val aggCollectSorted = Op(
+    "agg_collect_sorted",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(slice(array_sort(collect_list(col("value"))), 1, 5).as("low5"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type, list_sort(list(value))[1:5] AS low5
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
+  /** Sample stddev/variance per nation over supplier balances, round6 (small
+    * groups keep FP merge error far below the rounding grain).
+    */
+  val aggStatsMoments = Op(
+    "agg_stats_moments",
+    (s, d) =>
+      T.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n_sup"),
+          round(stddev_samp(col("s_acctbal")), 6).as("sd_bal"),
+          round(var_samp(col("s_acctbal")), 6).as("var_bal"),
+          round(min(col("s_acctbal")), 6).as("min_bal"),
+          round(max(col("s_acctbal")), 6).as("max_bal"))
+        .orderBy(col("s_nationkey")),
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n_sup,
+             ROUND(STDDEV_SAMP(s_acctbal), 6) AS sd_bal,
+             ROUND(VAR_SAMP(s_acctbal), 6) AS var_bal,
+             ROUND(MIN(s_acctbal), 6) AS min_bal,
+             ROUND(MAX(s_acctbal), 6) AS max_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
+    aggApproxHll, aggRollup, aggCube, aggGroupingSets, aggFilterClause,
+    aggCollectSorted, aggStatsMoments)
+}

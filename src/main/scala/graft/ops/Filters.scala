@@ -57,7 +57,11 @@ object Filters {
     """)
   )
 
-  /** Computed projection with the TPC-H charge expression, decimal-cast. */
+  /** Computed projection with the TPC-H charge expression. All inputs are
+    * exact 2dp, so the 3-factor product is exact at 6dp — DECIMAL(18,6)
+    * lands on the grid with no rounding ties (scale 4 would tie-break
+    * differently in Spark HALF_UP vs DuckDB half-even).
+    */
   val projectExpr = Op(
     "project_expr",
     (s, d) =>
@@ -65,11 +69,11 @@ object Filters {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           (col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
-            .cast(DecimalType(18, 4)).cast("double").as("charge"))
+            .cast(DecimalType(18, 6)).cast("double").as("charge"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
     Some("""
       SELECT l_orderkey, l_linenumber,
-             CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,4)) AS DOUBLE) AS charge
+             CAST(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6)) AS DOUBLE) AS charge
       FROM lineitem
       ORDER BY l_orderkey, l_linenumber
     """)

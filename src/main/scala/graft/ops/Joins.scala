@@ -1,11 +1,14 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.3 Joins. Scale notes: the two large fact tables (lineitem, orders)
   * sort-merge/shuffle-hash join on their keys; every dimension table
   * (region/nation/customer/supplier/part at TPC-H dim scale) is explicitly
-  * `broadcast()` so no shuffle of the fact side is ever keyed by a dim.
+  * `broadcast()` so no shuffle of the fact side is ever keyed by a dim. The
+  * as-of join is the linear union+running-window form (no per-key quadratic
+  * blowup); the interval join broadcasts the tiny interval table.
   */
 object Joins {
 
@@ -45,5 +48,239 @@ object Joins {
     """)
   )
 
-  val ops: Vector[Op] = Vector(joinStar5Way)
+  /** Small-dim join: part is explicitly broadcast — zero shuffle of lineitem. */
+  val joinBroadcastInner = Op(
+    "join_broadcast_inner",
+    (s, d) =>
+      T.lineitem(s, d)
+        .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          Det.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand")),
+    Some("""
+      SELECT p_brand,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_brand ORDER BY p_brand
+    """)
+  )
+
+  /** Large-large join: lineitem⋈orders shuffles both sides on the key
+    * (sort-merge / shuffled-hash under AQE) — the canonical co-partitioned
+    * fact join.
+    */
+  val joinShuffleInner = Op(
+    "join_shuffle_inner",
+    (s, d) =>
+      T.lineitem(s, d)
+        .join(T.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Det.sumDec(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+  )
+
+  /** Left outer keeps zero-order customers (COUNT over the nullable side). */
+  val joinLeftOuter = Op(
+    "join_left_outer",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val o = T.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey, c_name ORDER BY c_custkey
+    """)
+  )
+
+  /** Full outer with NULLs manufactured on both sides (fixtures are FK-closed,
+    * so each side is pre-filtered to make the other dangle).
+    */
+  val joinFullOuter = Op(
+    "join_full_outer",
+    (s, d) => {
+      val n = T.nation(s, d)
+        .filter(col("n_nationkey") < 20)
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = T.supplier(s, d)
+        .filter(col("s_acctbal") > 5000.0)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_sup"))
+      n.join(sup, col("n_nationkey") === col("s_nationkey"), "full")
+        .orderBy(asc_nulls_first("n_nationkey"), asc_nulls_first("s_nationkey"))
+    },
+    Some("""
+      SELECT n_nationkey, n_name, s_nationkey, n_sup
+      FROM (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 20) n
+      FULL JOIN (SELECT s_nationkey, COUNT(*) AS n_sup FROM supplier
+                 WHERE s_acctbal > 5000.0 GROUP BY s_nationkey) s
+        ON n_nationkey = s_nationkey
+      ORDER BY n_nationkey NULLS FIRST, s_nationkey NULLS FIRST
+    """)
+  )
+
+  val joinLeftSemi = Op(
+    "join_left_semi",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val o = T.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """)
+  )
+
+  val joinLeftAnti = Op(
+    "join_left_anti",
+    (s, d) => {
+      val c = T.customer(s, d)
+      val o = T.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey
+    """)
+  )
+
+  /** Bounded cartesian (5×25) — the only place crossJoin is allowed. */
+  val joinCrossBounded = Op(
+    "join_cross_bounded",
+    (s, d) =>
+      T.region(s, d).crossJoin(T.nation(s, d))
+        .select(col("r_regionkey"), col("r_name"), col("n_nationkey"), col("n_name"))
+        .orderBy(col("r_regionkey"), col("n_nationkey")),
+    Some("""
+      SELECT r_regionkey, r_name, n_nationkey, n_name
+      FROM region CROSS JOIN nation
+      ORDER BY r_regionkey, n_nationkey
+    """)
+  )
+
+  /** Theta join: equi on user_id + range band on value. Spark plans the equi
+    * part as the shuffle key and evaluates the band as a post-join filter, so
+    * this stays a hash/sort-merge join (never a cartesian). Both sides
+    * pre-filtered to 'purchase' to bound the per-key fanout.
+    */
+  val joinThetaRange = Op(
+    "join_theta_range",
+    (s, d) => {
+      val e = T.events(s, d).filter(col("event_type") === "purchase")
+      val e1 = e.select(col("user_id"), col("event_id").as("a_id"), col("value").as("a_val"))
+      val e2 = e.select(col("user_id").as("u2"), col("event_id").as("b_id"), col("value").as("b_val"))
+      e1.join(e2,
+          col("user_id") === col("u2") &&
+          col("a_val") < col("b_val") &&
+          col("a_id") < col("b_id") &&
+          (col("b_val") - col("a_val")) < 0.5)
+        .select(col("user_id"), col("a_id"), col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+        .limit(500)
+    },
+    Some("""
+      SELECT e1.user_id AS user_id, e1.event_id AS a_id, e2.event_id AS b_id
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e1.value < e2.value
+       AND e1.event_id < e2.event_id
+       AND e2.value - e1.value < 0.5
+      WHERE e1.event_type = 'purchase' AND e2.event_type = 'purchase'
+      ORDER BY a_id, b_id
+      LIMIT 500
+    """)
+  )
+
+  /** As-of join, linear form: for each purchase, the latest click by the same
+    * user at-or-before it. Implemented as union + running MAX window — one
+    * shuffle on user_id, no per-key quadratic candidate join (the 100 TB-safe
+    * as-of pattern).
+    */
+  val joinAsofLastEvent = Op(
+    "join_asof_last_event",
+    (s, d) => {
+      val e = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+          when(col("event_type") === "click", col("ts")).as("click_ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_ts", max(col("click_ts")).over(w))
+        .filter(col("tag") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("last_click_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag,
+               CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        FROM events WHERE event_type IN ('click','purchase'))
+      SELECT event_id, user_id, ts, last_click_ts FROM (
+        SELECT event_id, user_id, ts, tag,
+               MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts, tag, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_ts
+        FROM tagged)
+      WHERE tag = 1
+      ORDER BY event_id
+    """)
+  )
+
+  /** Interval (range) join: events against a 30-day calendar of [lo, hi)
+    * intervals. No equi key — Spark broadcasts the 30-row side into a
+    * nested-loop join, which is exactly the right plan at any scale when one
+    * side is tiny.
+    */
+  val joinIntervalOverlap = Op(
+    "join_interval_overlap",
+    (s, d) => {
+      val cal = s.range(0, 30).select(
+        expr("TIMESTAMP '2024-01-01' + make_interval(0,0,0,CAST(id AS INT),0,0,0)").as("lo"),
+        expr("TIMESTAMP '2024-01-01' + make_interval(0,0,0,CAST(id AS INT)+1,0,0,0)").as("hi"))
+      T.events(s, d)
+        .join(broadcast(cal), col("ts") >= col("lo") && col("ts") < col("hi"))
+        .groupBy(col("lo"))
+        .agg(count(lit(1)).as("n_events"), Det.sumDec(col("value")).as("sum_value"))
+        .orderBy(col("lo"))
+    },
+    Some("""
+      WITH cal AS (
+        SELECT TIMESTAMP '2024-01-01' + INTERVAL (i) DAY AS lo,
+               TIMESTAMP '2024-01-01' + INTERVAL (i + 1) DAY AS hi
+        FROM range(30) t(i))
+      SELECT lo, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM cal JOIN events ON ts >= lo AND ts < hi
+      GROUP BY lo ORDER BY lo
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    joinStar5Way, joinBroadcastInner, joinShuffleInner, joinLeftOuter,
+    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossBounded,
+    joinThetaRange, joinAsofLastEvent, joinIntervalOverlap)
 }

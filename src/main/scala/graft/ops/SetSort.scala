@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** §2.6 Sorts / limits / top-k / set operations. Top-k uses orderBy.limit so
+  * Spark plans TakeOrderedAndProject (per-partition heap + driver merge of k
+  * rows — never a global sort). Set ops on narrow projections shuffle only
+  * the key columns.
+  */
+object SetSort {
+
+  /** Multi-key global sort with injected NULLs and explicit null ordering. */
+  val sortMultikeyNulls = Op(
+    "sort_multikey_nulls",
+    (s, d) =>
+      T.customer(s, d)
+        .select(
+          col("c_custkey"), col("c_nationkey"), col("c_name"),
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+        .orderBy(
+          col("c_nationkey").desc,
+          col("bal").asc_nulls_first,
+          col("c_name"),
+          col("c_custkey")),
+    Some("""
+      SELECT c_custkey, c_nationkey, c_name,
+             CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+      FROM customer
+      ORDER BY c_nationkey DESC, bal ASC NULLS FIRST, c_name, c_custkey
+    """)
+  )
+
+  /** Top-50 by price → TakeOrderedAndProject (asserted in plan-shape spec). */
+  val sortTopkLimit = Op(
+    "sort_topk_limit",
+    (s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(50),
+    Some("""
+      SELECT l_orderkey, l_linenumber, l_extendedprice
+      FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      LIMIT 50
+    """)
+  )
+
+  val setUnionAll = Op(
+    "set_union_all",
+    (s, d) => {
+      val e = T.events(s, d)
+      val a = e.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val b = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      a.unionByName(b).orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'signup'
+      UNION ALL
+      SELECT event_id, user_id, event_type, value FROM events WHERE event_type = 'purchase'
+      ORDER BY event_id
+    """)
+  )
+
+  val setUnionDistinct = Op(
+    "set_union_distinct",
+    (s, d) =>
+      T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .union(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey
+    """)
+  )
+
+  val setIntersect = Op(
+    "set_intersect",
+    (s, d) =>
+      T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersect(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey
+    """)
+  )
+
+  val setExcept = Op(
+    "set_except",
+    (s, d) =>
+      T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .except(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+      ORDER BY nationkey
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    sortMultikeyNulls, sortTopkLimit, setUnionAll, setUnionDistinct,
+    setIntersect, setExcept)
+}

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** One reader per fixture table (schemas: /root/repo/FIXTURES.md).
   * Parquet carries the schema; we read as-is and never infer.
@@ -9,6 +10,18 @@ object T {
   def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses outright
+    * (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy conf, session-level)
+    * and floor-divide to µs — the exact truncation DuckDB applies reading the
+    * same file, so oracle parity holds (FIXTURES.md: all ts are epoch-positive,
+    * where integer division == truncation-toward-past).
+    */
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
@@ -16,7 +29,7 @@ object T {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

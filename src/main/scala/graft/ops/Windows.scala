@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.5 Window functions. Each window partitions by a real key (user_id /
+  * customer / brand) so state is distributed; the only global windows
+  * (ntile/percent_rank over customers) are single-partition by semantics —
+  * at 100 TB those become a two-pass rank (sample-based range partitioning),
+  * noted on the op.
+  */
+object Windows {
+
+  val winRowNumberTopk = Op(
+    "win_row_number_topk",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """)
+  )
+
+  val winRankDense = Op(
+    "win_rank_dense",
+    (s, d) => {
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+      T.part(s, d)
+        .select(
+          col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"))
+        .orderBy(col("p_brand"), col("p_partkey"))
+    },
+    Some("""
+      SELECT p_brand, p_partkey, p_retailprice,
+             RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+             DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+      FROM part
+      ORDER BY p_brand, p_partkey
+    """)
+  )
+
+  val winLagLead = Op(
+    "win_lag_lead",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(
+          col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, value,
+             LAG(value, 1) OVER w AS prev_value,
+             LEAD(value, 1) OVER w AS next_value,
+             value - LAG(value, 1) OVER w AS delta
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id
+    """)
+  )
+
+  val winMovingRows = Op(
+    "win_moving_rows",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, Window.currentRow)
+      T.events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          sum(Det.dec(col("value"))).over(w).cast("double").as("moving7"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving7
+      FROM events
+      ORDER BY event_id
+    """)
+  )
+
+  /** Time-range frame: trailing 1 hour per user on integer epoch seconds. */
+  val winRangeTime = Op(
+    "win_range_time",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+        .rangeBetween(-3600, Window.currentRow)
+      T.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .select(
+          col("event_id"), col("user_id"), col("sec"),
+          sum(Det.dec(col("value"))).over(w).cast("double").as("trailing_1h"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, sec,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h
+      FROM (SELECT *, CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS sec FROM events)
+      ORDER BY event_id
+    """)
+  )
+
+  /** Global ntile/percent_rank (single-partition by semantics; the scale
+    * path is range-partitioned two-pass rank — documented, not needed at
+    * fixture scale). Tiebreak on custkey keeps ntile deterministic.
+    */
+  val winNtilePctrank = Op(
+    "win_ntile_pctrank",
+    (s, d) => {
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      T.customer(s, d)
+        .select(
+          col("c_custkey"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_acctbal,
+             NTILE(4) OVER w AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey
+    """)
+  )
+
+  /** first/last over an explicit unbounded frame, collapsed to one row per
+    * user (DISTINCT is safe: the windowed values are constant per user).
+    */
+  val winFirstLast = Op(
+    "win_first_last",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.events(s, d)
+        .select(
+          col("user_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type"))
+        .distinct()
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT DISTINCT user_id,
+             FIRST_VALUE(event_type) OVER w AS first_type,
+             LAST_VALUE(event_type) OVER w AS last_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY user_id
+    """)
+  )
+
+  val winCumulative = Op(
+    "win_cumulative",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.orders(s, d)
+        .select(
+          col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"),
+          sum(Det.dec(col("o_totalprice"))).over(w).cast("double").as("cum_revenue"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""
+      SELECT o_orderkey, o_orderstatus, o_orderdate,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+      FROM orders
+      ORDER BY o_orderkey
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
+    winRangeTime, winNtilePctrank, winFirstLast, winCumulative)
+}
