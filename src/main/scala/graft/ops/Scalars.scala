@@ -1,0 +1,267 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** §2.7 Scalar functions: string / date / math / array / map / json. All
+  * built-ins (codegen'd) — no UDFs anywhere in this module. Derived integer
+  * outputs are cast to BIGINT on both sides (DuckDB's ceil/sign/isodow
+  * return DOUBLE/TINYINT/BIGINT; Spark's ceil/signum/weekday differ) so the
+  * output schemas align exactly.
+  */
+object Scalars {
+
+  val strFuncs = Op(
+    "str_funcs",
+    (s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          lower(col("p_name")).as("lo"),
+          upper(col("p_name")).as("up"),
+          length(col("p_name")).cast("long").as("len"),
+          substring(col("p_name"), 1, 5).as("pre5"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("bt"),
+          lpad(col("p_name"), 30, ".").as("padded"),
+          trim(lit("  x  ")).as("trimmed"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             lower(p_name) AS lo,
+             upper(p_name) AS up,
+             CAST(length(p_name) AS BIGINT) AS len,
+             substring(p_name, 1, 5) AS pre5,
+             concat_ws('|', p_brand, p_type) AS bt,
+             lpad(p_name, 30, '.') AS padded,
+             trim('  x  ') AS trimmed
+      FROM part ORDER BY p_partkey
+    """)
+  )
+
+  /** Note the dialect trap: DuckDB regexp_replace is first-match unless the
+    * 'g' flag is passed; Spark replaces all occurrences.
+    */
+  val strSplitRegex = Op(
+    "str_split_regex",
+    (s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          size(split(col("p_type"), " ")).cast("long").as("n_type_words"),
+          regexp_extract(col("p_name"), "([0-9]+)", 1).as("digits"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             CAST(len(string_split(p_type, ' ')) AS BIGINT) AS n_type_words,
+             regexp_extract(p_name, '([0-9]+)', 1) AS digits,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+      FROM part ORDER BY p_partkey
+    """)
+  )
+
+  /** Day-of-week normalized to ISO (1=Mon..7=Sun) on both sides: Spark
+    * weekday()+1 == DuckDB isodow(). date_trunc emitted as DATE (Spark
+    * trunc(); DuckDB date_trunc on timestamp already yields DATE).
+    */
+  val dtFuncs = Op(
+    "dt_funcs",
+    (s, d) =>
+      T.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("iso_dow"),
+          trunc(col("o_orderdate"), "month").as("month_start"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).cast("long").as("days_since"),
+          add_months(col("o_orderdate"), 3).as("plus3m"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             isodow(o_orderdate) AS iso_dow,
+             date_trunc('month', o_orderdate) AS month_start,
+             date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+      FROM orders ORDER BY o_orderkey
+    """)
+  )
+
+  /** 15-minute epoch buckets by integer division (floor — all epochs
+    * positive).
+    */
+  val dtEpochWindow = Op(
+    "dt_epoch_window",
+    (s, d) =>
+      T.events(s, d)
+        .withColumn("bucket", expr("unix_timestamp(ts) div 900"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events"), Det.sumDec(col("value")).as("sum_value"))
+        .orderBy(col("bucket")),
+    Some("""
+      SELECT CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) // 900 AS bucket,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1 ORDER BY 1
+    """)
+  )
+
+  /** libm functions round6'd at the outermost layer (JVM vs C++ math libs
+    * can differ in the last ulp; 6dp is far above that noise).
+    */
+  val mathFuncs = Op(
+    "math_funcs",
+    (s, d) =>
+      T.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          round(col("o_totalprice"), 1).as("r1"),
+          abs(-col("o_totalprice")).as("absv"),
+          ceil(col("o_totalprice")).cast("long").as("ceilv"),
+          floor(col("o_totalprice")).cast("long").as("floorv"),
+          round(log(col("o_totalprice")), 6).as("lnv"),
+          round(log10(col("o_totalprice")), 6).as("log10v"),
+          round(pow(col("o_totalprice"), lit(0.5)), 6).as("powhalf"),
+          round(sqrt(col("o_totalprice")), 6).as("sqrtv"),
+          signum(col("o_totalprice") - 100000.0).cast("long").as("signv"))
+        .orderBy(col("o_orderkey")),
+    Some("""
+      SELECT o_orderkey,
+             ROUND(o_totalprice, 1) AS r1,
+             ABS(-o_totalprice) AS absv,
+             CAST(CEIL(o_totalprice) AS BIGINT) AS ceilv,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS floorv,
+             ROUND(LN(o_totalprice), 6) AS lnv,
+             ROUND(LOG10(o_totalprice), 6) AS log10v,
+             ROUND(POW(o_totalprice, 0.5), 6) AS powhalf,
+             ROUND(SQRT(o_totalprice), 6) AS sqrtv,
+             CAST(SIGN(o_totalprice - 100000.0) AS BIGINT) AS signv
+      FROM orders ORDER BY o_orderkey
+    """)
+  )
+
+  /** Token rows via posexplode (Generate) — pos makes the order total.
+    * DuckDB twin uses a lateral range() join (WITH ORDINALITY is not in
+    * DuckDB 1.0).
+    */
+  val arrExplodeTokens = Op(
+    "arr_explode_tokens",
+    (s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("token"))
+        .orderBy(col("doc_id"), col("pos")),
+    Some("""
+      SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS token
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr
+            FROM documents WHERE doc_id < 100)
+      ORDER BY doc_id, pos
+    """)
+  )
+
+  val arrFuncs = Op(
+    "arr_funcs",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          array_contains(col("toks"), "spark").as("has_spark"),
+          slice(sort_array(col("toks")), 1, 3).as("first3_sorted"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             list_contains(string_split(text, ' '), 'spark') AS has_spark,
+             list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+      FROM documents ORDER BY doc_id
+    """)
+  )
+
+  /** Higher-order lambdas over the embedding vector: transform + filter +
+    * aggregate (fold). Element-wise float→double cast is applied identically
+    * on both sides before any arithmetic (SURVEY §7.3-3).
+    */
+  val arrHigherOrder = Op(
+    "arr_higher_order",
+    (s, d) =>
+      T.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          round(
+            aggregate(
+              transform(slice(col("embedding"), 1, 8), x => x.cast("double") * x.cast("double")),
+              lit(0.0),
+              (acc, x) => acc + x),
+            6).as("sumsq8"),
+          size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_pos"))
+        .orderBy(col("vec_id")),
+    Some("""
+      SELECT vec_id,
+             ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sumsq8,
+             CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+      FROM embeddings ORDER BY vec_id
+    """)
+  )
+
+  /** Map built per user from sorted entries, then exploded back to rows
+    * (maps never hash-compared directly — Appendix A-6). n_keys proves the
+    * map_keys/size surface.
+    */
+  val mapFuncs = Op(
+    "map_funcs",
+    (s, d) => {
+      val cnts = T.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      cnts
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(array_sort(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+        .select(col("user_id"), size(map_keys(col("m"))).cast("long").as("n_keys"), explode(col("m")).as(Seq("key", "value")))
+        .orderBy(col("user_id"), col("key"))
+    },
+    Some("""
+      SELECT user_id,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_keys,
+             event_type AS key,
+             COUNT(*) AS value
+      FROM events GROUP BY user_id, event_type
+      ORDER BY user_id, key
+    """)
+  )
+
+  /** JSON extraction + integer stats (integer sums are exact — no decimal
+    * machinery needed; DuckDB integer SUM is HUGEINT, cast back to BIGINT).
+    */
+  val jsonExtract = Op(
+    "json_extract",
+    (s, d) =>
+      T.events(s, d)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(k) AS BIGINT) AS sum_k,
+             MIN(k) AS min_k,
+             MAX(k) AS max_k
+      FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events)
+      GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    strFuncs, strSplitRegex, dtFuncs, dtEpochWindow, mathFuncs,
+    arrExplodeTokens, arrFuncs, arrHigherOrder, mapFuncs, jsonExtract)
+}
