@@ -1,0 +1,241 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.8 Text / NLP operators — the reference's core surface (keyword
+  * cleaning, tokenize, stopwords, TF-IDF, n-grams, label indexing),
+  * re-expressed as pure DataFrame transforms. Everything is explode +
+  * hash-agg + join + window: fully distributed, no driver-side state. The
+  * TF-IDF document-frequency join broadcasts the df side only implicitly —
+  * at 100 TB the vocabulary table is small relative to the corpus, so the
+  * token join stays broadcast-able; the corpus-size scalar is a 1-row
+  * broadcast cross join (never a collect).
+  */
+object Text {
+
+  /** Shared tokenizer: one row per (doc_id, token). */
+  private def tokens(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+
+  private val stoplist = Seq(
+    "the", "a", "an", "and", "or", "but", "if", "then", "else", "of",
+    "to", "in", "on", "for", "with", "as", "by", "at", "is", "are",
+    "was", "be", "this", "that", "it")
+
+  val txtNormalize = Op(
+    "txt_normalize",
+    (s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          trim(regexp_replace(
+            regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "),
+            " +", " ")).as("norm"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents ORDER BY doc_id
+    """)
+  )
+
+  val txtWordcount = Op(
+    "txt_wordcount",
+    (s, d) =>
+      tokens(s, d)
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+    Some("""
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+    """)
+  )
+
+  val txtStopwordFilter = Op(
+    "txt_stopword_filter",
+    (s, d) =>
+      tokens(s, d)
+        .filter(!col("token").isin(stoplist: _*))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100),
+    Some(s"""
+      SELECT token, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      WHERE token NOT IN (${stoplist.map(w => s"'$w'").mkString(", ")})
+      GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+    """)
+  )
+
+  val txtTf = Op(
+    "txt_tf",
+    (s, d) =>
+      tokens(s, d)
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+        .orderBy(col("doc_id"), col("token")),
+    Some("""
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token ORDER BY doc_id, token
+    """)
+  )
+
+  /** TF·IDF with the MLlib smoothing formula ln((N+1)/(df+1))+1; top-5 terms
+    * per document (rank on the rounded score + token tiebreak so both
+    * engines rank identically).
+    */
+  val txtIdfTfidf = Op(
+    "txt_idf_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(s, d)
+      val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val dfreq = toks.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val scored = tf
+        .join(dfreq, "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("rn").cast("long").as("rn"), col("token"), col("tf"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rn"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      scored AS (
+        SELECT doc_id, token, tf,
+               ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+        FROM tf JOIN df USING (token) CROSS JOIN n)
+      SELECT doc_id, rn, token, tf, tfidf FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        FROM scored)
+      WHERE rn <= 5 ORDER BY doc_id, rn
+    """)
+  )
+
+  /** Bigrams via zip_with over adjacent slices — array-native, no
+    * self-join on the Spark side (the DuckDB twin uses the pos self-join
+    * formulation, same result).
+    */
+  val txtNgrams = Op(
+    "txt_ngrams",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram"))
+        .limit(100),
+    Some("""
+      WITH t AS (
+        SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))
+      SELECT a.tok || ' ' || b.tok AS bigram, COUNT(*) AS cnt
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 100
+    """)
+  )
+
+  val txtDocStats = Op(
+    "txt_doc_stats",
+    (s, d) =>
+      T.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+             COUNT(DISTINCT source) AS n_sources
+      FROM documents GROUP BY lang ORDER BY lang
+    """)
+  )
+
+  /** StringIndexer semantics: labels indexed by descending frequency, ties
+    * broken alphabetically, zero-based.
+    */
+  val txtStringIndexer = Op(
+    "txt_string_indexer",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      T.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("idx",
+          (row_number().over(Window.orderBy(col("cnt").desc, col("lang"))) - 1).cast("long"))
+        .orderBy(col("idx"))
+    },
+    Some("""
+      SELECT lang, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, lang) - 1 AS idx
+      FROM (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang)
+      ORDER BY idx
+    """)
+  )
+
+  /** HashingTF semantics: murmur3(token) pmod numFeatures=64 buckets per
+    * doc. Oracle-exempt (DuckDB's hash is a different function); TextSpec
+    * checks bucket range and token-mass conservation.
+    */
+  val txtHashingTf = Op(
+    "txt_hashing_tf",
+    (s, d) =>
+      tokens(s, d)
+        .withColumn("bucket", pmod(hash(col("token")), lit(64)).cast("long"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket")),
+    None
+  )
+
+  /** Pivot: source × lang doc-count matrix with a FIXED label set (pivot on
+    * an unbounded label set would need a collect — never at scale).
+    */
+  val txtLangDistPivot = Op(
+    "txt_lang_dist_pivot",
+    (s, d) => {
+      val langs = Seq("en", "de", "es", "fr", "zh")
+      val p = T.documents(s, d)
+        .groupBy(col("source"))
+        .pivot("lang", langs)
+        .agg(count(lit(1)))
+      p.select(
+        col("source") +: langs.map(l => coalesce(col(l), lit(0L)).as(l)): _*)
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+             CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+             CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+             CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+             CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+      FROM documents GROUP BY source ORDER BY source
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    txtNormalize, txtWordcount, txtStopwordFilter, txtTf, txtIdfTfidf,
+    txtNgrams, txtDocStats, txtStringIndexer, txtHashingTf, txtLangDistPivot)
+}
