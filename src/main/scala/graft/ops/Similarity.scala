@@ -1,0 +1,262 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** §2.9 Dedup & similarity search — the LLM-data-pipeline core.
+  *
+  * Exact quadratic forms (Jaccard pairs, cosine knn) are bounded to fixed
+  * candidate sets so they stay oracle-checkable and sf-independent; the
+  * 100 TB paths are `sim_minhash_lsh` (band-bucket candidate generation,
+  * MinHashSpec proves recall vs the exact pairs) and probe-bounded knn
+  * (broadcast the probe set, never self-join the corpus).
+  */
+object Similarity {
+
+  /** Dot product of two float-array columns in double precision —
+    * element-wise cast BEFORE multiply, sequential left-fold sum, exactly
+    * mirroring the DuckDB list_transform/list_sum twin.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0),
+      (acc, x) => acc + x))
+
+  /** Exact dedup on a derived key (lang, first-3-token prefix); survivor
+    * counts per lang are identical no matter which duplicate survives, so
+    * the result is deterministic even though dropDuplicates itself is not.
+    */
+  val dedupExact = Op(
+    "dedup_exact",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("k3", array_join(slice(split(col("text"), " "), 1, 3), " "))
+        .dropDuplicates("lang", "k3")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, COUNT(*) AS n_survivors
+      FROM (SELECT DISTINCT lang,
+              array_to_string(string_split(text, ' ')[1:3], ' ') AS k3
+            FROM documents)
+      GROUP BY lang ORDER BY lang
+    """)
+  )
+
+  /** Keyed latest-wins dedup via row_number()=1 over a total per-key order
+    * (NOT dropDuplicates, which keeps a partition-order-dependent row).
+    */
+  val dedupKeyedLatest = Op(
+    "dedup_keyed_latest",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      T.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      WHERE rn = 1
+      ORDER BY user_id, event_type
+    """)
+  )
+
+  /** Exact n-gram-set Jaccard over same-source doc pairs, threshold on the
+    * rounded score (Appendix A-5). Candidate generation is the
+    * shared-token self-join — bounded to doc_id < 200 to keep the quadratic
+    * form sf-independent; the scalable twin is sim_minhash_lsh.
+    */
+  val simJaccardPairs = Op(
+    "sim_jaccard_pairs",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = toks.select(col("doc_id").as("a_id"), col("source"), col("token"))
+      val b = toks.select(col("doc_id").as("b_id"), col("source").as("src_b"), col("token").as("tok_b"))
+      val inter = a.join(b,
+          col("token") === col("tok_b") && col("source") === col("src_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("i"))
+      val sa = sizes.select(col("doc_id").as("a_id"), col("n").as("na"))
+      val sb = sizes.select(col("doc_id").as("b_id"), col("n").as("nb"))
+      inter.join(sa, "a_id").join(sb, "b_id")
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, source, token
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 200)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        FROM toks a JOIN toks b
+          ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a_id, b_id,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5
+      ORDER BY a_id, b_id
+    """)
+  )
+
+  /** MinHash+LSH approximate near-dup candidates — the scale path for
+    * Jaccard dedup (band-bucket join instead of all-pairs). Fixed seed;
+    * oracle-exempt (hash-seed dependent); MinHashSpec checks recall >= 0.9
+    * against sim_jaccard_pairs at threshold 0.5.
+    */
+  val simMinhashLsh = Op(
+    "sim_minhash_lsh",
+    (s, d) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = T.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tf = new HashingTF()
+        .setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(1 << 14).setBinary(true)
+      val feat = tf.transform(docs).filter(expr("size(toks) > 0"))
+      val lsh = new MinHashLSH()
+        .setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
+        .select(
+          col("datasetA.doc_id").as("a_id"),
+          col("datasetB.doc_id").as("b_id"),
+          round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard_approx"))
+        .filter(col("a_id") < col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    None
+  )
+
+  /** Exact cosine top-5 for 10 fixed probe vectors: broadcast the probes,
+    * one pass over the corpus, per-probe top-k window. This is the shape
+    * that scales: probes × corpus is linear in the corpus, and the window
+    * is per-probe (k small).
+    */
+  val simCosineKnn = Op(
+    "sim_cosine_knn",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+      val cand = e.select(col("vec_id"), col("embedding"))
+      val scored = cand.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+        .withColumn("cosine",
+          round(dot(col("pe"), col("embedding")) / (norm(col("pe")) * norm(col("embedding"))), 6))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn").cast("long").as("rn"), col("vec_id"), col("cosine"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+    Some("""
+      WITH probes AS (SELECT vec_id AS probe_id, embedding AS pe FROM embeddings WHERE vec_id < 10),
+      scored AS (
+        SELECT probe_id, vec_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65), i -> CAST(pe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        FROM embeddings CROSS JOIN probes
+        WHERE probe_id <> vec_id)
+      SELECT probe_id, rn, vec_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 5 ORDER BY probe_id, rn
+    """)
+  )
+
+  /** Embedding near-duplicate pairs (cosine >= 0.35 — the fixtures' vectors
+    * are near-orthogonal, max pairwise cosine ~0.44, so the classic 0.95
+    * threshold would be vacuously empty). Bounded candidate set; threshold
+    * compares the rounded score.
+    */
+  val simEmbedDedup = Op(
+    "sim_embed_dedup",
+    (s, d) => {
+      val e = T.embeddings(s, d).filter(col("vec_id") < 300)
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("cosine",
+          round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6))
+        .filter(col("cosine") >= 0.35)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT a_id, b_id, cosine FROM pairs
+      WHERE cosine >= 0.35
+      ORDER BY a_id, b_id
+    """)
+  )
+
+  /** Per-label centroid of the first 8 dims. Elements are rounded to 6dp
+    * and decimal-cast BEFORE the mean so the sum is order-independent
+    * (raw double mean would drift under shuffle merge order).
+    */
+  val simLabelCentroids = Op(
+    "sim_label_centroids",
+    (s, d) =>
+      T.embeddings(s, d)
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "x")))
+        .select(
+          col("label"), (col("pos") + 1).cast("long").as("pos"),
+          round(col("x").cast("double"), 6).cast(DecimalType(18, 8)).as("xr"))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(sum(col("xr")).cast("double") / count(lit(1)), 6).as("centroid"),
+          count(lit(1)).as("n_vecs"))
+        .orderBy(col("label"), col("pos")),
+    Some("""
+      SELECT label, pos,
+             ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+             COUNT(*) AS n_vecs
+      FROM (SELECT label, generate_subscripts(e8, 1) AS pos, unnest(e8) AS x
+            FROM (SELECT label, embedding[1:8] AS e8 FROM embeddings))
+      GROUP BY label, pos ORDER BY label, pos
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    dedupExact, dedupKeyedLatest, simJaccardPairs, simMinhashLsh,
+    simCosineKnn, simEmbedDedup, simLabelCentroids)
+}
