@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.10 Event-stream operators.
+  *
+  * Tier 1 (oracled): tumbling/sliding windows and sessionization expressed
+  * as batch SQL over the events table — these are the semantics contract.
+  * Tier 2 (oracle-exempt): true Structured Streaming twins — file-source
+  * replay of the same parquet, watermarks, windowed state, streaming dedup —
+  * asserted equal to their batch twins by StreamingSpec. At scale the
+  * streaming tier is the real deployment (state store per key-partition,
+  * watermark-bounded state), and the batch tier is the backfill path; both
+  * share one definition of correctness.
+  */
+object Streaming {
+
+  /** Schema for streaming reads of events.parquet (file source requires an
+    * explicit schema; ts arrives as nanos-long exactly as the batch reader
+    * sees it with nanosAsLong).
+    */
+  private val eventsRawSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def readEventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming query on a memory sink to completion, return final
+    * table. Complete output mode → final state == batch twin.
+    */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                          mode: String = "complete"): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  val streamTumbling1h = Op(
+    "stream_tumbling_1h",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), Det.sumDec(col("value")).as("sum_value"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("wstart"), col("event_type")),
+    Some("""
+      SELECT date_trunc('hour', ts) AS wstart, event_type,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY wstart, event_type
+    """)
+  )
+
+  /** Sliding 1h windows every 15min: each event lands in 4 windows. The
+    * DuckDB twin enumerates the k=0..3 window starts per event explicitly.
+    */
+  val streamSliding1h15m = Op(
+    "stream_sliding_1h_15m",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n_events"))
+        .orderBy(col("wstart"), col("event_type")),
+    Some("""
+      SELECT epoch_ms(((CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) // 900 - k) * 900) * 1000) AS wstart,
+             event_type, COUNT(*) AS n_events
+      FROM events CROSS JOIN range(4) t(k)
+      GROUP BY 1, 2 ORDER BY wstart, event_type
+    """)
+  )
+
+  /** Sessionization, batch form: 30-min-gap flag + running sum = session id
+    * — two windows over one shuffle on user_id; linear at any scale.
+    */
+  val streamSessionize30m = Op(
+    "stream_sessionize_30m",
+    (s, d) => {
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("gap",
+          when(col("sec") - lag(col("sec"), 1).over(wOrd) > 1800 ||
+               lag(col("sec"), 1).over(wOrd).isNull, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("gap")).over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"),
+          max(col("ts")).as("end_ts"),
+          (max(col("sec")) - min(col("sec"))).as("duration_sec"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""
+      WITH ord AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS sec,
+               LAG(CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)) OVER w AS prev_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      flagged AS (
+        SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS gap
+        FROM ord),
+      sess AS (
+        SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+             MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+             MAX(sec) - MIN(sec) AS duration_sec
+      FROM sess GROUP BY user_id, session_id
+      ORDER BY user_id, session_id
+    """)
+  )
+
+  /** Structured Streaming twin of stream_tumbling_1h: file-source replay +
+    * 10-min watermark + tumbling window, complete mode to a memory sink.
+    * Oracle-exempt (micro-batch mechanics); StreamingSpec asserts equality
+    * with the batch twin.
+    */
+  val streamStructuredTumbling = Op(
+    "stream_structured_tumbling",
+    (s, d) => {
+      val agg = readEventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n_events"))
+      runToMemory(s, agg, "graft_stream_tumbling")
+        .orderBy(col("wstart"), col("event_type"))
+    },
+    None
+  )
+
+  /** Streaming dedup: the input replayed TWICE (self-union) so every
+    * event_id arrives duplicated; dropDuplicatesWithinWatermark must
+    * collapse them back to the batch-distinct counts.
+    */
+  val streamDedupWatermark = Op(
+    "stream_dedup_watermark",
+    (s, d) => {
+      val src = readEventsStream(s, d)
+      val doubled = src.unionByName(readEventsStream(s, d))
+      val deduped = doubled
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      runToMemory(s, deduped, "graft_stream_dedup")
+        .orderBy(col("event_type"))
+    },
+    None
+  )
+
+  /** Late-data policy: replay the events in two files — recent half first,
+    * old half second, maxFilesPerTrigger=1 — so batch 1 advances the
+    * watermark far past the old rows and append mode drops them from the
+    * windowed aggregation. Emits the surviving finalized windows.
+    */
+  val streamLateDataPolicy = Op(
+    "stream_late_data_policy",
+    (s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_late").toString
+      val ev = T.events(s, d).withColumn("sec", unix_timestamp(col("ts")))
+      val mid = ev.agg(percentile_approx(col("sec"), lit(0.5), lit(100))).head().getLong(0)
+      // file order == lexical listing order for the parquet file source
+      ev.filter(col("sec") >= mid).drop("sec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_recent")
+      ev.filter(col("sec") < mid).drop("sec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b_old")
+      val sch = T.events(s, d).schema
+      val agg = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/*")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("wstart"), col("n_events"))
+      runToMemory(s, agg, "graft_stream_late", mode = "append")
+        .orderBy(col("wstart"))
+    },
+    None
+  )
+
+  val ops: Vector[Op] = Vector(
+    streamTumbling1h, streamSliding1h15m, streamSessionize30m,
+    streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy)
+}
