@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** §2.11 MLlib pipeline tier — the reference's model surface (intent
+  * taxonomy, feature pipeline, classifier) rebuilt on spark.ml, plus the
+  * deterministic split. Training is oracle-exempt; MLSpec covers accuracy,
+  * determinism across runs, and PipelineModel save/load.
+  */
+object MLPipeline {
+
+  /** Deterministic keyword-rule intent labeling (the standard search-intent
+    * taxonomy: transactional / navigational / informational). Pure CASE
+    * chain — the rule-label generator for the classifier below.
+    */
+  val mlIntentLabel = Op(
+    "ml_intent_label",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("intent",
+          when(instr(col("text"), "aggregate") > 0 || instr(col("text"), "write") > 0, "transactional")
+            .when(instr(col("text"), "table") > 0 || instr(col("text"), "index") > 0, "navigational")
+            .otherwise("informational"))
+        .groupBy(col("lang"), col("intent"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("intent")),
+    Some("""
+      SELECT lang,
+             CASE WHEN strpos(text, 'aggregate') > 0 OR strpos(text, 'write') > 0 THEN 'transactional'
+                  WHEN strpos(text, 'table') > 0 OR strpos(text, 'index') > 0 THEN 'navigational'
+                  ELSE 'informational' END AS intent,
+             COUNT(*) AS n_docs
+      FROM documents
+      GROUP BY lang, intent ORDER BY lang, intent
+    """)
+  )
+
+  /** Tokenizer → StopWordsRemover → HashingTF → IDF as an ml.Pipeline.
+    * Emits (doc_id, nnz, l2 norm) of the tf-idf vector. Oracle-exempt;
+    * MLSpec asserts nnz > 0, finite norms, and run-to-run determinism.
+    */
+  val mlFeaturePipeline = Op(
+    "ml_feature_pipeline",
+    (s, d) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.feature.{HashingTF, IDF, StopWordsRemover, Tokenizer}
+      import org.apache.spark.ml.linalg.Vector
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val pipe = new Pipeline().setStages(Array(
+        new Tokenizer().setInputCol("text").setOutputCol("toks"),
+        new StopWordsRemover().setInputCol("toks").setOutputCol("clean"),
+        new HashingTF().setInputCol("clean").setOutputCol("tf").setNumFeatures(1 << 12),
+        new IDF().setInputCol("tf").setOutputCol("tfidf")))
+      val out = pipe.fit(docs).transform(docs)
+      val nnz = udf((v: Vector) => v.numNonzeros.toLong)
+      val nrm = udf((v: Vector) => math.sqrt(v.toArray.map(x => x * x).sum))
+      out.select(
+          col("doc_id"),
+          nnz(col("tfidf")).as("nnz"),
+          round(nrm(col("tfidf")), 6).as("norm"))
+        .orderBy(col("doc_id"))
+    },
+    None
+  )
+
+  /** LogisticRegression trained on the rule labels (fixed seed, fixed
+    * iterations); emits per-class prediction counts. Oracle-exempt; MLSpec
+    * asserts accuracy >= 0.9 on the rule-labeled data and save/load
+    * round-trip stability.
+    */
+  val mlLogregIntent = Op(
+    "ml_logreg_intent",
+    (s, d) => {
+      import org.apache.spark.ml.Pipeline
+      import org.apache.spark.ml.classification.LogisticRegression
+      import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
+      val labeled = T.documents(s, d)
+        .withColumn("intent",
+          when(instr(col("text"), "aggregate") > 0 || instr(col("text"), "write") > 0, "transactional")
+            .when(instr(col("text"), "table") > 0 || instr(col("text"), "index") > 0, "navigational")
+            .otherwise("informational"))
+      val pipe = new Pipeline().setStages(Array(
+        new Tokenizer().setInputCol("text").setOutputCol("toks"),
+        new HashingTF().setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 12),
+        new StringIndexer().setInputCol("intent").setOutputCol("label").setStringOrderType("alphabetDesc"),
+        new LogisticRegression().setMaxIter(25).setRegParam(0.01)))
+      val model = pipe.fit(labeled)
+      model.transform(labeled)
+        .groupBy(col("intent"), col("prediction"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("intent"), col("prediction"))
+    },
+    None
+  )
+
+  /** Deterministic train/test split: xxhash64 bucketing, NOT randomSplit
+    * (which is partition-order sensitive). 80/20 by construction, stable
+    * across runs, cluster layouts, and data repartitioning.
+    */
+  val mlTrainTestSplit = Op(
+    "ml_train_test_split",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("split",
+          when(pmod(xxhash64(col("doc_id")), lit(10)) < 8, "train").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy(col("split")),
+    None
+  )
+
+  val ops: Vector[Op] = Vector(
+    mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit)
+}
