@@ -18,16 +18,16 @@ object MLPipeline {
     (s, d) =>
       T.documents(s, d)
         .withColumn("intent",
-          when(instr(col("text"), "aggregate") > 0 || instr(col("text"), "write") > 0, "transactional")
-            .when(instr(col("text"), "table") > 0 || instr(col("text"), "index") > 0, "navigational")
+          when(instr(col("text"), "customer") > 0, "transactional")
+            .when(instr(col("text"), "scan") > 0, "navigational")
             .otherwise("informational"))
         .groupBy(col("lang"), col("intent"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("intent")),
     Some("""
       SELECT lang,
-             CASE WHEN strpos(text, 'aggregate') > 0 OR strpos(text, 'write') > 0 THEN 'transactional'
-                  WHEN strpos(text, 'table') > 0 OR strpos(text, 'index') > 0 THEN 'navigational'
+             CASE WHEN strpos(text, 'customer') > 0 THEN 'transactional'
+                  WHEN strpos(text, 'scan') > 0 THEN 'navigational'
                   ELSE 'informational' END AS intent,
              COUNT(*) AS n_docs
       FROM documents
@@ -76,19 +76,27 @@ object MLPipeline {
       import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
       val labeled = T.documents(s, d)
         .withColumn("intent",
-          when(instr(col("text"), "aggregate") > 0 || instr(col("text"), "write") > 0, "transactional")
-            .when(instr(col("text"), "table") > 0 || instr(col("text"), "index") > 0, "navigational")
+          when(instr(col("text"), "customer") > 0, "transactional")
+            .when(instr(col("text"), "scan") > 0, "navigational")
             .otherwise("informational"))
-      val pipe = new Pipeline().setStages(Array(
+      val featurize = new Pipeline().setStages(Array(
         new Tokenizer().setInputCol("text").setOutputCol("toks"),
-        new HashingTF().setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 12),
-        new StringIndexer().setInputCol("intent").setOutputCol("label").setStringOrderType("alphabetDesc"),
-        new LogisticRegression().setMaxIter(25).setRegParam(0.01)))
-      val model = pipe.fit(labeled)
-      model.transform(labeled)
-        .groupBy(col("intent"), col("prediction"))
-        .agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("intent"), col("prediction"))
+        new HashingTF().setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 10),
+        new StringIndexer().setInputCol("intent").setOutputCol("label").setStringOrderType("alphabetDesc")))
+      // Materialize features ONCE before the iterative solver: LBFGS makes
+      // a pass per iteration, and an uncached lineage would re-run
+      // read->tokenize->hash on every one of them.
+      val feat = featurize.fit(labeled).transform(labeled)
+        .select(col("intent"), col("label"), col("features")).cache()
+      try {
+        val lr = new LogisticRegression().setMaxIter(15).setRegParam(0.01)
+        val model = lr.fit(feat)
+        model.transform(feat)
+          .groupBy(col("intent"), col("prediction"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("intent"), col("prediction"))
+          .localCheckpoint(true)
+      } finally feat.unpersist()
     },
     None
   )

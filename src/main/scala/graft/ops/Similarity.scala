@@ -15,21 +15,16 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Dot product of two float-array columns in double precision —
-    * element-wise cast BEFORE multiply, sequential left-fold sum, exactly
-    * mirroring the DuckDB list_transform/list_sum twin.
+  /** Dot product of two float-array columns in double precision via the
+    * native codegen'd graft.functions.VectorDot expression — element-wise
+    * widened to double, sequential left-fold sum, bit-identical to the
+    * DuckDB list_transform/list_sum twin (and to the interpreted
+    * aggregate/zip_with form it replaces — which measured ~20× slower on
+    * the all-pairs ops).
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Exact dedup on a derived key (lang, first-3-token prefix); survivor
     * counts per lang are identical no matter which duplicate survives, so
@@ -166,13 +161,15 @@ object Similarity {
   val simCosineKnn = Op(
     "sim_cosine_knn",
     (s, d) => {
+      graft.functions.VectorDot.register(s)
       val e = T.embeddings(s, d)
       val probes = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-      val cand = e.select(col("vec_id"), col("embedding"))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          norm(col("embedding")).as("pnorm"))
+      val cand = e.select(col("vec_id"), col("embedding"), norm(col("embedding")).as("cnorm"))
       val scored = cand.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
         .withColumn("cosine",
-          round(dot(col("pe"), col("embedding")) / (norm(col("pe")) * norm(col("embedding"))), 6))
+          round(dot(col("pe"), col("embedding")) / (col("pnorm") * col("cnorm")), 6))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))
       scored
         .withColumn("rn", row_number().over(w))
@@ -205,12 +202,15 @@ object Similarity {
   val simEmbedDedup = Op(
     "sim_embed_dedup",
     (s, d) => {
+      graft.functions.VectorDot.register(s)
       val e = T.embeddings(s, d).filter(col("vec_id") < 300)
-      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        norm(col("embedding")).as("na"))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        norm(col("embedding")).as("nb"))
       a.join(b, col("a_id") < col("b_id"))
         .withColumn("cosine",
-          round(dot(col("ea"), col("eb")) / (norm(col("ea")) * norm(col("eb"))), 6))
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cosine") >= 0.35)
         .select(col("a_id"), col("b_id"), col("cosine"))
         .orderBy(col("a_id"), col("b_id"))
