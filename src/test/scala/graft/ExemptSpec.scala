@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Registry, T}
+
+/** §5 verification for every oracle-exempt op — each gets the check the
+  * DuckDB hash-compare can't provide.
+  */
+class ExemptSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("agg_approx_hll: HLL++ within 5% of exact distinct counts") {
+    val approx = Registry.queries("agg_approx_hll")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Registry.queries("agg_count_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((k, e) <- exact) {
+      val a = approx(k).toDouble
+      assert(math.abs(a - e) / e < 0.05, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("txt_hashing_tf: buckets in range, token mass conserved") {
+    val rows = Registry.queries("txt_hashing_tf")(spark, sf).collect()
+    assert(rows.forall { r => val b = r.getLong(1); b >= 0 && b < 64 })
+    val mass = rows.map(_.getLong(2)).sum
+    val tokens = T.documents(spark, sf)
+      .select(explode(split(col("text"), " "))).count()
+    assert(mass == tokens, s"bucket mass $mass != token count $tokens")
+  }
+
+  test("sim_minhash_lsh: recall >= 0.9 vs exact Jaccard pairs") {
+    val exact = Registry.queries("sim_jaccard_pairs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Registry.queries("sim_minhash_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "exact pair set is empty — recall undefined")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+  }
+
+  test("ml_train_test_split: exact 80/20 bucketing, disjoint, stable") {
+    val run1 = Registry.queries("ml_train_test_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val run2 = Registry.queries("ml_train_test_split")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run1 == run2, "split not deterministic across runs")
+    val total = T.documents(spark, sf).count()
+    assert(run1.values.map(_._1).sum == total)
+    // n_distinct == n_docs per split → no doc in both splits
+    assert(run1.forall { case (_, (n, nd)) => n == nd })
+  }
+
+  test("ml_feature_pipeline: nnz > 0, finite norms, deterministic") {
+    val r1 = Registry.queries("ml_feature_pipeline")(spark, sf).collect()
+    assert(r1.forall(_.getLong(1) > 0), "zero-feature document")
+    assert(r1.forall(r => !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite))
+    val r2 = Registry.queries("ml_feature_pipeline")(spark, sf).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "pipeline not deterministic")
+  }
+
+  test("ml_logreg_intent: train accuracy >= 0.9 on rule labels") {
+    val rows = Registry.queries("ml_logreg_intent")(spark, sf).collect()
+    // StringIndexer alphabetDesc: transactional=0, navigational=1, informational=2
+    val classOf = Map("transactional" -> 0.0, "navigational" -> 1.0, "informational" -> 2.0)
+    val total = rows.map(_.getLong(2)).sum
+    val correct = rows.filter(r => classOf(r.getString(0)) == r.getDouble(1)).map(_.getLong(2)).sum
+    assert(correct.toDouble / total >= 0.9, s"accuracy ${correct.toDouble / total}")
+  }
+
+  test("stream_structured_tumbling final state == batch twin") {
+    val stream = Registry.queries("stream_structured_tumbling")(spark, sf)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val batch = Registry.queries("stream_tumbling_1h")(spark, sf)
+      .select(col("wstart"), col("event_type"), col("n_events"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(stream == batch)
+  }
+
+  test("stream_dedup_watermark: doubled replay collapses to batch distinct") {
+    val stream = Registry.queries("stream_dedup_watermark")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = T.events(spark, sf).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stream == batch)
+  }
+
+  test("stream_late_data_policy: emits finalized windows, none above batch counts") {
+    val late = Registry.queries("stream_late_data_policy")(spark, sf)
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(late.nonEmpty)
+    val batch = T.events(spark, sf)
+      .groupBy(window(col("ts"), "1 hour")).count()
+      .select(col("window.start"), col("count"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(late.forall { case (w, n) => n <= batch.getOrElse(w, 0L) })
+    // late rows were actually dropped: total kept < total events
+    assert(late.values.sum < T.events(spark, sf).count())
+  }
+}

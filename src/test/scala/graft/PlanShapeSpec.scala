@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Registry
+
+/** Cheap guards that we stay on Catalyst's fast paths — these are the
+  * 100 TB assertions the oracle can't see: filters reach the parquet scan,
+  * projections prune columns, small dims broadcast, top-k never globally
+  * sorts, and the hot similarity path is inside whole-stage codegen.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def plan(name: String): String =
+    Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter_pred_simple pushes predicates into the parquet scan") {
+    val p = plan("filter_pred_simple")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("scan_parquet_project prunes to the 4 selected columns") {
+    val p = plan("scan_parquet_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && read.contains("l_shipdate"), read)
+    assert(!read.contains("l_extendedprice"), s"column pruning failed: $read")
+  }
+
+  test("join_broadcast_inner plans a BroadcastHashJoin") {
+    assert(plan("join_broadcast_inner").contains("BroadcastHashJoin"))
+  }
+
+  test("join_star_5way broadcasts all dimension joins") {
+    val p = plan("join_star_5way")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3, p)
+  }
+
+  test("sort_topk_limit plans TakeOrderedAndProject (never global sort)") {
+    assert(plan("sort_topk_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_interval_overlap broadcasts the calendar side") {
+    assert(plan("join_interval_overlap").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("sim_embed_dedup uses the native vec_dot expression") {
+    assert(plan("sim_embed_dedup").contains("vec_dot"))
+  }
+
+  test("agg_hash_groupby: partial+final hash agg, codegen'd once AQE finalizes") {
+    val df = Registry.queries("agg_hash_groupby")(spark, sf)
+    val pre = df.queryExecution.executedPlan.toString
+    assert(pre.contains("HashAggregate"), pre)
+    assert(pre.contains("partial_sum"), s"map-side combine missing: $pre")
+    df.collect() // AQE only finalizes codegen stages after execution
+    val post = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan
+    assert(post.contains("*(1)"), post)
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Registry
+
+/** Every declared op must run on sf0.001; the driver contract maps must be
+  * mutually consistent.
+  */
+class RegistrySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("queries and oracleSql keys are consistent") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
+    val exempt = q -- o
+    val expectedExempt = Set(
+      "agg_approx_hll", "txt_hashing_tf", "sim_minhash_lsh",
+      "stream_structured_tumbling", "stream_dedup_watermark", "stream_late_data_policy",
+      "ml_feature_pipeline", "ml_logreg_intent", "ml_train_test_split")
+    assert(exempt == expectedExempt, s"unexpected oracle-exempt set: $exempt")
+  }
+
+  test("entry returns rows on sf0.001 (t1 smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for ((name, fn) <- Registry.queries.toSeq.sortBy(_._1)) {
+    test(s"op $name runs on sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+}
