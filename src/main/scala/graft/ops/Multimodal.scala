@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns — images/audio/video as opaque BinaryType payloads
+  * with typed metadata, per the LLM-data-pipeline north star.
+  *
+  * No media codecs exist in this environment, so the DECODE step is a
+  * clearly-marked deterministic stub (byte histogram standing in for pixel
+  * decode); everything around it — BinaryType schema, typed Dataset
+  * encoders, mapPartitions batch shape, per-frame chunking, metadata
+  * structs — is the real plumbing a production pipeline would keep, with
+  * the codec call swapped in where the stub is.
+  *
+  * The payload is synthesized deterministically (UTF-8 bytes of the ascii
+  * document text), which lets DuckDB mirror every byte-level computation
+  * through character functions — so even the binary ops are oracle-checked.
+  *
+  * mapPartitions here is the genuine per-partition imperative case: codecs
+  * are stateful/expensive to init, so the real version initializes one
+  * decoder per partition and streams the batch through it.
+  */
+object Multimodal {
+
+  /** One media row: opaque payload + typed metadata. */
+  case class MmRow(doc_id: Long, payload: Array[Byte])
+
+  /** STUB DECODE: byte histogram (16 bins) in place of a real image/audio
+    * decode. Deterministic, byte-exact, partition-local.
+    */
+  private def decodeStub(payload: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < payload.length) {
+      hist((payload(i) & 0xFF) >> 4) += 1
+      i += 1
+    }
+    hist
+  }
+
+  /** "Decode" + feature-extract over binary payloads via typed
+    * mapPartitions; emits (doc_id, bin, cnt) rows of the 16-bin histogram.
+    */
+  val mmDecodeFeatures = Op(
+    "mm_decode_features",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            decodeStub(r.payload).zipWithIndex.collect {
+              case (cnt, bin) if cnt > 0 => (r.doc_id, bin.toLong, cnt)
+            }
+          }
+        }
+        .toDF("doc_id", "bin", "cnt")
+        .orderBy(col("doc_id"), col("bin"))
+    },
+    Some("""
+      SELECT doc_id, ascii(c) // 16 AS bin, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents WHERE doc_id < 200)
+      GROUP BY doc_id, bin
+      ORDER BY doc_id, bin
+    """)
+  )
+
+  /** Metadata-typed resize: the payload is untouched (codec stubbed); the
+    * op transforms the typed metadata struct and proves payload integrity
+    * via byte length — the schema/partitioning shape of a real resize.
+    */
+  val mmResizeMeta = Op(
+    "mm_resize_meta",
+    (s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          encode(col("text"), "UTF-8").as("payload"),
+          struct(
+            lit("gray8").as("format"),
+            (col("n_chars") % 48 + 16).as("width"),
+            (col("n_chars") % 32 + 8).as("height")).as("meta"))
+        .select(
+          col("doc_id"),
+          col("meta.format").as("format"),
+          col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          (col("meta.width") / 2).cast("long").as("new_width"),
+          (col("meta.height") / 2).cast("long").as("new_height"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, 'gray8' AS format,
+             n_chars % 48 + 16 AS width,
+             n_chars % 32 + 8 AS height,
+             (n_chars % 48 + 16) // 2 AS new_width,
+             (n_chars % 32 + 8) // 2 AS new_height,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents ORDER BY doc_id
+    """)
+  )
+
+  /** Frame sampling: chunk the payload into 64-byte frames, keep every 4th
+    * (video keyframe-sampling shape), emit per-frame checksum. Byte-level
+    * imperative work in the typed partition iterator.
+    */
+  val mmFrameSample = Op(
+    "mm_frame_sample",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val nFrames = r.payload.length / 64
+            (0 until nFrames by 4).iterator.map { k =>
+              val frame = r.payload.slice(k * 64, k * 64 + 64)
+              val checksum = frame.foldLeft(0L)((acc, b) => acc + (b & 0xFF))
+              (r.doc_id, k.toLong, frame.length.toLong, checksum)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "frame_len", "checksum")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, octet_length(encode(text)) // 64, 4)) AS frame_idx
+        FROM documents WHERE doc_id < 200)
+      SELECT doc_id, frame_idx,
+             CAST(64 AS BIGINT) AS frame_len,
+             CAST(list_sum(list_transform(
+               string_split(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64), ''),
+               c -> ascii(c))) AS BIGINT) AS checksum
+      FROM f ORDER BY doc_id, frame_idx
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(mmDecodeFeatures, mmResizeMeta, mmFrameSample)
+}

@@ -16,7 +16,8 @@ object Registry {
   lazy val all: Vector[Op] =
     Scans.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
       SetSort.ops ++ Scalars.ops ++ Text.ops ++ Similarity.ops ++
-      Streaming.ops ++ MLPipeline.ops ++ Udfs.ops
+      Streaming.ops ++ MLPipeline.ops ++ Udfs.ops ++ Multimodal.ops ++
+      TextAnalysis.ops
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(o => o.name -> o.fn).toMap

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data text analysis beyond §2.8: language-ID (char n-gram
+  * profiles), quality scoring, BPE-ish token counting, and document
+  * fingerprinting. All pure DataFrame ops — profile training is itself a
+  * distributed aggregation, never a driver-side model.
+  */
+object TextAnalysis {
+
+  private val stoplist = Seq(
+    "the", "a", "an", "and", "or", "but", "if", "then", "else", "of",
+    "to", "in", "on", "for", "with", "as", "by", "at", "is", "are",
+    "was", "be", "this", "that", "it")
+
+  /** Language ID by character-bigram profiles: train top-20 bigrams per
+    * labeled lang (distributed agg + window), classify every doc by
+    * distinct-overlap argmax, emit the (lang × guess) confusion matrix.
+    * The whole train+classify loop is joins/aggregations — at 100 TB the
+    * profile table is tiny (langs × 20) and broadcasts.
+    */
+  val txtLangId = Op(
+    "txt_lang_id",
+    (s, d) => {
+      val docs = T.documents(s, d).filter(length(col("text")) >= 2)
+      val bgs = docs.select(
+        col("doc_id"), col("lang"),
+        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+      val wProf = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("bg"))
+      val profile = bgs
+        .groupBy(col("lang").as("p_lang"), col("bg"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(wProf))
+        .filter(col("rn") <= 20)
+        .select(col("p_lang"), col("bg"))
+      val docBg = bgs.select(col("doc_id"), col("bg")).distinct()
+      val wGuess = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+      val guess = docBg
+        .join(broadcast(profile), "bg")
+        .groupBy(col("doc_id"), col("p_lang"))
+        .agg(count(lit(1)).as("score"))
+        .withColumn("rn", row_number().over(wGuess))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("p_lang").as("guess"))
+      docs.select(col("doc_id"), col("lang"))
+        .join(guess, "doc_id")
+        .groupBy(col("lang"), col("guess"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("guess"))
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, lang, text FROM documents WHERE length(text) >= 2),
+      bgs AS (
+        SELECT doc_id, lang, unnest(list_transform(range(1, length(text)),
+               i -> substring(text, CAST(i AS INT), 2))) AS bg
+        FROM docs),
+      profile AS (
+        SELECT p_lang, bg FROM (
+          SELECT lang AS p_lang, bg, COUNT(*) AS cnt,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, bg) AS rn
+          FROM bgs GROUP BY lang, bg)
+        WHERE rn <= 20),
+      doc_bg AS (SELECT DISTINCT doc_id, bg FROM bgs),
+      guess AS (
+        SELECT doc_id, p_lang AS guess FROM (
+          SELECT doc_id, p_lang, COUNT(*) AS score,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, p_lang) AS rn
+          FROM doc_bg JOIN profile USING (bg)
+          GROUP BY doc_id, p_lang)
+        WHERE rn = 1)
+      SELECT lang, guess, COUNT(*) AS n_docs
+      FROM docs JOIN guess USING (doc_id)
+      GROUP BY lang, guess ORDER BY lang, guess
+    """)
+  )
+
+  /** Quality scoring: uniqueness ratio, stopword ratio, length saturation —
+    * the standard pre-training corpus filters, rounded at the outermost
+    * layer only.
+    */
+  val txtQualityScore = Op(
+    "txt_quality_score",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tok", size(col("toks")).cast("long"))
+        .withColumn("uniq_ratio", size(array_distinct(col("toks"))).cast("double") / col("n_tok"))
+        .withColumn("stop_ratio",
+          size(filter(col("toks"), t => t.isin(stoplist: _*))).cast("double") / col("n_tok"))
+        .withColumn("quality",
+          round(lit(0.4) * col("uniq_ratio") + lit(0.4) * (lit(1.0) - col("stop_ratio")) +
+            lit(0.2) * least(col("n_tok").cast("double") / 100.0, lit(1.0)), 6))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("uniq_ratio"), 6).as("uniq_ratio"),
+          round(col("stop_ratio"), 6).as("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id")),
+    Some(s"""
+      SELECT doc_id, n_tok,
+             ROUND(uniq_ratio, 6) AS uniq_ratio,
+             ROUND(stop_ratio, 6) AS stop_ratio,
+             ROUND(0.4 * uniq_ratio + 0.4 * (1.0 - stop_ratio) +
+                   0.2 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0), 6) AS quality
+      FROM (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS uniq_ratio,
+               CAST(len(list_filter(toks, t -> t IN (${stoplist.map(w => s"'$w'").mkString(", ")}))) AS DOUBLE) / len(toks) AS stop_ratio
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+      ORDER BY doc_id
+    """)
+  )
+
+  /** BPE-ish token counting: word / number / symbol pieces via regex, vs
+    * plain whitespace tokens — per-lang totals.
+    */
+  val txtTokenCount = Op(
+    "txt_token_count",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("n_bpe",
+          expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+        .withColumn("n_ws", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bpe")).as("total_bpe"),
+          sum(col("n_ws")).as("total_ws"),
+          round(sum(col("n_bpe")).cast("double") / count(lit(1)), 6).as("avg_bpe_per_doc"))
+        .orderBy(col("lang")),
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_bpe) AS BIGINT) AS total_bpe,
+             CAST(SUM(n_ws) AS BIGINT) AS total_ws,
+             ROUND(CAST(SUM(n_bpe) AS DOUBLE) / COUNT(*), 6) AS avg_bpe_per_doc
+      FROM (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT) AS n_bpe,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+        FROM documents)
+      GROUP BY lang ORDER BY lang
+    """)
+  )
+
+  /** Document fingerprint: position-weighted character sum mod 1e9+7 — a
+    * deterministic content hash computed as a single-pass fold expression
+    * (no shuffle, no UDF); duplicate fingerprints = near-identical docs.
+    */
+  val txtFingerprint = Op(
+    "txt_fingerprint",
+    (s, d) =>
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          expr("""aggregate(
+                    transform(sequence(1, length(text)),
+                              i -> ascii(substring(text, i, 1)) * ((i % 7) + 1)),
+                    CAST(0 AS BIGINT),
+                    (acc, x) -> (acc + CAST(x AS BIGINT)) % 1000000007)""").as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id,
+             CAST(SUM(ascii(c) * ((pos % 7) + 1)) % 1000000007 AS BIGINT) AS fp
+      FROM (SELECT doc_id, generate_subscripts(cs, 1) AS pos, unnest(cs) AS c
+            FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents))
+      GROUP BY doc_id ORDER BY doc_id
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(txtLangId, txtQualityScore, txtTokenCount, txtFingerprint)
+}
