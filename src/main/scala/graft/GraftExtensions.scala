@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension entry point: inject graft's native functions at
+  * session build time —
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (equivalently `.withExtensions(new GraftExtensions)`), making `vec_dot`
+  * available to pure-SQL users on every session without the runtime
+  * registration the ops perform for themselves.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[functions.VectorDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => functions.VectorDot(args(0), args(1))))
+  }
+}

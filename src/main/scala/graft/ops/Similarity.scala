@@ -256,7 +256,144 @@ object Similarity {
     """)
   )
 
+  /** Jaccard over bigram-shingle sets (near-dup detection robust to word
+    * substitutions in a way token sets are not) — same bounded-candidate
+    * self-join shape as sim_jaccard_pairs.
+    */
+  val simShingleJaccard = Op(
+    "sim_shingle_jaccard",
+    (s, d) => {
+      val sh = T.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("source"), explode(
+          zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b))).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = sh.select(col("doc_id").as("a_id"), col("source"), col("shingle"))
+      val b = sh.select(col("doc_id").as("b_id"), col("source").as("src_b"), col("shingle").as("sh_b"))
+      val inter = a.join(b,
+          col("shingle") === col("sh_b") && col("source") === col("src_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .withColumn("jaccard",
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6))
+        .filter(col("jaccard") >= 0.05)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, source, shingle FROM (
+          SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(arr)),
+                   i -> arr[i] || ' ' || arr[i + 1])) AS shingle
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS arr
+                FROM documents WHERE doc_id < 200))),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a_id, b_id,
+             ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.05
+      ORDER BY a_id, b_id
+    """)
+  )
+
+  /** SimHash (16-bit) over token sets — the constant-size near-dup sketch.
+    * Uses a portable position-weighted char hash (mod 2^16) instead of
+    * murmur3 so the entire construction — hash, bit votes, sign, packing —
+    * is integer math reproducible in the DuckDB oracle. Two aggregations,
+    * both key-partitioned; at scale this is the cheap first-pass filter
+    * before any pairwise comparison.
+    */
+  val simSimhash = Op(
+    "sim_simhash",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .withColumn("h",
+          expr("""aggregate(
+                    transform(sequence(1, length(token)),
+                              i -> ascii(substring(token, i, 1)) * ((i % 7) + 1)),
+                    CAST(0 AS BIGINT),
+                    (acc, x) -> (acc + CAST(x AS BIGINT)) % 65536)"""))
+      toks
+        .select(col("doc_id"), col("h"), explode(expr("sequence(0, 15)")).as("b"))
+        .withColumn("vote", (expr("(h div CAST(pow(2, b) AS BIGINT)) % 2") * 2 - 1))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(sum(col("vote")).as("votes"))
+        .withColumn("bit", when(col("votes") > 0, 1L).otherwise(0L))
+        .groupBy(col("doc_id"))
+        .agg(sum(expr("bit * CAST(pow(2, b) AS BIGINT)")).as("simhash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+      hashed AS (
+        SELECT doc_id, token,
+               CAST(SUM(ascii(c) * ((pos % 7) + 1)) % 65536 AS BIGINT) AS h
+        FROM (SELECT doc_id, token, generate_subscripts(cs, 1) AS pos, unnest(cs) AS c
+              FROM (SELECT doc_id, token, string_split(token, '') AS cs FROM toks))
+        GROUP BY doc_id, token),
+      votes AS (
+        SELECT doc_id, b,
+               CAST(SUM(((h // CAST(pow(2, b) AS BIGINT)) % 2) * 2 - 1) AS BIGINT) AS votes
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+        GROUP BY doc_id, b)
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id
+    """)
+  )
+
+  /** BucketedRandomProjectionLSH over embeddings — the euclidean ANN scale
+    * path (random-hyperplane bucketing → candidates only join within
+    * buckets). Fixed seed; oracle-exempt; ExemptSpec proves recall >= 0.9
+    * against the exact under-threshold pair set.
+    */
+  val simBrpLsh = Op(
+    "sim_brp_lsh",
+    (s, d) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val feat = T.embeddings(s, d)
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+      val brp = new BucketedRandomProjectionLSH()
+        .setBucketLength(2.0).setNumHashTables(4).setSeed(42L)
+        .setInputCol("features").setOutputCol("hashes")
+      val model = brp.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 1.1, "dist")
+        .select(
+          col("datasetA.vec_id").as("a_id"),
+          col("datasetB.vec_id").as("b_id"),
+          round(col("dist"), 6).as("dist"))
+        .filter(col("a_id") < col("b_id"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, simJaccardPairs, simMinhashLsh,
-    simCosineKnn, simEmbedDedup, simLabelCentroids)
+    simCosineKnn, simEmbedDedup, simLabelCentroids, simShingleJaccard,
+    simSimhash, simBrpLsh)
 }

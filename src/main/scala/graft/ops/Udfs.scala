@@ -41,9 +41,9 @@ object Udfs {
     * exact long), so the merge is associative/commutative — shuffle order
     * cannot change the result.
     */
-  private case class WmBuf(sumScaled: Long, sumW: Long)
+  private[graft] case class WmBuf(sumScaled: Long, sumW: Long)
 
-  private object WeightedMean extends Aggregator[(Long, Double), WmBuf, Double] {
+  private[graft] object WeightedMean extends Aggregator[(Long, Double), WmBuf, Double] {
     def zero: WmBuf = WmBuf(0L, 0L)
     def reduce(b: WmBuf, in: (Long, Double)): WmBuf =
       WmBuf(b.sumScaled + in._1 * math.round(in._2 * 100), b.sumW + in._1)
@@ -80,7 +80,7 @@ object Udfs {
     */
   private val K = 5
 
-  private object TopK extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+  private[graft] object TopK extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
       s.sortBy { case (v, id) => (-v, id) }.take(K)
     def zero: Seq[(Double, Long)] = Seq.empty

@@ -41,6 +41,26 @@ class ExemptSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
   }
 
+  test("sim_brp_lsh: recall >= 0.9 vs exact euclidean pairs under threshold") {
+    graft.functions.VectorDot.register(spark)
+    val e = T.embeddings(spark, sf).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"),
+        call_function("vec_dot", col("embedding"), col("embedding")).as("sq"))
+    val a = e.select(col("vec_id").as("a_id"), col("embedding").as("ea"), col("sq").as("sa"))
+    val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"), col("sq").as("sb"))
+    val exact = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("dist",
+        sqrt(col("sa") + col("sb") - lit(2.0) * call_function("vec_dot", col("ea"), col("eb"))))
+      .filter(col("dist") < 1.1)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.ops.Registry.queries("sim_brp_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "no exact pairs under threshold — recall undefined")
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall over ${exact.size} exact pairs")
+  }
+
   test("ml_train_test_split: exact 80/20 bucketing, disjoint, stable") {
     val run1 = Registry.queries("ml_train_test_split")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
