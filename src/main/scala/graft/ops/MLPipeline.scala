@@ -117,6 +117,41 @@ object MLPipeline {
     None
   )
 
+  /** Prediction write-back round trip (the reference's "score → store →
+    * serve" loop, with parquet standing in for the KV store): label docs,
+    * write the scored table, read it back, and aggregate — proving the
+    * sink preserves rows/schema. Oracle computes the same aggregate
+    * directly from the source.
+    */
+  val mlPredictionsSink = Op(
+    "ml_predictions_sink",
+    (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_pred").toString + "/intent_predictions"
+      T.documents(s, d)
+        .withColumn("intent",
+          when(instr(col("text"), "customer") > 0, "transactional")
+            .when(instr(col("text"), "scan") > 0, "navigational")
+            .otherwise("informational"))
+        .select(col("doc_id"), col("lang"), col("intent"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("intent"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy(col("intent"))
+    },
+    Some("""
+      SELECT CASE WHEN strpos(text, 'customer') > 0 THEN 'transactional'
+                  WHEN strpos(text, 'scan') > 0 THEN 'navigational'
+                  ELSE 'informational' END AS intent,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT doc_id) AS n_distinct
+      FROM documents
+      GROUP BY intent ORDER BY intent
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit)
+    mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
+    mlPredictionsSink)
 }

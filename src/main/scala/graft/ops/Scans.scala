@@ -81,5 +81,26 @@ object Scans {
     """)
   )
 
-  val ops: Vector[Op] = Vector(scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps)
+  /** The serving path: point lookups by key. The IN-list predicate reaches
+    * the parquet scan as PushedFilters (row-group skip via min/max stats) —
+    * the batch analog of the reference's per-key prediction reads; at scale
+    * the same query serves from a key-partitioned/bucketed layout.
+    */
+  val servePointLookup = Op(
+    "serve_point_lookup",
+    (s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id").isin(7L, 42L, 101L, 333L))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id")),
+    Some("""
+      SELECT doc_id, lang, source, n_chars
+      FROM documents WHERE doc_id IN (7, 42, 101, 333)
+      ORDER BY doc_id
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
+    servePointLookup)
 }

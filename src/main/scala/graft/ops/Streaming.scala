@@ -196,7 +196,45 @@ object Streaming {
     None
   )
 
+  /** The native session_window operator (same one Structured Streaming
+    * uses for stateful sessions), run in batch: sessions merge while the
+    * next event is strictly inside [start, last+gap). The oracle replicates
+    * with a µs-precision lag/cumsum (new session when ts - prev >= gap —
+    * note >=, matching the half-open window).
+    */
+  val streamSessionWindow = Op(
+    "stream_session_window",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(
+          col("user_id"),
+          col("w.start").as("start_ts"),
+          (col("w.end") - expr("INTERVAL 30 MINUTES")).as("last_ts"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("start_ts")),
+    Some("""
+      WITH ord AS (
+        SELECT user_id, event_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS gap
+        FROM ord),
+      sess AS (
+        SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(ts) AS start_ts, MAX(ts) AS last_ts, COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, start_ts
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
-    streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy)
+    streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
+    streamSessionWindow)
 }
