@@ -279,8 +279,49 @@ object Joins {
     """)
   )
 
+  /** Skew-salted shuffle join — the 100 TB skew recipe made explicit and
+    * deterministic. The key is deliberately skewed (all 'view' events
+    * collapse onto key -1, ~20% of the table); a plain shuffle join would
+    * route that key to one task. Salting: the fact side gets a
+    * deterministic salt (event_id % 8 — never rand(), which breaks retries
+    * and oracles), the build side is replicated ×8 via explode, and the
+    * join key becomes (k, salt) — the hot key now spreads over 8 tasks.
+    * The merge hint forces a real shuffle join so the salt matters (with a
+    * broadcastable dim you'd broadcast instead). AQE's skew-join handles
+    * sort-merge skew at runtime too; salting is the portable form that
+    * also covers aggregations.
+    */
+  val joinSkewSalted = Op(
+    "join_skew_salted",
+    (s, d) => {
+      def keyed = T.events(s, d).withColumn("k",
+        when(col("event_type") === "view", lit(-1L)).otherwise(col("user_id")))
+      val fact = keyed.withColumn("salt", pmod(col("event_id"), lit(8)).cast("int"))
+      val dim = keyed.groupBy(col("k")).agg(count(lit(1)).as("k_weight"))
+        .withColumn("salt", explode(expr("sequence(0, 7)")))
+      fact.join(dim.hint("merge"), Seq("k", "salt"))
+        .groupBy(col("k"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          Det.sumDec(col("value")).as("sum_value"),
+          max(col("k_weight")).as("k_weight"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT CASE WHEN event_type = 'view' THEN -1 ELSE user_id END AS k, value
+        FROM events),
+      dim AS (SELECT k, COUNT(*) AS k_weight FROM keyed GROUP BY k)
+      SELECT k, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+             MAX(k_weight) AS k_weight
+      FROM keyed JOIN dim USING (k)
+      GROUP BY k ORDER BY k
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinLeftOuter,
     joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossBounded,
-    joinThetaRange, joinAsofLastEvent, joinIntervalOverlap)
+    joinThetaRange, joinAsofLastEvent, joinIntervalOverlap, joinSkewSalted)
 }

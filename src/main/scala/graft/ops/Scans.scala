@@ -100,7 +100,36 @@ object Scans {
     """)
   )
 
+  /** Hive-style partitioned write + partition-pruned read-back: lineitem
+    * laid out by l_returnflag, then a single-flag query — the scan must
+    * touch only that partition's files (PartitionFilters, asserted by the
+    * plan-shape spec). The fixtures are single files so pruning is inert
+    * everywhere else; this op creates the layout that makes it real — at
+    * 100 TB, date/tenant partitioning of the fact tables is what turns
+    * full scans into slice reads.
+    */
+  val sinkPartitionedPrune = Op(
+    "sink_partitioned_prune",
+    (s, d) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_part").toString + "/lineitem_by_flag"
+      T.lineitem(s, d).write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("l_returnflag") === "A")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"), Det.sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_linestatus"))
+    },
+    Some("""
+      SELECT l_linestatus, COUNT(*) AS n_items,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem WHERE l_returnflag = 'A'
+      GROUP BY l_linestatus ORDER BY l_linestatus
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
-    servePointLookup)
+    servePointLookup, sinkPartitionedPrune)
 }

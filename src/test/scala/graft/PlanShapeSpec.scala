@@ -48,6 +48,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("sim_embed_dedup").contains("vec_dot"))
   }
 
+  test("serve_point_lookup pushes the IN-list to the scan") {
+    val p = plan("serve_point_lookup")
+    assert(p.contains("PushedFilters: [In(doc_id"), p)
+  }
+
+  test("sink_partitioned_prune reads only the filtered partition") {
+    val p = plan("sink_partitioned_prune")
+    assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"), p)
+  }
+
   test("agg_hash_groupby: partial+final hash agg, codegen'd once AQE finalizes") {
     val df = Registry.queries("agg_hash_groupby")(spark, sf)
     val pre = df.queryExecution.executedPlan.toString
