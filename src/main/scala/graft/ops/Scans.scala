@@ -15,12 +15,14 @@ object Scans {
     (s, d) =>
       T.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixtures at
+        // sf0.1 — order by every emitted column so the LIMIT cut is total.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
         .limit(100),
     Some("""
       SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
       FROM lineitem
-      ORDER BY l_orderkey, l_linenumber
+      ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate
       LIMIT 100
     """)
   )

@@ -230,9 +230,13 @@ object Similarity {
     """)
   )
 
-  /** Per-label centroid of the first 8 dims. Elements are rounded to 6dp
-    * and decimal-cast BEFORE the mean so the sum is order-independent
-    * (raw double mean would drift under shuffle merge order).
+  /** Per-label centroid of the first 8 dims. Elements are converted to
+    * exact integer micro-units (float × 1e6 is exact in double: 24-bit
+    * mantissa × 20-bit constant < 53 bits) so the sum is integer-exact and
+    * shuffle-order independent; the mean is then ONE double division of
+    * identical operands on both engines — no final rounding, so no
+    * HALF_UP-vs-half-even tie can flip the hash (a 6dp ROUND of the
+    * quotient did, at sf0.1).
     */
   val simLabelCentroids = Op(
     "sim_label_centroids",
@@ -241,14 +245,15 @@ object Similarity {
         .select(col("label"), posexplode(slice(col("embedding"), 1, 8)).as(Seq("pos", "x")))
         .select(
           col("label"), (col("pos") + 1).cast("long").as("pos"),
-          round(col("x").cast("double"), 6).cast(DecimalType(18, 8)).as("xr"))
+          round(col("x").cast("double") * 1000000).cast("long").as("micro"))
         .groupBy(col("label"), col("pos"))
-        .agg(round(sum(col("xr")).cast("double") / count(lit(1)), 6).as("centroid"),
+        .agg(
+          (sum(col("micro")).cast("double") / count(lit(1)) / 1000000.0).as("centroid"),
           count(lit(1)).as("n_vecs"))
         .orderBy(col("label"), col("pos")),
     Some("""
       SELECT label, pos,
-             ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6) AS centroid,
+             CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
              COUNT(*) AS n_vecs
       FROM (SELECT label, generate_subscripts(e8, 1) AS pos, unnest(e8) AS x
             FROM (SELECT label, embedding[1:8] AS e8 FROM embeddings))
