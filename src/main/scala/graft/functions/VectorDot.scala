@@ -66,10 +66,19 @@ case class VectorDot(left: Expression, right: Expression)
 }
 
 object VectorDot {
+  /** Arity-checked builder shared by runtime registration and
+    * GraftExtensions — a wrong argument count becomes an analysis-time
+    * error naming the signature, not an IndexOutOfBoundsException.
+    */
+  val builder: Seq[Expression] => Expression = { args =>
+    if (args.length != 2)
+      throw new IllegalArgumentException(
+        s"vec_dot(array<float>, array<float>) takes 2 arguments, got ${args.length}")
+    VectorDot(args(0), args(1))
+  }
+
   /** Register `vec_dot` as a temp function on the session (idempotent). */
   def register(s: SparkSession): Unit =
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot",
-      (args: Seq[Expression]) => VectorDot(args(0), args(1)),
-      "built-in")
+      "vec_dot", builder, "built-in")
 }

@@ -10,9 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Aggs {
 
-  private def avg6(sumDecCol: org.apache.spark.sql.Column, cnt: org.apache.spark.sql.Column) =
-    round(sumDecCol / cnt, 6)
-
   /** TPC-H Q1 shape: 4-wide agg over lineitem by (returnflag, linestatus). */
   val aggHashGroupby = Op(
     "agg_hash_groupby",

@@ -17,17 +17,10 @@ object Det {
   /** Cast to DECIMAL(18,4) pre-aggregation (order-independent addition). */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
-  /** Decimal-safe sum emitted as double: sum(dec(c)) :: double. */
+  /** Decimal-safe sum emitted as double: sum(dec(c)) :: double. The oracle
+    * twin is written literally in each op's SQL —
+    * CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) — kept inline so the
+    * strings stay greppable and independently runnable.
+    */
   def sumDec(c: Column): Column = sum(dec(c)).cast("double")
-
-  /** Decimal-safe avg emitted as double. */
-  def avgDec(c: Column): Column = avg(dec(c)).cast("double")
-
-  /** Outermost rounding for derived ratios / irrational fns (Appendix A-2). */
-  def r6(c: Column): Column = round(c, 6)
-
-  /** SQL-side twins (DuckDB dialect) for oracle strings. */
-  def sqlDec(e: String): String = s"CAST($e AS DECIMAL(18,4))"
-  def sqlSumDec(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
-  def sqlAvgDec(e: String): String = s"CAST(AVG(CAST($e AS DECIMAL(18,4))) AS DOUBLE)"
 }

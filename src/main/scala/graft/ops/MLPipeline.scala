@@ -126,8 +126,7 @@ object MLPipeline {
   val mlPredictionsSink = Op(
     "ml_predictions_sink",
     (s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_pred").toString + "/intent_predictions"
+      val tmp = T.scratch("intent_predictions")
       T.documents(s, d)
         .withColumn("intent",
           when(instr(col("text"), "customer") > 0, "transactional")

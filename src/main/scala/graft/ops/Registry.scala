@@ -19,8 +19,12 @@ object Registry {
       Streaming.ops ++ MLPipeline.ops ++ Udfs.ops ++ Multimodal.ops ++
       TextAnalysis.ops
 
-  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val dups = all.groupBy(_.name).collect { case (n, ops) if ops.size > 1 => n }
+    require(dups.isEmpty,
+      s"duplicate op names (toMap would silently shadow them): ${dups.mkString(", ")}")
     all.map(o => o.name -> o.fn).toMap
+  }
 
   lazy val oracles: Map[String, String] =
     all.flatMap(o => o.oracle.map(sql => o.name -> sql)).toMap

@@ -34,8 +34,7 @@ object Scans {
   val scanCsvRoundtrip = Op(
     "scan_csv_roundtrip",
     (s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_csv").toString + "/region_csv"
+      val tmp = T.scratch("region_csv")
       T.region(s, d).write.mode("overwrite").option("header", "true").csv(tmp)
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType),
@@ -113,8 +112,7 @@ object Scans {
   val sinkPartitionedPrune = Op(
     "sink_partitioned_prune",
     (s, d) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_part").toString + "/lineitem_by_flag"
+      val tmp = T.scratch("lineitem_by_flag")
       T.lineitem(s, d).write.mode("overwrite")
         .partitionBy("l_returnflag").parquet(tmp)
       s.read.parquet(tmp)

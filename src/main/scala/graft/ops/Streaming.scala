@@ -174,14 +174,22 @@ object Streaming {
   val streamLateDataPolicy = Op(
     "stream_late_data_policy",
     (s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_late").toString
+      val tmp = T.scratch("late_replay")
       val ev = T.events(s, d).withColumn("sec", unix_timestamp(col("ts")))
       val mid = ev.agg(percentile_approx(col("sec"), lit(0.5), lit(100))).head().getLong(0)
-      // file order == lexical listing order for the parquet file source
       ev.filter(col("sec") >= mid).drop("sec")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_recent")
       ev.filter(col("sec") < mid).drop("sec")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b_old")
+      // The file stream source processes oldest-modification-time first, so
+      // pin the ordering explicitly (write order alone could collide within
+      // one mtime granule): the old half must arrive in the LATER batch.
+      val aTime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$tmp/a_recent"))
+      val bumped = java.nio.file.attribute.FileTime.fromMillis(aTime.toMillis + 60000)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/b_old")).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p, bumped)
+      }
       val sch = T.events(s, d).schema
       val agg = s.readStream.schema(sch)
         .option("maxFilesPerTrigger", "1")

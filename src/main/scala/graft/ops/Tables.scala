@@ -22,6 +22,17 @@ object T {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Fixed per-op scratch dir (ops overwrite it on each run) — a fresh
+    * createTempDirectory per invocation would accumulate full table copies
+    * across repeated Verify/Bench sweeps until /tmp fills.
+    */
+  def scratch(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_scratch", name)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
