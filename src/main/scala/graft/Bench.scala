@@ -77,7 +77,19 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // "failures" makes a broken query visible instead of reading as a fast
     // success (its time-to-failure still counts toward the total).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}"""
+    println(detail)
+    // The detail line is ~5 KB and the driver captures a tail-truncated
+    // stdout window (r1: parsed=null because the line was cut mid-JSON).
+    // Persist the full detail to a file and print a short, final,
+    // self-contained summary line so any tail capture gets a parseable
+    // record.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (detail + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failures":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

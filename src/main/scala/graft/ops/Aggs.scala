@@ -197,7 +197,11 @@ object Aggs {
   )
 
   /** Deterministic collect: array_sort(collect_list) then slice — Appendix
-    * A-6 (never emit unsorted collections).
+    * A-6 (never emit unsorted collections). The sorted slice is posexploded
+    * to (event_type, pos, low_value) rows because the driver's comparator
+    * cannot hash array-typed cells (r1 FAIL was a comparator crash, not a
+    * value mismatch); the collect/sort/slice surface is still exercised
+    * upstream of the explode.
     */
   val aggCollectSorted = Op(
     "agg_collect_sorted",
@@ -205,10 +209,14 @@ object Aggs {
       T.events(s, d)
         .groupBy(col("event_type"))
         .agg(slice(array_sort(collect_list(col("value"))), 1, 5).as("low5"))
-        .orderBy(col("event_type")),
+        .select(col("event_type"), posexplode(col("low5")).as(Seq("pos", "low_value")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("pos"), col("low_value"))
+        .orderBy(col("event_type"), col("pos")),
     Some("""
-      SELECT event_type, list_sort(list(value))[1:5] AS low5
-      FROM events GROUP BY event_type ORDER BY event_type
+      SELECT event_type, generate_subscripts(low5, 1) AS pos, unnest(low5) AS low_value
+      FROM (SELECT event_type, list_sort(list(value))[1:5] AS low5
+            FROM events GROUP BY event_type)
+      ORDER BY event_type, pos
     """)
   )
 

@@ -85,9 +85,14 @@ object MLPipeline {
         new StringIndexer().setInputCol("intent").setOutputCol("label").setStringOrderType("alphabetDesc")))
       // Materialize features ONCE before the iterative solver: LBFGS makes
       // a pass per iteration, and an uncached lineage would re-run
-      // read->tokenize->hash on every one of them.
+      // read->tokenize->hash on every one of them. Repartition down to 4:
+      // the feature frame is tiny, and at local[32] each of the ~15
+      // iterations otherwise pays 32-task scheduler overhead per pass
+      // (measured 144 s in the driver's local[32] bench vs ~5 s at
+      // local[4] — the partition count, not the math, was the cost).
       val feat = featurize.fit(labeled).transform(labeled)
-        .select(col("intent"), col("label"), col("features")).cache()
+        .select(col("intent"), col("label"), col("features"))
+        .repartition(4).cache()
       try {
         val lr = new LogisticRegression().setMaxIter(15).setRegParam(0.01)
         val model = lr.fit(feat)

@@ -161,6 +161,11 @@ object Scalars {
     """)
   )
 
+  /** first3_sorted is array_join'd to a scalar string because the driver's
+    * comparator cannot hash array-typed cells (r1 FAIL was a comparator
+    * crash, not a value mismatch); sort_array/slice/array_distinct are still
+    * exercised upstream of the join.
+    */
   val arrFuncs = Op(
     "arr_funcs",
     (s, d) =>
@@ -170,14 +175,14 @@ object Scalars {
           col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
           array_contains(col("toks"), "spark").as("has_spark"),
-          slice(sort_array(col("toks")), 1, 3).as("first3_sorted"),
+          array_join(slice(sort_array(col("toks")), 1, 3), ",").as("first3_sorted"),
           size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
         .orderBy(col("doc_id")),
     Some("""
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
              list_contains(string_split(text, ' '), 'spark') AS has_spark,
-             list_sort(string_split(text, ' '))[1:3] AS first3_sorted,
+             array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS first3_sorted,
              CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
       FROM documents ORDER BY doc_id
     """)

@@ -24,14 +24,27 @@ object T {
 
   /** Fixed per-op scratch dir (ops overwrite it on each run) — a fresh
     * createTempDirectory per invocation would accumulate full table copies
-    * across repeated Verify/Bench sweeps until /tmp fills.
+    * across repeated Verify/Bench sweeps until /tmp fills. Keyed by pid so
+    * concurrent Verify/Bench JVMs (possibly at different sf) never
+    * interleave one run's write with another's read-back.
     */
-  def scratch(name: String): String = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_scratch", name)
-    java.nio.file.Files.createDirectories(p.getParent)
-    p.toString
+  private val pid = java.lang.ProcessHandle.current().pid()
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_scratch_$pid")
+    java.nio.file.Files.createDirectories(root)
+    // Per-pid dirs would otherwise accumulate across sweeps; remove this
+    // JVM's scratch on exit (best-effort — a kill -9 leaks one dir).
+    sys.addShutdownHook {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+      catch { case _: Throwable => () }
+    }
+    root
   }
+  def scratch(name: String): String = scratchRoot.resolve(name).toString
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")

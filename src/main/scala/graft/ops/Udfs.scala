@@ -81,10 +81,21 @@ object Udfs {
   private val K = 5
 
   private[graft] object TopK extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    private def ord(t: (Double, Long)): (Double, Long) = (-t._1, t._2)
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy { case (v, id) => (-v, id) }.take(K)
+      s.sortBy(ord).take(K)
     def zero: Seq[(Double, Long)] = Seq.empty
-    def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = trim(b :+ in)
+    // Bounded insertion into an already-sorted buffer — O(k) per row, not
+    // the O(k log k) full re-sort (trim stays for merge, whose inputs may
+    // interleave arbitrarily).
+    def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
+      if (b.length == K && implicitly[Ordering[(Double, Long)]].lteq(ord(b.last), ord(in))) b
+      else {
+        val i = b.indexWhere(t => implicitly[Ordering[(Double, Long)]].gt(ord(t), ord(in)))
+        val at = if (i < 0) b.length else i
+        (b.take(at) :+ in) ++ b.drop(at).take(K - at - 1)
+      }
+    }
     def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(a ++ b)
     def finish(b: Seq[(Double, Long)]): Seq[(Double, Long)] = trim(b)
     def bufferEncoder: Encoder[Seq[(Double, Long)]] = ExpressionEncoder()
