@@ -129,7 +129,80 @@ object Scans {
     """)
   )
 
+  /** Schema-on-read struct parse of the JSON props column: ONE from_json
+    * per row feeding every projected field, vs get_json_object's re-parse
+    * per extracted field (scan_jsonl_props) — the difference that matters
+    * when events carry wide props at 100 TB. Also exercises the missing-key
+    * policy (absent field → null struct field, not an error) and the
+    * MapType read of the same payload.
+    */
+  val scanJsonStruct = Op(
+    "scan_json_struct",
+    (s, d) =>
+      T.events(s, d)
+        .withColumn("p", from_json(col("props"), StructType(Seq(
+          StructField("k", IntegerType),
+          StructField("m", IntegerType)))))
+        .withColumn("pm", from_json(col("props"), MapType(StringType, IntegerType)))
+        .select(
+          col("event_id"),
+          col("p.k").as("k"),
+          (col("p.k") % 10).as("k_mod"),
+          col("p.m").isNull.as("m_missing"),
+          size(map_keys(col("pm"))).cast("long").as("n_keys"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             CAST(props->>'$.k' AS INT) AS k,
+             CAST(props->>'$.k' AS INT) % 10 AS k_mod,
+             props->>'$.m' IS NULL AS m_missing,
+             CAST(len(json_keys(props)) AS BIGINT) AS n_keys
+      FROM events ORDER BY event_id
+    """)
+  )
+
+  /** Malformed-input policy: PERMISSIVE mode routes unparseable rows to
+    * _corrupt_record (good rows keep typed fields, bad rows null them) —
+    * the first thing a real ingestion pipeline hits. The corrupt set is
+    * deterministic by construction (every nationkey % 5 == 0 row gets a
+    * non-numeric value field), so the oracle predicts the counts from the
+    * clean fixture. The FAILFAST twin (same file, mode=FAILFAST throws) is
+    * asserted in ScanPolicySpec.
+    */
+  val scanCsvMalformed = Op(
+    "scan_csv_malformed",
+    (s, d) => {
+      val tmp = T.scratch("nation_badcsv")
+      T.nation(s, d)
+        .select(concat_ws(",",
+          col("n_nationkey"), col("n_name"),
+          when(col("n_nationkey") % 5 === 0, lit("oops"))
+            .otherwise((col("n_nationkey") * 10).cast("string"))).as("value"))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      val schema = StructType(Seq(
+        StructField("k", IntegerType),
+        StructField("name", StringType),
+        StructField("v", IntegerType),
+        StructField("_corrupt_record", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(tmp)
+        .groupBy(when(col("_corrupt_record").isNotNull, "corrupt")
+          .otherwise("good").as("status"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_v"))
+        .orderBy(col("status"))
+    },
+    Some("""
+      SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'corrupt' ELSE 'good' END AS status,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                           ELSE n_nationkey * 10 END) AS BIGINT) AS sum_v
+      FROM nation GROUP BY 1 ORDER BY 1
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
-    servePointLookup, sinkPartitionedPrune)
+    scanJsonStruct, scanCsvMalformed, servePointLookup, sinkPartitionedPrune)
 }

@@ -90,6 +90,32 @@ class ExemptSpec extends AnyFunSuite {
     assert(correct.toDouble / total >= 0.9, s"accuracy ${correct.toDouble / total}")
   }
 
+  test("ml pipeline: PipelineModel save/load round-trip gives identical predictions") {
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
+    val labeled = T.documents(spark, sf)
+      .withColumn("intent",
+        when(instr(col("text"), "customer") > 0, "transactional")
+          .when(instr(col("text"), "scan") > 0, "navigational")
+          .otherwise("informational"))
+    val pipe = new Pipeline().setStages(Array(
+      new Tokenizer().setInputCol("text").setOutputCol("toks"),
+      new HashingTF().setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 10),
+      new StringIndexer().setInputCol("intent").setOutputCol("label").setStringOrderType("alphabetDesc"),
+      new LogisticRegression().setMaxIter(15).setRegParam(0.01)))
+    val model = pipe.fit(labeled)
+    val path = T.scratch("pipeline_model")
+    model.write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    def preds(m: PipelineModel): Map[Long, Double] =
+      m.transform(labeled).select(col("doc_id"), col("prediction"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val a = preds(model)
+    val b = preds(reloaded)
+    assert(a.nonEmpty && a == b, "reloaded model predictions diverge from fitted model")
+  }
+
   test("stream_structured_tumbling final state == batch twin") {
     val stream = Registry.queries("stream_structured_tumbling")(spark, sf)
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
