@@ -12,7 +12,7 @@ object Bench {
       .filter(p => p.getName.contains("CodeCache") || p.getName.contains("CodeHeap"))
       .mapToLong(p => p.getUsage.getMax).sum()
 
-  private def reexecWithFlags(): Option[Int] = {
+  private def reexecWithFlags(args: Array[String]): Option[Int] = {
     try {
       val jvm = java.nio.file.Paths
         .get(System.getProperty("java.home"), "bin", "java").toString
@@ -31,7 +31,7 @@ object Bench {
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-Dgraft.bench.child=1",
         "-cp", System.getProperty("java.class.path"),
-        "graft.Bench")).toArray
+        "graft.Bench") ++ args).toArray
       val pb = new ProcessBuilder(cmd: _*).inheritIO()
       Some(pb.start().waitFor())
     } catch { case _: Throwable => None }
@@ -40,14 +40,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val isChild = sys.props.contains("graft.bench.child")
     if (!isChild && codeCacheBytes < 512L * 1024 * 1024) {
-      reexecWithFlags() match {
+      reexecWithFlags(args) match {
         case Some(code) => sys.exit(code)
-        case None       => runBench() // spawn failed — degrade gracefully
+        case None       => runBench(args) // spawn failed — degrade gracefully
       }
-    } else runBench()
+    } else runBench(args)
   }
 
-  private def runBench(): Unit = {
+  private def runBench(args: Array[String]): Unit = {
+    // Optional args = subset of query keys (local iteration only; the
+    // driver invokes with no args → full run).
+    val keyFilter: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -65,10 +68,15 @@ object Bench {
       .groupBy("w").count().orderBy("w").limit(5).collect()
     catch { case _: Throwable => () }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries
+      .filter { case (name, _) => keyFilter.isEmpty || keyFilter(name) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
-      catch { case _: Throwable => failed ::= name }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        failed ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

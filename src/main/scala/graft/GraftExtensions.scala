@@ -19,5 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[functions.VectorDot].getName, "vec_dot"),
       functions.VectorDot.builder))
+    ext.injectFunction((
+      FunctionIdentifier("token_ngrams"),
+      new ExpressionInfo(classOf[functions.TokenNGrams].getName, "token_ngrams"),
+      functions.NGrams.tokenBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[functions.CharNGrams].getName, "char_ngrams"),
+      functions.NGrams.charBuilder))
   }
 }

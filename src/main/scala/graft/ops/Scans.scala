@@ -184,20 +184,29 @@ object Scans {
         StructField("name", StringType),
         StructField("v", IntegerType),
         StructField("_corrupt_record", StringType)))
+      // Group on v-nullness, not on _corrupt_record: PERMISSIVE nulls every
+      // typed field of a bad row, so they coincide — and a plan whose only
+      // referenced CSV column is _corrupt_record (e.g. after Catalyst
+      // prunes the aggregates under a bare count()) is rejected outright
+      // by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN). n_flagged keeps the
+      // corrupt-record column itself exercised and hash-checked.
       s.read.schema(schema)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(tmp)
-        .groupBy(when(col("_corrupt_record").isNotNull, "corrupt")
-          .otherwise("good").as("status"))
-        .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_v"))
+        .groupBy(when(col("v").isNull, "corrupt").otherwise("good").as("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("v")).cast("long").as("sum_v"),
+          count(col("_corrupt_record")).as("n_flagged"))
         .orderBy(col("status"))
     },
     Some("""
       SELECT CASE WHEN n_nationkey % 5 = 0 THEN 'corrupt' ELSE 'good' END AS status,
              COUNT(*) AS n,
              CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN NULL
-                           ELSE n_nationkey * 10 END) AS BIGINT) AS sum_v
+                           ELSE n_nationkey * 10 END) AS BIGINT) AS sum_v,
+             COUNT(CASE WHEN n_nationkey % 5 = 0 THEN 1 END) AS n_flagged
       FROM nation GROUP BY 1 ORDER BY 1
     """)
   )

@@ -268,14 +268,12 @@ object Similarity {
   val simShingleJaccard = Op(
     "sim_shingle_jaccard",
     (s, d) => {
+      graft.functions.NGrams.register(s)
       val sh = T.documents(s, d)
         .filter(col("doc_id") < 200)
         .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), col("source"), explode(
-          zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("shingle"))
+          call_function("token_ngrams", col("toks"), lit(2))).as("shingle"))
         .distinct()
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val a = sh.select(col("doc_id").as("a_id"), col("source"), col("shingle"))

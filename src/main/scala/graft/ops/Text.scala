@@ -127,24 +127,25 @@ object Text {
     """)
   )
 
-  /** Bigrams via zip_with over adjacent slices — array-native, no
-    * self-join on the Spark side (the DuckDB twin uses the pos self-join
-    * formulation, same result).
+  /** Bigrams via the native codegen'd token_ngrams expression — a single
+    * fused loop in whole-stage codegen, replacing the interpreted
+    * zip_with/concat lambda (same playbook as vec_dot; bit-identical
+    * output). Array-native, no self-join on the Spark side (the DuckDB
+    * twin uses the pos self-join formulation, same result).
     */
   val txtNgrams = Op(
     "txt_ngrams",
-    (s, d) =>
+    (s, d) => {
+      graft.functions.NGrams.register(s)
       T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(explode(
-          zip_with(
-            slice(col("toks"), lit(1), size(col("toks")) - 1),
-            slice(col("toks"), lit(2), size(col("toks")) - 1),
-            (a, b) => concat(a, lit(" "), b))).as("bigram"))
+          call_function("token_ngrams", col("toks"), lit(2))).as("bigram"))
         .groupBy(col("bigram"))
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))
-        .limit(100),
+        .limit(100)
+    },
     Some("""
       WITH t AS (
         SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok

@@ -24,10 +24,14 @@ object TextAnalysis {
   val txtLangId = Op(
     "txt_lang_id",
     (s, d) => {
+      graft.functions.NGrams.register(s)
       val docs = T.documents(s, d).filter(length(col("text")) >= 2)
+      // char bigrams via the native codegen'd char_ngrams expression (the
+      // interpreted transform(sequence(...)) lambda it replaces ran twice
+      // per run — once for the profile agg, once for classification)
       val bgs = docs.select(
         col("doc_id"), col("lang"),
-        explode(expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")).as("bg"))
+        explode(call_function("char_ngrams", col("text"), lit(2))).as("bg"))
       val wProf = Window.partitionBy(col("p_lang")).orderBy(col("cnt").desc, col("bg"))
       val profile = bgs
         .groupBy(col("lang").as("p_lang"), col("bg"))

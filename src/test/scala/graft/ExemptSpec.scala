@@ -128,7 +128,9 @@ class ExemptSpec extends AnyFunSuite {
   test("stream_dedup_watermark: doubled replay collapses to batch distinct") {
     val stream = Registry.queries("stream_dedup_watermark")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val batch = T.events(spark, sf).groupBy(col("event_type")).count()
+    // same deterministic 1/4 user slice the op replays
+    val batch = T.events(spark, sf).filter(col("user_id") % 4 === 0)
+      .groupBy(col("event_type")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(stream == batch)
   }

@@ -58,4 +58,57 @@ class PropertySpec extends AnyFunSuite {
       .agg(max(abs(col("d")))).head().getDouble(0)
     assert(diff == 0.0, s"vec_dot diverges from fold by $diff")
   }
+
+  test("vec_dot is NULL on mismatched array lengths") {
+    graft.functions.VectorDot.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT))) AS d""".stripMargin).head()
+    assert(r.isNullAt(0), "mismatched lengths must yield NULL, not truncate")
+  }
+
+  test("token_ngrams matches the declarative zip_with/concat form") {
+    graft.functions.NGrams.register(spark)
+    val docs = graft.ops.T.documents(spark, sf)
+      .select(split(col("text"), " ").as("toks"))
+    val hof = zip_with(
+      slice(col("toks"), lit(1), size(col("toks")) - 1),
+      slice(col("toks"), lit(2), size(col("toks")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    val nDiff = docs
+      .filter(not(call_function("token_ngrams", col("toks"), lit(2)) <=> hof))
+      .count()
+    assert(nDiff == 0, s"$nDiff documents diverge from the zip_with form")
+    // edge cases: empty array, single token, null input
+    val edge = spark.sql(
+      """SELECT token_ngrams(CAST(array() AS ARRAY<STRING>), 2) AS a,
+        |       token_ngrams(array('x'), 2) AS b,
+        |       token_ngrams(CAST(NULL AS ARRAY<STRING>), 2) AS c,
+        |       token_ngrams(array('a','b','c','d'), 3) AS d""".stripMargin).head()
+    assert(r0(edge.getSeq[String](0)) == Seq())
+    assert(r0(edge.getSeq[String](1)) == Seq())
+    assert(edge.isNullAt(2))
+    assert(r0(edge.getSeq[String](3)) == Seq("a b c", "b c d"))
+  }
+
+  test("char_ngrams matches the declarative transform/substring form") {
+    graft.functions.NGrams.register(spark)
+    val docs = graft.ops.T.documents(spark, sf)
+      .filter(length(col("text")) >= 2).select(col("text"))
+    val hof = expr("transform(sequence(1, length(text) - 1), i -> substring(text, i, 2))")
+    val nDiff = docs
+      .filter(not(call_function("char_ngrams", col("text"), lit(2)) <=> hof))
+      .count()
+    assert(nDiff == 0, s"$nDiff documents diverge from the transform form")
+    val edge = spark.sql(
+      """SELECT char_ngrams('', 2) AS a, char_ngrams('x', 2) AS b,
+        |       char_ngrams(CAST(NULL AS STRING), 2) AS c,
+        |       char_ngrams('abcd', 3) AS d""".stripMargin).head()
+    assert(r0(edge.getSeq[String](0)) == Seq())
+    assert(r0(edge.getSeq[String](1)) == Seq())
+    assert(edge.isNullAt(2))
+    assert(r0(edge.getSeq[String](3)) == Seq("abc", "bcd"))
+  }
+
+  private def r0(s: Seq[String]): Seq[String] = s.toList
 }
