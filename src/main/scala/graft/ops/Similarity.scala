@@ -395,8 +395,69 @@ object Similarity {
     None
   )
 
+  /** IVF-style ANN: a KMeans coarse quantizer partitions the corpus into
+    * nList inverted lists; each probe searches only its nProbe nearest
+    * lists, then scores candidates exactly (cosine via vec_dot). This is
+    * the third scale path next to MinHash-LSH (Jaccard) and BRP-LSH
+    * (euclidean): at 100 TB the corpus is scanned once to assign lists,
+    * the centroid table is nList×dim (tiny, broadcast by construction),
+    * and each query touches nProbe/nList of the data. Oracle-exempt
+    * (KMeans isn't SQL-expressible); ExemptSpec proves recall vs the exact
+    * brute-force twin (sim_cosine_knn) and that candidates only come from
+    * probed lists.
+    */
+  val simIvfKnn = Op(
+    "sim_ivf_knn",
+    (s, d) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      graft.functions.VectorDot.register(s)
+      val nList = 16
+      val nProbe = 6
+      val e = T.embeddings(s, d)
+        .withColumn("fvec", array_to_vector(col("embedding")))
+      val model = new KMeans().setK(nList).setSeed(7).setMaxIter(10)
+        .setFeaturesCol("fvec").setPredictionCol("list_id").fit(e)
+      val assigned = model.transform(e)
+        .select(col("vec_id"), col("embedding"), col("list_id"))
+      // centroid table: nList rows of float[dim] — driver-side by nature
+      // (KMeans model), re-distributed as a broadcast relation
+      import s.implicits._
+      val centroids = model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+        .toDF("list_id", "centroid")
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          norm(col("embedding")).as("pnorm"))
+      // probe → nProbe nearest lists by euclidean distance to centroid
+      val wList = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist2").asc, col("list_id"))
+      val probeLists = probes.crossJoin(broadcast(centroids))
+        .withColumn("dist2",
+          dot(col("pe"), col("pe")) + dot(col("centroid"), col("centroid"))
+            - lit(2.0) * dot(col("pe"), col("centroid")))
+        .withColumn("lrn", row_number().over(wList))
+        .filter(col("lrn") <= nProbe)
+        .select(col("probe_id"), col("pe"), col("pnorm"), col("list_id"))
+      // candidates = union of the probed inverted lists, scored exactly
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(probeLists).join(assigned, "list_id")
+        .filter(col("probe_id") =!= col("vec_id"))
+        .withColumn("cosine",
+          round(dot(col("pe"), col("embedding"))
+            / (col("pnorm") * norm(col("embedding"))), 6))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn").cast("long").as("rn"),
+          col("vec_id"), col("cosine"), col("list_id"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, simJaccardPairs, simMinhashLsh,
     simCosineKnn, simEmbedDedup, simLabelCentroids, simShingleJaccard,
-    simSimhash, simBrpLsh)
+    simSimhash, simBrpLsh, simIvfKnn)
 }

@@ -176,6 +176,12 @@ object Text {
 
   /** StringIndexer semantics: labels indexed by descending frequency, ties
     * broken alphabetically, zero-based.
+    *
+    * The unpartitioned Window.orderBy is safe ONLY because its input is the
+    * per-lang aggregate (cardinality = number of languages, a handful of
+    * rows); vocabulary-scale indexing (millions of labels) would use the
+    * distributed ml.feature.StringIndexer instead — never a single-partition
+    * global window.
     */
   val txtStringIndexer = Op(
     "txt_string_indexer",
