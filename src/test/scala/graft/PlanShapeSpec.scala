@@ -68,4 +68,29 @@ class PlanShapeSpec extends AnyFunSuite {
     // "*(n)" prefixes mark WholeStageCodegen stages in the final plan
     assert(post.contains("*(1)"), post)
   }
+
+  test("txt_ngrams runs the native token_ngrams expression, no lambda") {
+    val p = plan("txt_ngrams")
+    assert(p.contains("token_ngrams"), p)
+    assert(!p.contains("lambdafunction"), s"interpreted HOF survived: $p")
+  }
+
+  test("txt_lang_id runs the native char_ngrams expression, no lambda") {
+    val p = plan("txt_lang_id")
+    assert(p.contains("char_ngrams"), p)
+    assert(!p.contains("lambdafunction"), s"interpreted HOF survived: $p")
+  }
+
+  test("scan_json_struct parses props ONCE per projected struct field set") {
+    val p = plan("scan_json_struct")
+    // one from_json for the struct (shared by k/k_mod/m_missing) and one
+    // for the map read — not one per extracted field
+    val n = p.sliding("from_json".length).count(_ == "from_json")
+    assert(n <= 4, s"expected a shared from_json parse, saw $n occurrences: $p")
+  }
+
+  test("sim_ivf_knn broadcasts the probe-list side (corpus is never shuffled twice)") {
+    val p = plan("sim_ivf_knn")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
