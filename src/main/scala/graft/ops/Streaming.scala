@@ -40,11 +40,22 @@ object Streaming {
 
   /** Run a streaming query on a memory sink to completion, return final
     * table. Complete output mode → final state == batch twin.
+    *
+    * Stateful operators create one state-store instance per shuffle
+    * partition per micro-batch; at local[32] the session default (32)
+    * multiplies store open/commit overhead on state that fits in a handful
+    * of partitions. Pin 8 for the stream's lifetime (the value is captured
+    * at query start), then restore. On a real cluster this is the same
+    * knob you'd size to state volume, not to core count.
     */
   private def runToMemory(s: SparkSession, df: DataFrame, name: String,
                           mode: String = "complete"): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
