@@ -106,6 +106,29 @@ object Aggs {
     None
   )
 
+  /** Approximate quantiles via the GK/KLL-style percentile_approx sketch —
+    * the 100 TB path for order statistics (bounded sketch per group, merges
+    * associatively) vs an exact percentile's full per-group sort. Accuracy
+    * parameter 10000 → rank error <= n/10000. Oracle-exempt (sketch is
+    * engine-specific); ExemptSpec bounds the error vs the exact quantiles
+    * and pins determinism across runs. Scalars are posexploded out of the
+    * quantile array (comparator cannot hash array cells).
+    */
+  val aggApproxQuantiles = Op(
+    "agg_approx_quantiles",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(percentile_approx(
+          col("value"), array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "q")))
+        .select(col("event_type"),
+          element_at(array(lit(0.5), lit(0.95), lit(0.99)), col("pos") + 1).as("p"),
+          col("q"))
+        .orderBy(col("event_type"), col("p")),
+    None
+  )
+
   private def ordersNation(s: org.apache.spark.sql.SparkSession, d: String) =
     T.orders(s, d)
       .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -247,6 +270,6 @@ object Aggs {
 
   val ops: Vector[Op] = Vector(
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
-    aggApproxHll, aggRollup, aggCube, aggGroupingSets, aggFilterClause,
-    aggCollectSorted, aggStatsMoments)
+    aggApproxHll, aggApproxQuantiles, aggRollup, aggCube, aggGroupingSets,
+    aggFilterClause, aggCollectSorted, aggStatsMoments)
 }

@@ -89,6 +89,47 @@ object Joins {
     """)
   )
 
+  /** Bucketed co-located join: both fact tables written once as
+    * bucketed-sorted tables on the join key (8 buckets), then joined with
+    * NO shuffle on either side — the storage-layout answer to the
+    * fact-fact join at 100 TB (pay the shuffle once at write time, join
+    * shuffle-free forever after; join_shuffle_inner is the same join
+    * paying it per query). PlanShapeSpec asserts the bucketed plan carries
+    * strictly fewer exchanges than the plain one. Tables live in the
+    * session's in-memory catalog with external data under scratch;
+    * broadcast is suppressed with a merge hint so the demo survives AQE
+    * deciding the small side fits in memory. Oracle: the same join over
+    * the original parquet.
+    */
+  val joinBucketedColocated = Op(
+    "join_bucketed_colocated",
+    (s, d) => {
+      val liPath = T.scratch("li_bucketed")
+      val oPath = T.scratch("o_bucketed")
+      T.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", liPath).saveAsTable("graft_li_bucketed")
+      T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", oPath).saveAsTable("graft_o_bucketed")
+      s.table("graft_li_bucketed")
+        .join(s.table("graft_o_bucketed").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(Det.sumDec(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+  )
+
   /** Left outer keeps zero-order customers (COUNT over the nullable side). */
   val joinLeftOuter = Op(
     "join_left_outer",
@@ -321,7 +362,7 @@ object Joins {
   )
 
   val ops: Vector[Op] = Vector(
-    joinStar5Way, joinBroadcastInner, joinShuffleInner, joinLeftOuter,
-    joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossBounded,
+    joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
+    joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossBounded,
     joinThetaRange, joinAsofLastEvent, joinIntervalOverlap, joinSkewSalted)
 }

@@ -22,6 +22,24 @@ class ExemptSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_approx_quantiles: values inside the exact [p-0.01, p+0.01] band, deterministic") {
+    val rows = Registry.queries("agg_approx_quantiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (et, p, q) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val lohi = T.events(spark, sf).filter(col("event_type") === et)
+        .agg(
+          expr(s"percentile(value, ${math.max(0.0, p - 0.01)})"),
+          expr(s"percentile(value, ${math.min(1.0, p + 0.01)})"))
+        .head()
+      val (lo, hi) = (lohi.getDouble(0), lohi.getDouble(1))
+      assert(q >= lo && q <= hi, s"$et p=$p: approx $q outside exact band [$lo, $hi]")
+    }
+    val again = Registry.queries("agg_approx_quantiles")(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "approx quantiles not deterministic across runs")
+  }
+
   test("txt_hashing_tf: buckets in range, token mass conserved") {
     val rows = Registry.queries("txt_hashing_tf")(spark, sf).collect()
     assert(rows.forall { r => val b = r.getLong(1); b >= 0 && b < 64 })

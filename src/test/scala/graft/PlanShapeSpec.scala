@@ -93,4 +93,16 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("sim_ivf_knn")
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("join_bucketed_colocated joins without shuffling either fact side") {
+    def exchanges(name: String): Int = {
+      val p = plan(name)
+      p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    }
+    val bucketed = exchanges("join_bucketed_colocated")
+    val plain = exchanges("join_shuffle_inner")
+    assert(bucketed < plain,
+      s"bucketed join should carry fewer exchanges (bucketed=$bucketed, plain=$plain)")
+    assert(plan("join_bucketed_colocated").contains("SortMergeJoin"))
+  }
 }
