@@ -211,7 +211,67 @@ object Scans {
     """)
   )
 
+  /** Small-file compaction: repartition to a fixed file budget before the
+    * write (the small-files problem is the #1 operational failure of large
+    * parquet pipelines — metadata pressure + per-file open cost). The
+    * oracle hash-checks the file-count invariant itself: n_files is read
+    * back from the filesystem and must equal the literal 4 the repartition
+    * promises.
+    */
+  val sinkCompactedFiles = Op(
+    "sink_compacted_files",
+    (s, d) => {
+      val tmp = T.scratch("li_compacted")
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(tmp)
+      val nFiles = new java.io.File(tmp).listFiles()
+        .count(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      s.read.parquet(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"), Det.sumDec(col("l_quantity")).as("sum_qty"))
+        .withColumn("n_files", lit(nFiles).cast("long"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(4 AS BIGINT) AS n_files
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+  )
+
+  /** Parquet schema evolution: two generations of the same table (v2 adds
+    * a column), read as one relation with mergeSchema — old rows surface
+    * the new column as NULL, never an error. The everyday long-lived-table
+    * concern at scale; the oracle reconstructs both generations from the
+    * clean fixture.
+    */
+  val scanSchemaEvolution = Op(
+    "scan_schema_evolution",
+    (s, d) => {
+      val tmp = T.scratch("region_evo")
+      T.region(s, d).select(col("r_regionkey"), col("r_name"))
+        .write.mode("overwrite").parquet(s"$tmp/v1")
+      T.region(s, d).select(
+          (col("r_regionkey") + 100).as("r_regionkey"), col("r_name"),
+          length(col("r_name")).cast("long").as("r_len"))
+        .write.mode("overwrite").parquet(s"$tmp/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+        .orderBy(col("r_regionkey"))
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT r_regionkey, r_name, CAST(NULL AS BIGINT) AS r_len FROM region
+        UNION ALL
+        SELECT r_regionkey + 100, r_name, CAST(length(r_name) AS BIGINT) FROM region
+      ) ORDER BY r_regionkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
-    scanJsonStruct, scanCsvMalformed, servePointLookup, sinkPartitionedPrune)
+    scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
+    sinkPartitionedPrune, sinkCompactedFiles)
 }
