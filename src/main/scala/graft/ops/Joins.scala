@@ -130,6 +130,37 @@ object Joins {
     """)
   )
 
+  /** Dynamic partition pruning: the fact is laid out partitioned on the
+    * join key; the dim side's filter is only known at run time, so Catalyst
+    * injects a dynamicpruning subquery into the fact scan's
+    * PartitionFilters (asserted by PlanShapeSpec) — at 100 TB this is what
+    * turns "join then discard 95% of partitions" into "never read them".
+    * Static pruning twin: sink_partitioned_prune.
+    */
+  val joinDppPrune = Op(
+    "join_dpp_prune",
+    (s, d) => {
+      val tmp = T.scratch("orders_by_prio")
+      T.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(tmp)
+      val fact = s.read.parquet(tmp)
+      val dim = T.orders(s, d).select(col("o_orderpriority").as("p")).distinct()
+        .filter(col("p").startsWith("1"))
+      fact.join(broadcast(dim), col("o_orderpriority") === col("p"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), Det.sumDec(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders
+      WHERE o_orderpriority IN (SELECT DISTINCT o_orderpriority FROM orders
+                                WHERE o_orderpriority LIKE '1%')
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+  )
+
   /** Left outer keeps zero-order customers (COUNT over the nullable side). */
   val joinLeftOuter = Op(
     "join_left_outer",
@@ -363,6 +394,7 @@ object Joins {
 
   val ops: Vector[Op] = Vector(
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
-    joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti, joinCrossBounded,
-    joinThetaRange, joinAsofLastEvent, joinIntervalOverlap, joinSkewSalted)
+    joinDppPrune, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
+    joinCrossBounded, joinThetaRange, joinAsofLastEvent, joinIntervalOverlap,
+    joinSkewSalted)
 }

@@ -107,7 +107,46 @@ object SetSort {
     """)
   )
 
+  /** Multiset intersection: keeps min(countA, countB) copies per value
+    * (vs set_intersect's distinct). Emitted as per-key multiplicities so
+    * the output is total-ordered.
+    */
+  val setIntersectAll = Op(
+    "set_intersect_all",
+    (s, d) =>
+      T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .intersectAll(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT nationkey, COUNT(*) AS n_copies FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier)
+      GROUP BY nationkey ORDER BY nationkey
+    """)
+  )
+
+  /** Multiset difference: keeps max(countA - countB, 0) copies per value. */
+  val setExceptAll = Op(
+    "set_except_all",
+    (s, d) =>
+      T.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .exceptAll(T.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey"))
+        .agg(count(lit(1)).as("n_copies"))
+        .orderBy(col("nationkey")),
+    Some("""
+      SELECT nationkey, COUNT(*) AS n_copies FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier)
+      GROUP BY nationkey ORDER BY nationkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     sortMultikeyNulls, sortTopkLimit, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept)
+    setIntersect, setExcept, setIntersectAll, setExceptAll)
 }

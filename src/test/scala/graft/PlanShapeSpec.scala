@@ -94,6 +94,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_dpp_prune injects a dynamic partition pruning filter into the fact scan") {
+    val p = plan("join_dpp_prune")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning PartitionFilter: $p")
+  }
+
   test("join_bucketed_colocated joins without shuffling either fact side") {
     def exchanges(name: String): Int = {
       val p = plan(name)
