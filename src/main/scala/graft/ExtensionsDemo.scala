@@ -19,6 +19,11 @@ object ExtensionsDemo {
         "array(CAST(3.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d").head()
     println(s"vec_dot via SQL extension = ${row.getDouble(0)} (expect 5.5)")
     assert(row.getDouble(0) == 5.5)
+    val ng = spark.sql(
+      "SELECT token_ngrams(array('a','b','c'), 2) AS t, char_ngrams('abc', 2) AS c").head()
+    println(s"token_ngrams = ${ng.getSeq[String](0)}, char_ngrams = ${ng.getSeq[String](1)}")
+    assert(ng.getSeq[String](0) == Seq("a b", "b c"))
+    assert(ng.getSeq[String](1) == Seq("ab", "bc"))
     spark.stop()
   }
 }
