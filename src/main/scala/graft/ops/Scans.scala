@@ -184,11 +184,14 @@ object Scans {
         StructField("name", StringType),
         StructField("v", IntegerType),
         StructField("_corrupt_record", StringType)))
-      // Group on v-nullness, not on _corrupt_record: PERMISSIVE nulls every
-      // typed field of a bad row, so they coincide — and a plan whose only
-      // referenced CSV column is _corrupt_record (e.g. after Catalyst
-      // prunes the aggregates under a bare count()) is rejected outright
-      // by Spark (QUERY_ONLY_CORRUPT_RECORD_COLUMN). n_flagged keeps the
+      // Group on v-nullness, not on _corrupt_record: v is the one field the
+      // construction corrupts, so v IS NULL exactly flags the bad rows
+      // (PERMISSIVE nulls only the field that failed conversion — k and
+      // name still parse on corrupt rows, so their nullness would NOT
+      // work) — and a plan whose only referenced CSV column is
+      // _corrupt_record (e.g. after Catalyst prunes the aggregates under a
+      // bare count()) is rejected outright by Spark
+      // (QUERY_ONLY_CORRUPT_RECORD_COLUMN). n_flagged keeps the
       // corrupt-record column itself exercised and hash-checked.
       s.read.schema(schema)
         .option("mode", "PERMISSIVE")

@@ -81,17 +81,20 @@ object Udfs {
   private val K = 5
 
   private[graft] object TopK extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
+    // hoisted: Ordering.Tuple2 is an implicit def — resolving it per row
+    // would allocate a fresh Ordering in the hot path
+    private val ord2: Ordering[(Double, Long)] = Ordering.Tuple2
     private def ord(t: (Double, Long)): (Double, Long) = (-t._1, t._2)
     private def trim(s: Seq[(Double, Long)]): Seq[(Double, Long)] =
-      s.sortBy(ord).take(K)
+      s.sortBy(ord)(ord2).take(K)
     def zero: Seq[(Double, Long)] = Seq.empty
     // Bounded insertion into an already-sorted buffer — O(k) per row, not
     // the O(k log k) full re-sort (trim stays for merge, whose inputs may
     // interleave arbitrarily).
     def reduce(b: Seq[(Double, Long)], in: (Double, Long)): Seq[(Double, Long)] = {
-      if (b.length == K && implicitly[Ordering[(Double, Long)]].lteq(ord(b.last), ord(in))) b
+      if (b.length == K && ord2.lteq(ord(b.last), ord(in))) b
       else {
-        val i = b.indexWhere(t => implicitly[Ordering[(Double, Long)]].gt(ord(t), ord(in)))
+        val i = b.indexWhere(t => ord2.gt(ord(t), ord(in)))
         val at = if (i < 0) b.length else i
         (b.take(at) :+ in) ++ b.drop(at).take(K - at - 1)
       }

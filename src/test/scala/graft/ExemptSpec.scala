@@ -90,11 +90,17 @@ class ExemptSpec extends AnyFunSuite {
     // cluster structure); 0.7 leaves margin for KMeans seed sensitivity.
     val recall = exact.count(ivf.contains).toDouble / exact.size
     assert(recall >= 0.7, s"recall $recall over ${exact.size} exact neighbors")
-    // structural: <= 5 per probe, rn dense from 1, every candidate tagged
-    // with the inverted list it came from
-    val byProbe = ivfRows.groupBy(_.getLong(0))
-    assert(byProbe.values.forall(_.length <= 5))
-    assert(byProbe.values.forall(_.map(_.getLong(1)).sorted.sameElements(1L to 5L)))
+    // structural, per probe: rn dense from 1 (up to 5), and candidates drawn
+    // from at most nProbe=6 distinct inverted lists — the IVF guarantee that
+    // a query touches only the probed fraction of the corpus
+    for ((probe, rows) <- ivfRows.groupBy(_.getLong(0))) {
+      val rns = rows.map(_.getLong(1)).sorted
+      assert(rns.sameElements(1L to rows.length.toLong),
+        s"probe $probe: rn not dense: ${rns.mkString(",")}")
+      assert(rows.length <= 5, s"probe $probe: ${rows.length} rows")
+      val lists = rows.map(_.getInt(4)).distinct
+      assert(lists.length <= 6, s"probe $probe: candidates from ${lists.length} lists")
+    }
   }
 
   test("ml_train_test_split: exact 80/20 bucketing, disjoint, stable") {

@@ -101,14 +101,14 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("join_bucketed_colocated joins without shuffling either fact side") {
-    def exchanges(name: String): Int = {
-      val p = plan(name)
+    def exchanges(p: String): Int =
       p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
-    }
-    val bucketed = exchanges("join_bucketed_colocated")
-    val plain = exchanges("join_shuffle_inner")
+    // each plan() invocation rewrites the bucketed tables — capture once
+    val bucketedPlan = plan("join_bucketed_colocated")
+    val bucketed = exchanges(bucketedPlan)
+    val plain = exchanges(plan("join_shuffle_inner"))
     assert(bucketed < plain,
       s"bucketed join should carry fewer exchanges (bucketed=$bucketed, plain=$plain)")
-    assert(plan("join_bucketed_colocated").contains("SortMergeJoin"))
+    assert(bucketedPlan.contains("SortMergeJoin"))
   }
 }
