@@ -142,5 +142,33 @@ object Multimodal {
     """)
   )
 
-  val ops: Vector[Op] = Vector(mmDecodeFeatures, mmResizeMeta, mmFrameSample)
+  /** Exact content dedup over binary payloads: md5 of the bytes is the
+    * content key — the first-pass dedup for ANY modality at 100 TB (a
+    * 16-byte key per object shuffles instead of the payloads themselves;
+    * near-dup tiers like MinHash/SimHash/embedding-cosine run after this).
+    * Emits the duplication histogram (n_copies → n_groups) with the min
+    * canonical id as a value probe, so the result is non-empty and
+    * hash-checkable whether or not the corpus contains exact dups.
+    */
+  val mmContentDedup = Op(
+    "mm_content_dedup",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), md5(encode(col("text"), "UTF-8")).as("content_key"))
+        .groupBy(col("content_key"))
+        .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+        .groupBy(col("n_copies"))
+        .agg(count(lit(1)).as("n_groups"), min(col("canonical_id")).as("min_canonical"))
+        .orderBy(col("n_copies")),
+    Some("""
+      SELECT n_copies, COUNT(*) AS n_groups, MIN(canonical_id) AS min_canonical
+      FROM (SELECT md5(text) AS content_key, MIN(doc_id) AS canonical_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY 1)
+      GROUP BY n_copies ORDER BY n_copies
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    mmDecodeFeatures, mmResizeMeta, mmFrameSample, mmContentDedup)
 }
