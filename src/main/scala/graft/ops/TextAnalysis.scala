@@ -28,7 +28,11 @@ object TextAnalysis {
       val docs = T.documents(s, d).filter(length(col("text")) >= 2)
       // char bigrams via the native codegen'd char_ngrams expression (the
       // interpreted transform(sequence(...)) lambda it replaces ran twice
-      // per run — once for the profile agg, once for classification)
+      // per run — once for the profile agg, once for classification).
+      // The explode deliberately runs once per branch: it is codegen'd and
+      // cheap, and materializing the (doc, lang, bg) counts instead
+      // (eager localCheckpoint) measured 2.5x SLOWER at sf0.1 — the
+      // checkpoint write of ~2.5M rows costs more than the re-explode.
       val bgs = docs.select(
         col("doc_id"), col("lang"),
         explode(call_function("char_ngrams", col("text"), lit(2))).as("bg"))
