@@ -27,5 +27,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[functions.CharNGrams].getName, "char_ngrams"),
       functions.NGrams.charBuilder))
+    // declarative aggregate(zip_with(...)) dot products fuse into the
+    // codegen'd VectorDot automatically (exact-semantics rewrite)
+    ext.injectOptimizerRule(_ => functions.DotProductFusion)
   }
 }

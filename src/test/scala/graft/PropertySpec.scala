@@ -67,6 +67,38 @@ class PropertySpec extends AnyFunSuite {
     assert(r.isNullAt(0), "mismatched lengths must yield NULL, not truncate")
   }
 
+  test("DotProductFusion rewrites the canonical fold to vec_dot, leaves variants alone") {
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ graft.functions.DotProductFusion
+    try {
+      val e = graft.ops.T.embeddings(spark, sf).limit(20)
+      val hof = aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val fused = e.select(hof.as("d"))
+      assert(fused.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        s"fold not fused: ${fused.queryExecution.optimizedPlan}")
+      // fused result is bit-identical to the unfused fold
+      graft.functions.VectorDot.register(spark)
+      val diff = e.select(
+          (hof - call_function("vec_dot", col("embedding"), col("embedding"))).as("d"))
+        .agg(max(abs(col("d")))).head().getDouble(0)
+      assert(diff == 0.0)
+      // a float-arithmetic fold (no casts) is DIFFERENT math — must not fuse
+      val floatFold = e.select(aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+      assert(!floatFold.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        "fused a fold whose element arithmetic is float, not double")
+      // a non-zero seed must not fuse
+      val seeded = e.select(aggregate(
+        zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(1.0), (acc, x) => acc + x).as("d"))
+      assert(!seeded.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        "fused a fold with a non-zero seed")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("token_ngrams matches the declarative zip_with/concat form") {
     graft.functions.NGrams.register(spark)
     val docs = graft.ops.T.documents(spark, sf)
