@@ -146,7 +146,31 @@ object SetSort {
     """)
   )
 
+  /** Wide→long reshape (melt): the inverse of txt_lang_dist_pivot's pivot.
+    * Spark's native unpivot keeps this a zero-shuffle narrow transform
+    * (each row expands locally) — the Expand operator, no exchange.
+    */
+  val reshapeUnpivot = Op(
+    "reshape_unpivot",
+    (s, d) =>
+      T.supplier(s, d)
+        .select(col("s_suppkey"),
+          col("s_acctbal").cast("double").as("acctbal"),
+          col("s_nationkey").cast("double").as("nationkey"))
+        .unpivot(Array(col("s_suppkey")), Array(col("acctbal"), col("nationkey")),
+          "metric", "value")
+        .orderBy(col("s_suppkey"), col("metric")),
+    Some("""
+      SELECT s_suppkey, metric, value FROM (
+        SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS acctbal,
+               CAST(s_nationkey AS DOUBLE) AS nationkey
+        FROM supplier)
+      UNPIVOT (value FOR metric IN (acctbal, nationkey))
+      ORDER BY s_suppkey, metric
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     sortMultikeyNulls, sortTopkLimit, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept, setIntersectAll, setExceptAll)
+    setIntersect, setExcept, setIntersectAll, setExceptAll, reshapeUnpivot)
 }
