@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *   to the fold;
   * - mismatched lengths: zip_with null-pads, the padded null nulls the
   *   whole fold → NULL; VectorDot returns NULL on mismatch (post-r2);
+  * - null ELEMENTS null the fold the same way → VectorDot returns NULL on
+  *   any null element, so containsNull=true arrays fuse safely;
   * - empty arrays → 0.0, null input array → NULL, in both forms.
   *
   * Anything that deviates from the canonical shape (no casts — a float
-  * multiply is NOT the same arithmetic; a non-zero seed; a non-identity
+  * multiply is NOT the same arithmetic; a non-zero or MINUS-zero seed —
+  * the guard is bit-level, -0.0 + x is not 0.0 + x; a non-identity
   * finish; swapped operands in the merge) is deliberately left untouched.
   */
 object DotProductFusion extends Rule[LogicalPlan] {
@@ -55,7 +58,8 @@ object DotProductFusion extends Rule[LogicalPlan] {
           LambdaFunction(Add(accRef, elRef, _),
             Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(finRef, Seq(fin: NamedLambdaVariable), _))
-        if zero == 0.0 &&
+        if zero != null &&
+          java.lang.Double.doubleToLongBits(zero.asInstanceOf[Double]) == 0L &&
           isFloatArray(a) && isFloatArray(b) &&
           isDoubleCastOf(xc, x) && isDoubleCastOf(yc, y) &&
           sameVar(accRef, acc) && sameVar(elRef, el) &&

@@ -32,9 +32,11 @@ case class VectorDot(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
-  /** Mismatched lengths yield NULL (not silent min-length truncation) —
-    * matching the null-padding zip_with/aggregate twin this expression
-    * replaces, where a padded null element nulls the whole fold.
+  /** Mismatched lengths and null ELEMENTS both yield NULL — exactly the
+    * null-padding zip_with/aggregate twin this expression replaces (a
+    * padded or genuine null element nulls the whole fold). This exact
+    * equivalence is what licenses DotProductFusion as an optimizer rule
+    * over nullable (containsNull=true) array columns.
     */
   override def nullable: Boolean = true
 
@@ -46,6 +48,7 @@ case class VectorDot(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -64,9 +67,10 @@ case class VectorDot(left: Expression, right: Expression)
          |  int $n = $a.numElements();
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |    $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
          |  }
-         |  ${ev.value} = $acc;
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
        """.stripMargin
     })

@@ -149,6 +149,10 @@ object SetSort {
   /** Wide→long reshape (melt): the inverse of txt_lang_dist_pivot's pivot.
     * Spark's native unpivot keeps this a zero-shuffle narrow transform
     * (each row expands locally) — the Expand operator, no exchange.
+    *
+    * Oracle uses UNION ALL rather than DuckDB's UNPIVOT: DuckDB UNPIVOT
+    * drops NULL values while Spark's unpivot retains them — identical on
+    * these non-null columns, but the UNION ALL form can never diverge.
     */
   val reshapeUnpivot = Op(
     "reshape_unpivot",
@@ -161,11 +165,10 @@ object SetSort {
           "metric", "value")
         .orderBy(col("s_suppkey"), col("metric")),
     Some("""
-      SELECT s_suppkey, metric, value FROM (
-        SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS acctbal,
-               CAST(s_nationkey AS DOUBLE) AS nationkey
-        FROM supplier)
-      UNPIVOT (value FOR metric IN (acctbal, nationkey))
+      SELECT s_suppkey, 'acctbal' AS metric, CAST(s_acctbal AS DOUBLE) AS value
+      FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
       ORDER BY s_suppkey, metric
     """)
   )

@@ -59,31 +59,36 @@ class PropertySpec extends AnyFunSuite {
     assert(diff == 0.0, s"vec_dot diverges from fold by $diff")
   }
 
-  test("vec_dot is NULL on mismatched array lengths") {
+  test("vec_dot is NULL on mismatched lengths and on null elements") {
     graft.functions.VectorDot.register(spark)
     val r = spark.sql(
       """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
-        |               array(CAST(1.0 AS FLOAT))) AS d""".stripMargin).head()
+        |               array(CAST(1.0 AS FLOAT))) AS a,
+        |       vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)),
+        |               array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS b""".stripMargin)
+      .head()
     assert(r.isNullAt(0), "mismatched lengths must yield NULL, not truncate")
+    assert(r.isNullAt(1), "a null element must null the product, matching the fold")
   }
 
   test("DotProductFusion rewrites the canonical fold to vec_dot, leaves variants alone") {
+    val e = graft.ops.T.embeddings(spark, sf).limit(20)
+    val hof = aggregate(
+      zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    // baseline computed with the rule INACTIVE — comparing post-activation
+    // would fuse both sides and prove nothing
+    val unfused = e.select(col("vec_id"), hof.as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ graft.functions.DotProductFusion
     try {
-      val e = graft.ops.T.embeddings(spark, sf).limit(20)
-      val hof = aggregate(
-        zip_with(col("embedding"), col("embedding"), (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
-      val fused = e.select(hof.as("d"))
-      assert(fused.queryExecution.optimizedPlan.toString.contains("vec_dot"),
-        s"fold not fused: ${fused.queryExecution.optimizedPlan}")
-      // fused result is bit-identical to the unfused fold
-      graft.functions.VectorDot.register(spark)
-      val diff = e.select(
-          (hof - call_function("vec_dot", col("embedding"), col("embedding"))).as("d"))
-        .agg(max(abs(col("d")))).head().getDouble(0)
-      assert(diff == 0.0)
+      val fusedDf = e.select(col("vec_id"), hof.as("d"))
+      assert(fusedDf.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        s"fold not fused: ${fusedDf.queryExecution.optimizedPlan}")
+      // fused result is bit-identical to the rule-off fold
+      val fused = fusedDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(fused == unfused, "fused values diverge from the unfused fold")
       // a float-arithmetic fold (no casts) is DIFFERENT math — must not fuse
       val floatFold = e.select(aggregate(
         zip_with(col("embedding"), col("embedding"), (x, y) => x * y),
