@@ -456,8 +456,74 @@ object Similarity {
     None
   )
 
+  /** Connected-components dedup clustering: the step AFTER pairwise
+    * near-dup detection — edges (here: shared 12-char prefix OR suffix)
+    * chain transitively into dedup groups, and every member of a group
+    * keeps one canonical id (the component minimum). Implemented as
+    * iterative min-label propagation: each round is a distributed
+    * join+agg, the driver only coordinates rounds and checks convergence
+    * (<= component-diameter rounds; labels localCheckpoint'd per round so
+    * the plan doesn't grow with iteration count). This is the scalable
+    * form — at 100 TB the same loop runs over MinHash-candidate edges.
+    * Oracle: DuckDB recursive CTE computing the exact min label reachable
+    * from each vertex.
+    */
+  val dedupCcClusters = Op(
+    "dedup_cc_clusters",
+    (s, d) => {
+      val docs = T.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          substring(col("text"), 1, 12).as("kpre"),
+          expr("right(text, 12)").as("ksuf"))
+      def edgesOn(k: String): DataFrame = {
+        val a = docs.select(col("doc_id").as("src"), col(k).as("kk"))
+        val b = docs.select(col("doc_id").as("dst"), col(k).as("kk2"))
+        a.join(b, col("kk") === col("kk2") && col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+      }
+      val edges = edgesOn("kpre").unionByName(edgesOn("ksuf")).distinct()
+        .localCheckpoint(true)
+      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
+        .localCheckpoint(true)
+      var changed = 1L
+      while (changed > 0) {
+        val nbr = edges.join(labels, col("dst") === col("doc_id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+        val next = labels.join(nbr, col("doc_id") === col("src"), "left")
+          .select(col("doc_id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint(true)
+        changed = next
+          .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
+          .filter(col("lbl") =!= col("old")).count()
+        labels = next
+      }
+      labels.groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      docs2 AS (SELECT doc_id, left(text, 12) AS kpre, right(text, 12) AS ksuf
+                FROM documents WHERE doc_id < 500),
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM docs2 a JOIN docs2 b ON a.kpre = b.kpre AND a.doc_id <> b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM docs2 a JOIN docs2 b ON a.ksuf = b.ksuf AND a.doc_id <> b.doc_id),
+      walk(v, lbl) AS (
+        SELECT doc_id, doc_id FROM docs2
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v),
+      comp AS (SELECT v AS doc_id, MIN(lbl) AS lbl FROM walk GROUP BY v)
+      SELECT lbl AS cluster_id, COUNT(*) AS n_members, MAX(doc_id) AS max_member
+      FROM comp GROUP BY lbl ORDER BY cluster_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    dedupExact, dedupKeyedLatest, simJaccardPairs, simMinhashLsh,
-    simCosineKnn, simEmbedDedup, simLabelCentroids, simShingleJaccard,
-    simSimhash, simBrpLsh, simIvfKnn)
+    dedupExact, dedupKeyedLatest, dedupCcClusters, simJaccardPairs,
+    simMinhashLsh, simCosineKnn, simEmbedDedup, simLabelCentroids,
+    simShingleJaccard, simSimhash, simBrpLsh, simIvfKnn)
 }
