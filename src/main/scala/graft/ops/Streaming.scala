@@ -267,8 +267,42 @@ object Streaming {
     """)
   )
 
+  /** The production streaming sink pattern: foreachBatch gives each
+    * micro-batch to arbitrary batch-writer code. Written idempotently
+    * (complete mode + overwrite per batch) so replays/retries converge to
+    * the same files — the exactly-once discipline a real pipeline needs.
+    * Oracled: the final parquet equals the batch aggregation over the
+    * same slice.
+    */
+  val streamForeachBatchSink = Op(
+    "stream_foreachbatch_sink",
+    (s, d) => {
+      val tmp = T.scratch("fb_sink")
+      val agg = readEventsStream(s, d).filter(col("user_id") % 8 === 0)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("wstart"), col("event_type"), col("n_events"))
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = agg.writeStream.outputMode("complete")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            batch.write.mode("overwrite").parquet(tmp)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      s.read.parquet(tmp).orderBy(col("wstart"), col("event_type"))
+    },
+    Some("""
+      SELECT date_trunc('hour', ts) AS wstart, event_type, COUNT(*) AS n_events
+      FROM events WHERE user_id % 8 = 0
+      GROUP BY 1, 2 ORDER BY wstart, event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
-    streamSessionWindow)
+    streamSessionWindow, streamForeachBatchSink)
 }
