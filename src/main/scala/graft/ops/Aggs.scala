@@ -129,6 +129,31 @@ object Aggs {
     None
   )
 
+  /** Bivariate statistics per group: Pearson correlation and sample/
+    * population covariance of (acctbal, suppkey) per nation. Small groups +
+    * ROUND 6 keep FP merge error far below the rounding grain (same
+    * argument as agg_stats_moments, proven at sf0.1).
+    */
+  val aggCorrCovar = Op(
+    "agg_corr_covar",
+    (s, d) =>
+      T.supplier(s, d)
+        .groupBy(col("s_nationkey"))
+        .agg(
+          count(lit(1)).as("n_sup"),
+          round(corr(col("s_acctbal"), col("s_suppkey").cast("double")), 6).as("r"),
+          round(covar_samp(col("s_acctbal"), col("s_suppkey").cast("double")), 6).as("cov_s"),
+          round(covar_pop(col("s_acctbal"), col("s_suppkey").cast("double")), 6).as("cov_p"))
+        .orderBy(col("s_nationkey")),
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n_sup,
+             ROUND(corr(s_acctbal, CAST(s_suppkey AS DOUBLE)), 6) AS r,
+             ROUND(covar_samp(s_acctbal, CAST(s_suppkey AS DOUBLE)), 6) AS cov_s,
+             ROUND(covar_pop(s_acctbal, CAST(s_suppkey AS DOUBLE)), 6) AS cov_p
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """)
+  )
+
   private def ordersNation(s: org.apache.spark.sql.SparkSession, d: String) =
     T.orders(s, d)
       .join(broadcast(T.customer(s, d)), col("o_custkey") === col("c_custkey"))
@@ -270,6 +295,6 @@ object Aggs {
 
   val ops: Vector[Op] = Vector(
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
-    aggApproxHll, aggApproxQuantiles, aggRollup, aggCube, aggGroupingSets,
-    aggFilterClause, aggCollectSorted, aggStatsMoments)
+    aggApproxHll, aggApproxQuantiles, aggCorrCovar, aggRollup, aggCube,
+    aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments)
 }

@@ -456,6 +456,37 @@ object Similarity {
     None
   )
 
+  /** Edit-distance near-dup pairs: Levenshtein over a bounded prefix of
+    * same-lang document pairs — the fuzzy-matching tier between exact
+    * dedup (mm_content_dedup) and token-set similarity (Jaccard). Prefix
+    * bound (40 chars) caps the O(len²) DP cost per pair; candidate set
+    * bounded like the other exact quadratic twins (the scale path pairs
+    * this with an LSH/blocking candidate generator).
+    */
+  val simEditDistance = Op(
+    "sim_edit_distance",
+    (s, d) => {
+      val docs = T.documents(s, d).filter(col("doc_id") < 60)
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("pre"))
+      val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("pre").as("pa"))
+      val b = docs.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("pre").as("pb"))
+      a.join(b, col("lang") === col("lang_b") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 25)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH docs2 AS (SELECT doc_id, lang, left(text, 40) AS pre
+                     FROM documents WHERE doc_id < 60)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+      FROM docs2 a JOIN docs2 b ON a.lang = b.lang AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pre, b.pre) <= 25
+      ORDER BY a_id, b_id
+    """)
+  )
+
   /** Connected-components dedup clustering: the step AFTER pairwise
     * near-dup detection — edges (here: shared 12-char prefix OR suffix)
     * chain transitively into dedup groups, and every member of a group
@@ -525,5 +556,5 @@ object Similarity {
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, simJaccardPairs,
     simMinhashLsh, simCosineKnn, simEmbedDedup, simLabelCentroids,
-    simShingleJaccard, simSimhash, simBrpLsh, simIvfKnn)
+    simShingleJaccard, simSimhash, simBrpLsh, simIvfKnn, simEditDistance)
 }

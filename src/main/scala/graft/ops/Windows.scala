@@ -193,7 +193,38 @@ object Windows {
     """)
   )
 
+  /** Numeric RANGE frame: peers within ±500.0 of the current balance (a
+    * value-defined frame over a DOUBLE order key — win_range_time is the
+    * time-valued twin). RANGE frames include all ties, so the result is
+    * deterministic regardless of tie order; the decimal cast makes the
+    * in-frame sum order-exact.
+    */
+  val winRangeNumeric = Op(
+    "win_range_numeric",
+    (s, d) =>
+      T.supplier(s, d)
+        .selectExpr(
+          "s_suppkey", "s_nationkey", "s_acctbal",
+          """CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS DOUBLE) AS near_sum""",
+          """COUNT(*) OVER (
+             PARTITION BY s_nationkey ORDER BY s_acctbal
+             RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS near_n""")
+        .orderBy(col("s_suppkey")),
+    Some("""
+      SELECT s_suppkey, s_nationkey, s_acctbal,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal
+               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS DOUBLE) AS near_sum,
+             COUNT(*) OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal
+               RANGE BETWEEN 500 PRECEDING AND 500 FOLLOWING) AS near_n
+      FROM supplier ORDER BY s_suppkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
-    winRangeTime, winNtilePctrank, winFirstLast, winCumulative)
+    winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast, winCumulative)
 }
