@@ -161,6 +161,70 @@ object Joins {
     """)
   )
 
+  /** The SQL entry path: correlated EXISTS / NOT EXISTS plus an
+    * uncorrelated scalar subquery, written as spark.sql over temp views.
+    * Catalyst decorrelates these into the same semi/anti joins the
+    * DataFrame ops use — one optimizer, two front doors.
+    */
+  val joinSqlExists = Op(
+    "join_sql_exists",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer_v")
+      T.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql("""
+        SELECT c_nationkey, COUNT(*) AS n_cust,
+               (SELECT COUNT(*) FROM orders_v) AS total_orders
+        FROM customer_v c
+        WHERE EXISTS (SELECT 1 FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+          AND NOT EXISTS (SELECT 1 FROM orders_v o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    },
+    Some("""
+      SELECT c_nationkey, COUNT(*) AS n_cust,
+             (SELECT COUNT(*) FROM orders) AS total_orders
+      FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+        AND NOT EXISTS (SELECT 1 FROM orders o2
+                        WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderpriority = '1-URGENT')
+      GROUP BY c_nationkey ORDER BY c_nationkey
+    """)
+  )
+
+  /** Null-safe equality join (<=>): NULL keys match each other, unlike
+    * plain equality where NULL matches nothing. Both engines order the
+    * null group explicitly (Spark nulls-first default vs DuckDB
+    * nulls-last — Appendix A).
+    */
+  val joinNullsafeEq = Op(
+    "join_nullsafe_eq",
+    (s, d) => {
+      val a = T.customer(s, d).select(
+        when(col("c_acctbal") < 0, lit(null).cast("int"))
+          .otherwise(col("c_nationkey")).as("k"))
+      val b = T.supplier(s, d).select(
+        when(col("s_acctbal") < 0, lit(null).cast("int"))
+          .otherwise(col("s_nationkey")).as("k2"))
+      a.join(b, col("k") <=> col("k2"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+    Some("""
+      WITH a AS (SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                             ELSE c_nationkey END AS k FROM customer),
+           b AS (SELECT CASE WHEN s_acctbal < 0 THEN NULL
+                             ELSE s_nationkey END AS k2 FROM supplier)
+      SELECT k, COUNT(*) AS n_pairs
+      FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+      GROUP BY k ORDER BY k NULLS FIRST
+    """)
+  )
+
   /** Left outer keeps zero-order customers (COUNT over the nullable side). */
   val joinLeftOuter = Op(
     "join_left_outer",
@@ -394,7 +458,7 @@ object Joins {
 
   val ops: Vector[Op] = Vector(
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
-    joinDppPrune, joinLeftOuter, joinFullOuter, joinLeftSemi, joinLeftAnti,
-    joinCrossBounded, joinThetaRange, joinAsofLastEvent, joinIntervalOverlap,
-    joinSkewSalted)
+    joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
+    joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
+    joinAsofLastEvent, joinIntervalOverlap, joinSkewSalted)
 }

@@ -188,6 +188,34 @@ object Scalars {
     """)
   )
 
+  /** explode_outer null preservation: rows with EMPTY arrays survive as a
+    * single null-token row (plain explode silently drops them — the
+    * classic lost-rows bug in token pipelines). Empty arrays are injected
+    * deterministically (every doc_id % 5 == 0) so the oracle reconstructs
+    * both branches.
+    */
+  val arrExplodeOuter = Op(
+    "arr_explode_outer",
+    (s, d) =>
+      T.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("arr",
+          when(col("doc_id") % 5 === 0, array().cast("array<string>"))
+            .otherwise(slice(split(col("text"), " "), 1, 3)))
+        .select(col("doc_id"), explode_outer(col("arr")).as("token"))
+        .orderBy(col("doc_id"), col("token").asc_nulls_first),
+    Some("""
+      WITH t AS (SELECT doc_id,
+                        CASE WHEN doc_id % 5 = 0 THEN []
+                             ELSE string_split(text, ' ')[1:3] END AS arr
+                 FROM documents WHERE doc_id < 50)
+      SELECT doc_id, unnest(arr) AS token FROM t WHERE len(arr) > 0
+      UNION ALL
+      SELECT doc_id, NULL FROM t WHERE len(arr) = 0
+      ORDER BY doc_id, token NULLS FIRST
+    """)
+  )
+
   /** Higher-order lambdas over the embedding vector: transform + filter +
     * aggregate (fold). Element-wise float→double cast is applied identically
     * on both sides before any arithmetic (SURVEY §7.3-3).
@@ -268,5 +296,5 @@ object Scalars {
 
   val ops: Vector[Op] = Vector(
     strFuncs, strSplitRegex, dtFuncs, dtEpochWindow, mathFuncs,
-    arrExplodeTokens, arrFuncs, arrHigherOrder, mapFuncs, jsonExtract)
+    arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs, jsonExtract)
 }
