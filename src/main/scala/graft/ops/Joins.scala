@@ -169,15 +169,17 @@ object Joins {
   val joinSqlExists = Op(
     "join_sql_exists",
     (s, d) => {
-      T.customer(s, d).createOrReplaceTempView("customer_v")
-      T.orders(s, d).createOrReplaceTempView("orders_v")
+      // graft_ prefix: these persist in the shared session catalog, so
+      // generic names would silently shadow/stale across ops and sfDirs
+      T.customer(s, d).createOrReplaceTempView("graft_customer_v")
+      T.orders(s, d).createOrReplaceTempView("graft_orders_v")
       s.sql("""
         SELECT c_nationkey, COUNT(*) AS n_cust,
-               (SELECT COUNT(*) FROM orders_v) AS total_orders
-        FROM customer_v c
-        WHERE EXISTS (SELECT 1 FROM orders_v o
+               (SELECT COUNT(*) FROM graft_orders_v) AS total_orders
+        FROM graft_customer_v c
+        WHERE EXISTS (SELECT 1 FROM graft_orders_v o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
-          AND NOT EXISTS (SELECT 1 FROM orders_v o2
+          AND NOT EXISTS (SELECT 1 FROM graft_orders_v o2
                           WHERE o2.o_custkey = c.c_custkey
                             AND o2.o_orderpriority = '1-URGENT')
         GROUP BY c_nationkey ORDER BY c_nationkey""")

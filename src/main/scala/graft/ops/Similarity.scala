@@ -527,8 +527,13 @@ object Similarity {
         changed = next
           .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
           .filter(col("lbl") =!= col("old")).count()
+        // drop the superseded round's checkpoint — without this, D rounds
+        // hold D cached copies of the label table (an OOM at the billion-
+        // row scale this pattern is meant for)
+        labels.unpersist()
         labels = next
       }
+      edges.unpersist()
       labels.groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
         .orderBy(col("cluster_id"))

@@ -38,24 +38,28 @@ object Streaming {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  /** Run a streaming query on a memory sink to completion, return final
-    * table. Complete output mode → final state == batch twin.
-    *
-    * Stateful operators create one state-store instance per shuffle
+  /** Stateful operators create one state-store instance per shuffle
     * partition per micro-batch; at local[32] the session default (32)
     * multiplies store open/commit overhead on state that fits in a handful
     * of partitions. Pin 8 for the stream's lifetime (the value is captured
     * at query start), then restore. On a real cluster this is the same
     * knob you'd size to state volume, not to core count.
     */
-  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
-                          mode: String = "complete"): DataFrame = {
+  private def withPinnedStatePartitions[A](s: SparkSession)(body: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Run a streaming query on a memory sink to completion, return final
+    * table. Complete output mode → final state == batch twin.
+    */
+  private def runToMemory(s: SparkSession, df: DataFrame, name: String,
+                          mode: String = "complete"): DataFrame = {
+    withPinnedStatePartitions(s) {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    }
     s.table(name)
   }
 
@@ -282,16 +286,14 @@ object Streaming {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("w.start").as("wstart"), col("event_type"), col("n_events"))
-      val prev = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
+      withPinnedStatePartitions(s) {
         val q = agg.writeStream.outputMode("complete")
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
             batch.write.mode("overwrite").parquet(tmp)
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      }
       s.read.parquet(tmp).orderBy(col("wstart"), col("event_type"))
     },
     Some("""
