@@ -176,5 +176,27 @@ object TextAnalysis {
     """)
   )
 
-  val ops: Vector[Op] = Vector(txtLangId, txtQualityScore, txtTokenCount, txtFingerprint)
+  /** Approximate heavy-hitter tokens via freqItems (Karp/Demaine-style
+    * streaming majority sketch): single pass, constant memory per
+    * partition, associative merge — the 100 TB way to find frequent
+    * vocabulary without a full token groupBy. The algorithm guarantees NO
+    * FALSE NEGATIVES above the support threshold (may include extras
+    * below it), which is exactly what ExemptSpec asserts against the
+    * exact counts. Oracle-exempt (sketch contents depend on merge order).
+    */
+  val txtFreqTokens = Op(
+    "txt_freq_tokens",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+      toks.stat.freqItems(Array("token"), 0.01)
+        .select(explode(col("token_freqItems")).as("token"))
+        .select(col("token").cast("string"))
+        .orderBy(col("token"))
+    },
+    None
+  )
+
+  val ops: Vector[Op] = Vector(
+    txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens)
 }

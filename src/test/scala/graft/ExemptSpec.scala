@@ -40,6 +40,21 @@ class ExemptSpec extends AnyFunSuite {
       "approx quantiles not deterministic across runs")
   }
 
+  test("txt_freq_tokens: no false negatives above the support threshold") {
+    val approx = Registry.queries("txt_freq_tokens")(spark, sf)
+      .collect().map(_.getString(0)).toSet
+    val toks = T.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+    val total = toks.count()
+    val exact = toks.groupBy(col("token")).count()
+      .filter(col("count") > total * 0.01)
+      .collect().map(_.getString(0)).toSet
+    assert(exact.nonEmpty, "no exact frequent tokens — the guarantee is vacuous")
+    val missing = exact -- approx
+    assert(missing.isEmpty,
+      s"freqItems missed ${missing.size} tokens above support: ${missing.take(5)}")
+  }
+
   test("txt_hashing_tf: buckets in range, token mass conserved") {
     val rows = Registry.queries("txt_hashing_tf")(spark, sf).collect()
     assert(rows.forall { r => val b = r.getLong(1); b >= 0 && b < 64 })
