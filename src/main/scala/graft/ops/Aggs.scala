@@ -129,6 +129,29 @@ object Aggs {
     None
   )
 
+  /** Boolean aggregates: group-wide ALL/ANY predicates (bool_and /
+    * bool_or) — the idiomatic form of "does every/any row satisfy P" that
+    * beats count-based reformulations (short-circuitable, no count
+    * compare).
+    */
+  val aggBoolAnyAll = Op(
+    "agg_bool_any_all",
+    (s, d) =>
+      T.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"))
+        .orderBy(col("o_orderpriority")),
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders,
+             bool_and(o_totalprice > 1000) AS all_over_1k,
+             bool_or(o_totalprice > 400000) AS any_over_400k
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+  )
+
   /** Bivariate statistics per group: Pearson correlation and sample/
     * population covariance of (acctbal, suppkey) per nation. Small groups +
     * ROUND 6 keep FP merge error far below the rounding grain (same
@@ -295,6 +318,6 @@ object Aggs {
 
   val ops: Vector[Op] = Vector(
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
-    aggApproxHll, aggApproxQuantiles, aggCorrCovar, aggRollup, aggCube,
+    aggApproxHll, aggApproxQuantiles, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments)
 }

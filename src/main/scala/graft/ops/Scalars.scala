@@ -141,6 +141,30 @@ object Scalars {
     """)
   )
 
+  /** Binary codecs: base64/hex of UTF-8 bytes plus a full
+    * encode→base64→unbase64→decode round-trip — the string⇄binary bridge
+    * multimodal payload columns rely on.
+    */
+  val strCodecs = Op(
+    "str_codecs",
+    (s, d) =>
+      T.part(s, d)
+        .filter(col("p_partkey") <= 200)
+        .select(
+          col("p_partkey"),
+          base64(encode(col("p_name"), "UTF-8")).as("b64"),
+          hex(encode(col("p_name"), "UTF-8")).as("hx"),
+          decode(unbase64(base64(encode(col("p_name"), "UTF-8"))), "UTF-8").as("roundtrip"))
+        .orderBy(col("p_partkey")),
+    Some("""
+      SELECT p_partkey,
+             base64(encode(p_name)) AS b64,
+             hex(encode(p_name)) AS hx,
+             p_name AS roundtrip
+      FROM part WHERE p_partkey <= 200 ORDER BY p_partkey
+    """)
+  )
+
   /** Token rows via posexplode (Generate) — pos makes the order total.
     * DuckDB twin uses a lateral range() join (WITH ORDINALITY is not in
     * DuckDB 1.0).
@@ -295,6 +319,6 @@ object Scalars {
   )
 
   val ops: Vector[Op] = Vector(
-    strFuncs, strSplitRegex, dtFuncs, dtEpochWindow, mathFuncs,
+    strFuncs, strSplitRegex, strCodecs, dtFuncs, dtEpochWindow, mathFuncs,
     arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs, jsonExtract)
 }

@@ -366,6 +366,54 @@ object Similarity {
     """)
   )
 
+  /** SimHash pairing: near-dup candidates are pairs whose 16-bit sketches
+    * differ in <= 3 bits (hamming via bit_count(xor)). Completes the
+    * sketch story: sim_simhash builds the constant-size sketch, this op
+    * compares sketches instead of documents — the whole point of
+    * sketching (16 bits shuffle, not the text). Bounded all-pairs here;
+    * the scale path blocks on sketch bands (split the 16 bits into 4
+    * bands, bucket-join on band equality) exactly like MinHash-LSH.
+    */
+  val simHammingPairs = Op(
+    "sim_hamming_pairs",
+    (s, d) => {
+      val sh = simSimhash.fn(s, d).filter(col("doc_id") < 300)
+      val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+      val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, token FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 300)),
+      hashed AS (
+        SELECT doc_id, token,
+               CAST(SUM(ascii(c) * ((pos % 7) + 1)) % 65536 AS BIGINT) AS h
+        FROM (SELECT doc_id, token, generate_subscripts(cs, 1) AS pos, unnest(cs) AS c
+              FROM (SELECT doc_id, token, string_split(token, '') AS cs FROM toks))
+        GROUP BY doc_id, token),
+      votes AS (
+        SELECT doc_id, b,
+               CAST(SUM(((h // CAST(pow(2, b) AS BIGINT)) % 2) * 2 - 1) AS BIGINT) AS votes
+        FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
+        GROUP BY doc_id, b),
+      sh AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id)
+      SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      ORDER BY a_id, b_id
+    """)
+  )
+
   /** BucketedRandomProjectionLSH over embeddings — the euclidean ANN scale
     * path (random-hyperplane bucketing → candidates only join within
     * buckets). Fixed seed; oracle-exempt; ExemptSpec proves recall >= 0.9
@@ -561,5 +609,6 @@ object Similarity {
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, simJaccardPairs,
     simMinhashLsh, simCosineKnn, simEmbedDedup, simLabelCentroids,
-    simShingleJaccard, simSimhash, simBrpLsh, simIvfKnn, simEditDistance)
+    simShingleJaccard, simSimhash, simHammingPairs, simBrpLsh, simIvfKnn,
+    simEditDistance)
 }
