@@ -303,8 +303,48 @@ object Streaming {
     """)
   )
 
+  /** Stream-stream watermarked join — click→purchase attribution: each
+    * purchase joined to the same user's clicks in the preceding hour. Both
+    * sides carry a 1 h watermark and the join condition bounds click_ts to
+    * [purchase_ts - 1h, purchase_ts], which is exactly what lets the state
+    * store evict: a buffered click can be dropped once the purchase-side
+    * watermark passes click_ts + 1 h. Inner join, append mode (matches emit
+    * as found). At scale this is THE stateful operator of an event
+    * pipeline — state is hash-partitioned by user_id and bounded by the
+    * watermark, so it runs at any volume; an unbounded-state join (no
+    * watermark / no time bound) is rejected by Spark for exactly that
+    * reason. Deterministic 1/8 user slice bounds the replay cost.
+    * Oracle-exempt (micro-batch mechanics); ExemptSpec asserts the result
+    * set equals the batch interval-join twin.
+    */
+  val streamStreamJoin = Op(
+    "stream_stream_join",
+    (s, d) => {
+      def slice(df: DataFrame) = df.filter(col("user_id") % 8 === 0)
+      val clicks = slice(readEventsStream(s, d))
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = slice(readEventsStream(s, d))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "1 hour")
+      val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("purchase_ts"), col("click_ts"))
+      runToMemory(s, joined, "graft_stream_sjoin", mode = "append")
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
-    streamSessionWindow, streamForeachBatchSink)
+    streamSessionWindow, streamForeachBatchSink, streamStreamJoin)
 }

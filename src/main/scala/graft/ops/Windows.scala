@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 /** §2.5 Window functions. Each window partitions by a real key (user_id /
   * customer / brand) so state is distributed; the only global windows
   * (ntile/percent_rank over customers) are single-partition by semantics —
-  * at 100 TB those become a two-pass rank (sample-based range partitioning),
-  * noted on the op.
+  * win_rank_distributed implements the 100 TB form (two-pass
+  * range-partitioned rank) and hash-matches the single-partition oracle.
   */
 object Windows {
 
@@ -119,9 +119,10 @@ object Windows {
     """)
   )
 
-  /** Global ntile/percent_rank (single-partition by semantics; the scale
-    * path is range-partitioned two-pass rank — documented, not needed at
-    * fixture scale). Tiebreak on custkey keeps ntile deterministic.
+  /** Global ntile/percent_rank, single-partition reference form; the scale
+    * path is win_rank_distributed (two-pass range-partitioned rank), which
+    * hash-matches this op's oracle. Tiebreak on custkey keeps ntile
+    * deterministic.
     */
   val winNtilePctrank = Op(
     "win_ntile_pctrank",
@@ -224,7 +225,65 @@ object Windows {
     """)
   )
 
+  /** Two-pass distributed global rank — the 100 TB form of
+    * win_ntile_pctrank, same output, NO single-partition window:
+    *   pass 1: range-partition on the sort key (sampled boundaries), rank
+    *           locally per partition (row_number over spark_partition_id);
+    *   pass 2: per-partition counts (P tiny rows) → cumulative offsets,
+    *           broadcast-joined back; global_rank = local_rank + offset.
+    * RangePartitioner guarantees every key in partition i sorts before
+    * every key in partition j>i, so local rank + offset IS the global
+    * rank — and the output is independent of where the sampled boundaries
+    * land. ntile(4)/percent_rank are then closed-form in (rank, n): the
+    * order key (c_acctbal, c_custkey) is unique, so rank == row_number and
+    * percent_rank = (rank-1)/(n-1) exactly as the window function computes
+    * it. Oracle: the very same SQL as win_ntile_pctrank — the driver
+    * hash-proves the two-pass form equals the single-partition form;
+    * PlanShapeSpec asserts no Exchange SinglePartition in the plan.
+    */
+  val winRankDistributed = Op(
+    "win_rank_distributed",
+    (s, d) => {
+      val base = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val parts = base
+        .repartitionByRange(8, col("c_acctbal"), col("c_custkey"))
+        .withColumn("pid", spark_partition_id())
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      val local = parts.withColumn("lrn", row_number().over(wLocal).cast("long"))
+      // pass-2 metadata: P rows to the driver (P = partition count, never
+      // data-sized), cumulative offsets re-broadcast as a literal relation
+      val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1)
+        .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("pid", "off")
+      val base4 = n / 4
+      val rem = n % 4
+      local.join(broadcast(offDf), "pid")
+        .withColumn("grn", col("lrn") + col("off"))
+        .withColumn("quartile", expr(
+          s"CAST(CASE WHEN grn <= ${rem * (base4 + 1)} THEN (grn - 1) div ${base4 + 1} " +
+          s"ELSE $rem + ((grn - 1) - ${rem * (base4 + 1)}) div $base4 END AS INT) + 1"))
+        .withColumn("pct_rank",
+          round((col("grn") - 1).cast("double") / lit((n - 1).toDouble), 6))
+        .select(col("c_custkey"), col("c_acctbal"), col("quartile"), col("pct_rank"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""
+      SELECT c_custkey, c_acctbal,
+             NTILE(4) OVER w AS quartile,
+             ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+      ORDER BY c_custkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
-    winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast, winCumulative)
+    winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
+    winCumulative, winRankDistributed)
 }

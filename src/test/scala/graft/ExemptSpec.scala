@@ -192,6 +192,42 @@ class ExemptSpec extends AnyFunSuite {
     assert(stream == batch)
   }
 
+  test("stream_stream_join: matched pairs equal the batch interval-join twin") {
+    val stream = Registry.queries("stream_stream_join")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // identical join, batch form, over the same 1/8 user slice
+    val ev = T.events(spark, sf).filter(col("user_id") % 8 === 0)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty, "batch twin matched no pairs — the equality is vacuous")
+    assert(stream == batch)
+  }
+
+  test("sim_ivf_knn: persisted index is reused — repeat call identical, no refit") {
+    val r1 = Registry.queries("sim_ivf_knn")(spark, sf).collect()
+    // index artifacts persisted by the first call
+    val idx = new java.io.File(graft.ops.T.scratch(
+      s"ivf_index_${sf.replaceAll("[^A-Za-z0-9.]", "_")}_16"))
+    assert(new java.io.File(idx, "centroids/_SUCCESS").exists(), s"no centroid table under $idx")
+    assert(new java.io.File(idx, "assigned/_SUCCESS").exists(), s"no inverted lists under $idx")
+    val mtime = new java.io.File(idx, "centroids/_SUCCESS").lastModified()
+    val r2 = Registry.queries("sim_ivf_knn")(spark, sf).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "served results diverge across calls against the same index")
+    assert(new java.io.File(idx, "centroids/_SUCCESS").lastModified() == mtime,
+      "second call rewrote the index — the quantizer was refit")
+  }
+
   test("stream_late_data_policy: emits finalized windows, none above batch counts") {
     val late = Registry.queries("stream_late_data_policy")(spark, sf)
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap

@@ -94,6 +94,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sim_simhash_bands joins on the band pair — a hash-partitioned equi-join, never all-pairs") {
+    val p = plan("sim_simhash_bands")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"banded join not planned as an equi-join: $p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join survived — the band key is not driving the join: $p")
+  }
+
+  test("win_rank_distributed never collapses to a single partition") {
+    val p = plan("win_rank_distributed")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      s"global-window shuffle to one partition survived: $p")
+  }
+
   test("join_dpp_prune injects a dynamic partition pruning filter into the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),
