@@ -106,6 +106,39 @@ object Aggs {
     None
   )
 
+  /** Mergeable sketch TABLE — the pre-aggregated-rollup pattern that makes
+    * 100 TB distinct-counting incremental: build one Datasketches HLL
+    * sketch per (day, event_type) partition, persist the sketch bytes as an
+    * ordinary parquet column, then answer the coarser query (distinct users
+    * per event_type across all days) by UNIONING the stored sketches —
+    * never rescanning the raw events. This is what approx_count_distinct
+    * alone cannot do: its sketch dies inside the aggregation, while
+    * hll_sketch_agg's binary survives storage and merges associatively, so
+    * each new day appends one partition of sketches and every re-query
+    * reads kilobytes, not terabytes. Oracle-exempt (sketch bytes are
+    * engine-specific); ExemptSpec proves the merged estimate is within 5%
+    * of exact AND equals the estimate from a direct whole-table sketch
+    * (merge associativity — the property the pattern rests on).
+    */
+  val aggHllPartitionedMerge = Op(
+    "agg_hll_partitioned_merge",
+    (s, d) => {
+      val tmp = T.scratch("hll_daily")
+      T.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("day"), col("event_type"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+        .write.mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .groupBy(col("event_type"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"),
+          count(lit(1)).as("n_sketches"))
+        .orderBy(col("event_type"))
+    },
+    None
+  )
+
   /** Approximate quantiles via the GK/KLL-style percentile_approx sketch —
     * the 100 TB path for order statistics (bounded sketch per group, merges
     * associatively) vs an exact percentile's full per-group sort. Accuracy
@@ -318,6 +351,7 @@ object Aggs {
 
   val ops: Vector[Op] = Vector(
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
-    aggApproxHll, aggApproxQuantiles, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
+    aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles, aggBoolAnyAll,
+    aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments)
 }

@@ -245,9 +245,17 @@ object Windows {
     "win_rank_distributed",
     (s, d) => {
       val base = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      // localCheckpoint pins ONE materialized range partitioning for both
+      // passes. Without it, the counts action and the final plan would each
+      // re-execute repartitionByRange, and RangePartitioner's sample seed
+      // varies with the RDD id — the two executions can draw different
+      // boundaries (observed at sf0.1: offsets off by 61 rows), silently
+      // corrupting global ranks. At cluster scale this materialization is
+      // the staged sort table the two-pass algorithm persists anyway.
       val parts = base
         .repartitionByRange(8, col("c_acctbal"), col("c_custkey"))
         .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
       val wLocal = Window.partitionBy(col("pid"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
       val local = parts.withColumn("lrn", row_number().over(wLocal).cast("long"))

@@ -22,6 +22,26 @@ class ExemptSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_partitioned_merge: union of stored sketches == direct sketch, within 5% of exact") {
+    val merged = Registry.queries("agg_hll_partitioned_merge")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge associativity: unioning the per-day sketches must equal one
+    // sketch built over the whole table in a single pass
+    val direct = T.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12))).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == direct,
+      s"merged-sketch estimates diverge from the direct sketch: $merged vs $direct")
+    val exact = T.events(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.keySet == exact.keySet)
+    for ((k, e) <- exact)
+      assert(math.abs(merged(k).toDouble - e) / e < 0.05,
+        s"$k: merged estimate ${merged(k)} vs exact $e")
+  }
+
   test("agg_approx_quantiles: values inside the exact [p-0.01, p+0.01] band, deterministic") {
     val rows = Registry.queries("agg_approx_quantiles")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracles without queries: ${o -- q}")
     val exempt = q -- o
     val expectedExempt = Set(
-      "agg_approx_hll", "agg_approx_quantiles", "txt_hashing_tf", "txt_freq_tokens",
+      "agg_approx_hll", "agg_hll_partitioned_merge", "agg_approx_quantiles",
+      "txt_hashing_tf", "txt_freq_tokens",
       "sim_minhash_lsh",
       "stream_structured_tumbling", "stream_dedup_watermark", "stream_late_data_policy",
       "stream_stream_join",
