@@ -417,6 +417,57 @@ object Joins {
     """)
   )
 
+  /** Binned (bucketized) interval join — the scale path for
+    * join_interval_overlap when the interval side is NOT broadcastable.
+    * A nested-loop range join is quadratic; instead both sides map to
+    * fixed-width time bins (width >= max interval length, here 2 h vs
+    * 90 min intervals), each interval explodes into the <= 2 bins it can
+    * touch, and the join becomes an ordinary hash-partitioned EQUI-join on
+    * bin_id with the exact containment check as a post-join filter. At
+    * 100 TB this shuffles each event once on a dense integer key — no
+    * broadcast, no nested loop, and the fanout is bounded by
+    * ceil(interval_len / bin_width) + 1 = 2 regardless of data volume.
+    * 500 synthetic 90-min maintenance windows every 4 h; fully oracled
+    * (DuckDB does the direct range join and must agree exactly).
+    */
+  val joinRangeBinned = Op(
+    "join_range_binned",
+    (s, d) => {
+      val binSec = 7200L // 2 h bins >= the 90-min interval length
+      val t0 = lit(1704067200L) // 2024-01-01 00:00:00 UTC, the fixture epoch
+      // +3600 offset deliberately misaligns windows with the bin grid so
+      // most intervals straddle a bin boundary and explode into 2 bins —
+      // the general case the construction must handle
+      val win = s.range(0, 500).select(
+        col("id").as("win_id"),
+        (t0 + col("id") * 14400L + 3600L).as("lo_sec"),
+        (t0 + col("id") * 14400L + 3600L + 5400L).as("hi_sec"))
+      val winBinned = win
+        .withColumn("bin",
+          explode(expr(s"sequence(lo_sec div $binSec, (hi_sec - 1) div $binSec)")))
+      val ev = T.events(s, d)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("sec"))
+        .withColumn("bin", expr(s"sec div $binSec"))
+      ev.join(winBinned, "bin")
+        .filter(col("sec") >= col("lo_sec") && col("sec") < col("hi_sec"))
+        .groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("event_id")).as("first_event"))
+        .orderBy(col("win_id"))
+    },
+    Some("""
+      WITH win AS (
+        SELECT i AS win_id,
+               1704067200 + i * 14400 + 3600 AS lo_sec,
+               1704067200 + i * 14400 + 3600 + 5400 AS hi_sec
+        FROM range(500) t(i)),
+      ev AS (SELECT event_id, CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS sec
+             FROM events)
+      SELECT win_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+      FROM ev JOIN win ON sec >= lo_sec AND sec < hi_sec
+      GROUP BY win_id ORDER BY win_id
+    """)
+  )
+
   /** Skew-salted shuffle join — the 100 TB skew recipe made explicit and
     * deterministic. The key is deliberately skewed (all 'view' events
     * collapse onto key -1, ~20% of the table); a plain shuffle join would
@@ -462,5 +513,5 @@ object Joins {
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
-    joinAsofLastEvent, joinIntervalOverlap, joinSkewSalted)
+    joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted)
 }

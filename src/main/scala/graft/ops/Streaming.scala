@@ -343,8 +343,71 @@ object Streaming {
     None
   )
 
+  /** Stream-stream LEFT OUTER watermarked join — the outer variant is the
+    * genuinely hard stateful case: an unmatched purchase can only be
+    * emitted (with NULL click) once the watermark PROVES no matching click
+    * can still arrive, i.e. outer results materialize on state eviction,
+    * not on data arrival. A single-batch replay would therefore never emit
+    * them — the watermark is only recomputed between micro-batches. The op
+    * replays in two phases (maxFilesPerTrigger=1, mtime-pinned order like
+    * stream_late_data_policy): phase 1 is the real 1/8-user slice, phase 2
+    * a pair of sentinel rows 3 h past the data's end whose only job is to
+    * advance both sides' watermarks so every buffered row evicts and all
+    * outer rows flush. Sentinels use user_id 0 (passes the slice) with
+    * negative event_ids and are filtered from the result. Oracle-exempt;
+    * ExemptSpec asserts exact equality with the batch LEFT JOIN twin —
+    * matched pairs AND null-extended unmatched purchases.
+    */
+  val streamStreamOuterJoin = Op(
+    "stream_stream_outer_join",
+    (s, d) => {
+      val tmp = T.scratch("sjoin_outer_replay")
+      val ev = T.events(s, d).filter(col("user_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_data")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+      import s.implicits._
+      Seq((-1L, flushTs, 0L, "click"), (-2L, flushTs, 0L, "purchase"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b_flush")
+      // pin arrival order: the flush batch must be processed second
+      val aTime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$tmp/a_data"))
+      val bumped = java.nio.file.attribute.FileTime.fromMillis(aTime.toMillis + 60000)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/b_flush")).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p, bumped)
+      }
+      def src = s.readStream.schema(
+          StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", TimestampType),
+            StructField("user_id", LongType), StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/*")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("user_id"), col("purchase_id"), col("click_id"))
+      runToMemory(s, joined, "graft_stream_sjoin_outer", mode = "append")
+        .filter(col("purchase_id") >= 0) // drop the flush sentinel
+        .orderBy(col("purchase_id"), col("click_id"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
-    streamSessionWindow, streamForeachBatchSink, streamStreamJoin)
+    streamSessionWindow, streamForeachBatchSink, streamStreamJoin,
+    streamStreamOuterJoin)
 }

@@ -248,6 +248,28 @@ class ExemptSpec extends AnyFunSuite {
       "second call rewrote the index — the quantizer was refit")
   }
 
+  test("stream_stream_outer_join: matched + null-extended rows equal the batch LEFT JOIN twin") {
+    val stream = Registry.queries("stream_stream_outer_join")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val ev = T.events(spark, sf).filter(col("user_id") % 8 === 0)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val batch = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("purchase_id"), coalesce(col("click_id"), lit(-1L)).as("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.exists(_._2 == -1L), "no unmatched purchases — the outer semantics are vacuous")
+    assert(stream == batch)
+  }
+
   test("stream_late_data_policy: emits finalized windows, none above batch counts") {
     val late = Registry.queries("stream_late_data_policy")(spark, sf)
       .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
