@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.4 Aggregations. All hash aggregations with map-side partial agg (Spark
@@ -160,6 +161,55 @@ object Aggs {
           col("q"))
         .orderBy(col("event_type"), col("p")),
     None
+  )
+
+  /** Exact global median WITHOUT a global sort and WITHOUT the built-in
+    * exact percentile aggregate (which buffers every value of the group in
+    * one reducer's memory — the thing that dies first at 100 TB). Same
+    * two-pass machinery as win_rank_distributed: range-partition by
+    * (value, event_id) — the id tiebreak makes ranks well-defined under
+    * ties — count per partition (P driver rows), convert the two middle
+    * ranks to (partition, local offset), and surface ONLY the rows at
+    * those global ranks with a per-partition window; the median is their
+    * mean. Every pass is a narrow scan + one bounded shuffle; no executor
+    * ever holds more than its partition slice. Oracled against DuckDB's
+    * exact median (which averages the two middle values for even n,
+    * exactly as computed here).
+    */
+  val aggExactMedianDistributed = Op(
+    "agg_exact_median_distributed",
+    (s, d) => {
+      val vals = T.events(s, d).select(col("value"), col("event_id"))
+      val parts = vals
+        .repartitionByRange(8, col("value"), col("event_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true) // pin ONE sampled boundary set for both passes
+      val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val n = counts.map(_._2).sum
+      val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      val (r1, r2) = ((n + 1) / 2, n / 2 + 1) // equal when n is odd
+      // partitions that can contain the target ranks — at 100 TB this
+      // prunes the final window to <= 2 of the P partitions
+      val hot = offsets.zip(counts).collect {
+        case ((pid, off), (_, cnt)) if r2 > off && r1 <= off + cnt => pid
+      }
+      import s.implicits._
+      val offDf = offsets.toSeq.toDF("pid", "off")
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("value"), col("event_id"))
+      parts.filter(col("pid").isin(hot: _*))
+        .withColumn("lrn", row_number().over(wLocal).cast("long"))
+        .join(broadcast(offDf), "pid")
+        .withColumn("grn", col("lrn") + col("off"))
+        .filter(col("grn") === r1 || col("grn") === r2)
+        .agg(
+          max(lit(n)).as("n_rows"),
+          avg(col("value")).as("median"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows, median(value) AS median FROM events
+    """)
   )
 
   /** Boolean aggregates: group-wide ALL/ANY predicates (bool_and /
@@ -351,7 +401,7 @@ object Aggs {
 
   val ops: Vector[Op] = Vector(
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
-    aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles, aggBoolAnyAll,
-    aggCorrCovar, aggRollup, aggCube,
+    aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,
+    aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments)
 }
