@@ -417,6 +417,51 @@ object Joins {
     """)
   )
 
+  /** Composite flagship: the TPC-H Q3 shape (shipping priority) — segment
+    * filter on the customer dim, double fact join, pre-aggregation filters
+    * on both fact sides, revenue aggregation, top-10. One op where every
+    * scale idiom composes: the dim filter broadcasts, both date filters
+    * push to the parquet scans, revenue sums through DECIMAL(18,4)
+    * (2-factor product is exact at scale 4), and the top-10 is
+    * TakeOrderedAndProject (per-partition heaps — never a global sort).
+    * o_orderpriority stands in for o_shippriority (fixture schema).
+    */
+  val sqlQ3ShippingPriority = Op(
+    "sql_q3_shipping_priority",
+    (s, d) => {
+      val cut = "1998-01-01"
+      val cust = T.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = T.orders(s, d)
+        .filter(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = T.lineitem(s, d)
+        .filter(col("l_shipdate") > lit(cut).cast("timestamp"))
+        .select(col("l_orderkey"),
+          Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10
+    """)
+  )
+
   /** Binned (bucketized) interval join — the scale path for
     * join_interval_overlap when the interval side is NOT broadcastable.
     * A nested-loop range join is quadratic; instead both sides map to
@@ -513,5 +558,6 @@ object Joins {
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
-    joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted)
+    joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted,
+    sqlQ3ShippingPriority)
 }

@@ -655,6 +655,35 @@ object Similarity {
     * Oracle: DuckDB recursive CTE computing the exact min label reachable
     * from each vertex.
     */
+  /** Iterative min-label propagation to convergence — the distributed
+    * connected-components kernel shared by dedup_cc_clusters and
+    * dedup_pipeline_e2e. `vertices` is one column `doc_id`; `edges` must
+    * carry BOTH orientations (src, dst). Each round is one distributed
+    * join+agg; labels are localCheckpoint'd per round and the superseded
+    * round is unpersisted (D rounds would otherwise hold D cached copies
+    * of the label table — an OOM at the billion-row scale this pattern is
+    * meant for); the driver touches only the convergence scalar.
+    */
+  private def ccMinLabel(vertices: DataFrame, edges: DataFrame): DataFrame = {
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbr = edges.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(nbr, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    labels
+  }
+
   val dedupCcClusters = Op(
     "dedup_cc_clusters",
     (s, d) => {
@@ -670,25 +699,7 @@ object Similarity {
       }
       val edges = edgesOn("kpre").unionByName(edgesOn("ksuf")).distinct()
         .localCheckpoint(true)
-      var labels = docs.select(col("doc_id"), col("doc_id").as("lbl"))
-        .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val nbr = edges.join(labels, col("dst") === col("doc_id"))
-          .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
-        val next = labels.join(nbr, col("doc_id") === col("src"), "left")
-          .select(col("doc_id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint(true)
-        changed = next
-          .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
-          .filter(col("lbl") =!= col("old")).count()
-        // drop the superseded round's checkpoint — without this, D rounds
-        // hold D cached copies of the label table (an OOM at the billion-
-        // row scale this pattern is meant for)
-        labels.unpersist()
-        labels = next
-      }
+      val labels = ccMinLabel(docs.select(col("doc_id")), edges)
       edges.unpersist()
       labels.groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
@@ -711,6 +722,92 @@ object Similarity {
       comp AS (SELECT v AS doc_id, MIN(lbl) AS lbl FROM walk GROUP BY v)
       SELECT lbl AS cluster_id, COUNT(*) AS n_members, MAX(doc_id) AS max_member
       FROM comp GROUP BY lbl ORDER BY cluster_id
+    """)
+  )
+
+  /** End-to-end dedup pipeline — the three tiers a production training-data
+    * dedup actually chains, as ONE op: (1) exact content dedup by md5(text),
+    * canonical = min doc_id per key (16-byte keys shuffle, duplicates never
+    * reach later stages); (2) token-Jaccard edges >= 0.5 between the exact
+    * survivors (same-source, the bounded oracle-anchor candidate generator —
+    * at 100 TB swap in sim_minhash_lsh's band join, identical downstream);
+    * (3) connected components over the fuzzy edges (shared ccMinLabel
+    * kernel), so transitively-chained near-dups collapse into one cluster.
+    * Emits per cluster: members (exact survivors), total raw docs absorbed.
+    * Every stage is deterministic, so the whole pipeline is hash-oracled —
+    * the DuckDB twin replays all three tiers including the recursive CC.
+    */
+  val dedupPipelineE2e = Op(
+    "dedup_pipeline_e2e",
+    (s, d) => {
+      val docs = T.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("source"), col("text"), md5(col("text")).as("ckey"))
+      // tier 1: exact — canonical per content key + absorbed count
+      val exactc = docs.groupBy(col("ckey"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+      val surv = exactc.select(col("doc_id"), col("n_exact"))
+        .join(docs.select(col("doc_id"), col("source"), col("text")), "doc_id")
+      // tier 2: fuzzy edges between survivors (token Jaccard >= 0.5)
+      val toks = surv
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val a = toks.select(col("doc_id").as("a_id"), col("source"), col("token"))
+      val b = toks.select(col("doc_id").as("b_id"), col("source").as("src_b"), col("token").as("tok_b"))
+      val jac = a.join(b,
+          col("token") === col("tok_b") && col("source") === col("src_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .filter(round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6) >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val edges = jac.select(col("a_id").as("src"), col("b_id").as("dst"))
+        .unionByName(jac.select(col("b_id").as("src"), col("a_id").as("dst")))
+        .localCheckpoint(true)
+      // tier 3: transitive closure into dedup clusters
+      val labels = ccMinLabel(surv.select(col("doc_id")), edges)
+      edges.unpersist()
+      labels
+        .join(surv.select(col("doc_id"), col("n_exact")), "doc_id")
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(col("n_exact")).as("n_docs_absorbed"))
+        .orderBy(col("cluster_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      docs0 AS (SELECT doc_id, source, text, md5(text) AS ckey
+                FROM documents WHERE doc_id < 500),
+      exactc AS (SELECT ckey, MIN(doc_id) AS doc_id, COUNT(*) AS n_exact
+                 FROM docs0 GROUP BY ckey),
+      surv AS (SELECT e.doc_id, e.n_exact, d.source, d.text
+               FROM exactc e JOIN docs0 d ON d.doc_id = e.doc_id),
+      toks AS (SELECT DISTINCT doc_id, source, token FROM (
+                 SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+                 FROM surv)),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+                FROM toks a JOIN toks b
+                  ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      jac AS (SELECT a_id, b_id FROM inter
+              JOIN sizes sa ON sa.doc_id = a_id
+              JOIN sizes sb ON sb.doc_id = b_id
+              WHERE ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) >= 0.5),
+      edges AS (SELECT a_id AS src, b_id AS dst FROM jac
+                UNION SELECT b_id, a_id FROM jac),
+      walk(v, lbl) AS (
+        SELECT doc_id, doc_id FROM surv
+        UNION
+        SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.v),
+      comp AS (SELECT v AS doc_id, MIN(lbl) AS lbl FROM walk GROUP BY v)
+      SELECT lbl AS cluster_id, COUNT(*) AS n_members,
+             CAST(SUM(n_exact) AS BIGINT) AS n_docs_absorbed
+      FROM comp JOIN surv USING (doc_id)
+      GROUP BY lbl ORDER BY cluster_id
     """)
   )
 
@@ -782,7 +879,7 @@ object Similarity {
 
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
-    simJaccardPairs, simMinhashLsh, simCosineKnn, simEmbedDedup,
-    simLabelCentroids, simShingleJaccard, simSimhash, simHammingPairs,
-    simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance)
+    dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
+    simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
+    simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance)
 }

@@ -109,6 +109,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global-window shuffle to one partition survived: $p")
   }
 
+  test("join_range_binned plans the interval join as an equi-join on the bin key") {
+    val p = plan("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to nested loop — binning is not driving the join: $p")
+  }
+
+  test("sql_q3_shipping_priority: dim broadcast, date filters pushed, top-10 via TakeOrdered") {
+    val p = plan("sql_q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 became a global sort: $p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") ||
+      p.contains("GreaterThan(l_shipdate"), s"l_shipdate filter not pushed: $p")
+  }
+
   test("join_dpp_prune injects a dynamic partition pruning filter into the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),
