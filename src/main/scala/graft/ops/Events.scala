@@ -1,0 +1,170 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.14 Event-sequence analytics — the user-intent queries a search/clickstream
+  * engine runs over the event log: staged funnels, cohort retention, and
+  * event-path transitions. All three are pure groupBy/window compositions that
+  * shuffle ONLY on user_id (the natural partition key of an event log), so the
+  * same plans hold at 100 TB: each stage is one hash shuffle on the same key —
+  * Catalyst reuses the exchange — and no operator ever materializes an
+  * unbounded per-user state on the driver. ds_typed_paths additionally covers
+  * the typed Dataset API surface (case-class encoder, groupByKey/mapGroups).
+  */
+object Events {
+
+  /** Staged conversion funnel view → click → purchase, strictly-ordered
+    * timestamps per user (each stage's event must be AFTER the previous
+    * stage's earliest qualifying event). Three per-user min-aggregations
+    * chained by joins on user_id — never a window over the whole log, never
+    * a per-user collect: the funnel state per user is one timestamp per
+    * stage, so the op scales linearly with the event count and the join key
+    * stays user_id throughout (one exchange, reused).
+    */
+  val evtFunnelConversion = Op(
+    "evt_funnel_conversion",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      def stage(df: DataFrame, name: String, idx: Int): DataFrame =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), lit(idx).as("stage_idx"), col("n_users"))
+      stage(t1, "view", 1)
+        .unionByName(stage(t2, "view>click", 2))
+        .unionByName(stage(t3, "view>click>purchase", 3))
+        .orderBy(col("stage_idx"))
+    },
+    Some("""
+      WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             JOIN t1 ON e.user_id = t1.user_id
+             WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             JOIN t2 ON e.user_id = t2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+      SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS n_users FROM t1
+      UNION ALL
+      SELECT 'view>click', 2, COUNT(*) FROM t2
+      UNION ALL
+      SELECT 'view>click>purchase', 3, COUNT(*) FROM t3
+      ORDER BY stage_idx
+    """)
+  )
+
+  /** Weekly cohort retention: cohort = Monday-truncated week of each user's
+    * first event; a user is "active at offset k" if they have any event in
+    * cohort_week + k weeks. The distinct (user, week) projection runs FIRST,
+    * so the heavy event log collapses to at most users × weeks rows before
+    * any join — at 100 TB that pre-aggregation is the difference between
+    * shuffling the log and shuffling the (tiny) activity matrix. Offsets are
+    * exact (both sides are week-truncated, so day-diff is a multiple of 7).
+    */
+  val evtRetentionCohorts = Op(
+    "evt_retention_cohorts",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("ts"))
+      val first = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      act.join(first, "user_id")
+        .select(col("cohort_week"),
+          (datediff(col("wk"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""
+      WITH first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+                     FROM events GROUP BY user_id),
+      act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      SELECT f.cohort_week,
+             CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INT) AS week_offset,
+             COUNT(*) AS n_active
+      FROM act a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """)
+  )
+
+  /** First-order event-path transition matrix: count (event_type →
+    * next_event_type) pairs per user session stream, ordered by (ts,
+    * event_id) — the unique event_id tiebreak makes `lead` deterministic
+    * under equal timestamps. The window partitions by user_id, so state per
+    * task is one user's events — no global sort, no driver state; the final
+    * 5×5 matrix aggregation is a map-side-combined groupBy.
+    */
+  val evtPathTransitions = Op(
+    "evt_path_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n_trans"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_type
+        FROM events)
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n_trans
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """)
+  )
+
+  /** Typed Dataset surface: the first-3-event path per user via case-class
+    * encoder + groupByKey/mapGroups, then the top-20 most common paths.
+    * mapGroups holds ONE user's events in memory (bounded by per-user
+    * activity, never by corpus size) and sorts them by the deterministic
+    * (ts_us, event_id) key. This is the imperative escape hatch for logic a
+    * Column can't express; everything downstream returns to DataFrame ops.
+    * The limit-20 boundary is a strict total order (n_users desc, path asc;
+    * path is the grouping key, hence unique).
+    */
+  val dsTypedPaths = Op(
+    "ds_typed_paths",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .as[(Long, Long, Long, String)]
+      val paths = ev.groupByKey(_._1)
+        .mapGroups { (uid, it) =>
+          val first3 = it.toSeq.sortBy(e => (e._2, e._3)).take(3).map(_._4)
+          (uid, first3.mkString(">"))
+        }
+        .toDF("user_id", "path")
+      paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    },
+    Some("""
+      WITH up AS (
+        SELECT user_id,
+               array_to_string((array_agg(event_type ORDER BY ts, event_id))[1:3],
+                               '>') AS path
+        FROM events GROUP BY user_id)
+      SELECT path, COUNT(*) AS n_users FROM up
+      GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths)
+}

@@ -462,6 +462,44 @@ object Joins {
     """)
   )
 
+  /** Bloom-filter semi-join reduction — the runtime-filter pattern for a
+    * dim side too big to broadcast as rows but whose KEY SET fits a bloom
+    * sketch (10^9 keys ≈ 1.2 GB at 3% fpp vs hundreds of GB of rows). The
+    * dim keys fold into a BloomFilter via a distributed tree aggregate
+    * (`stat.bloomFilter` — only the fixed-size sketch reaches the driver),
+    * the sketch broadcasts, and the fact side is pre-filtered BEFORE its
+    * shuffle — false positives are then removed by the exact join, so the
+    * result is hash-identical to the unfiltered join (the oracle is the
+    * plain join). The shuffle_hash hint forces the shuffle join this
+    * pattern exists for (a broadcastable dim wouldn't need the bloom).
+    */
+  val joinBloomReduce = Op(
+    "join_bloom_reduce",
+    (s, d) => {
+      val ord = T.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val bf = ord.stat.bloomFilter("o_orderkey", 100000L, 0.03)
+      val bfB = s.sparkContext.broadcast(bf)
+      val mightContain = udf((k: Long) => bfB.value.mightContain(k)).withName("bloom_might_contain")
+      val li = T.lineitem(s, d)
+        .filter(mightContain(col("l_orderkey")))
+        .select(col("l_orderkey"),
+          Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_li"), sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_li,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+      GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+  )
+
   /** Binned (bucketized) interval join — the scale path for
     * join_interval_overlap when the interval side is NOT broadcastable.
     * A nested-loop range join is quadratic; instead both sides map to
@@ -559,5 +597,5 @@ object Joins {
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
     joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted,
-    sqlQ3ShippingPriority)
+    joinBloomReduce, sqlQ3ShippingPriority)
 }

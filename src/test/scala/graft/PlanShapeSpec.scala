@@ -123,6 +123,21 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("GreaterThan(l_shipdate"), s"l_shipdate filter not pushed: $p")
   }
 
+  test("join_bloom_reduce filters the fact side BEFORE the shuffle join") {
+    val p = plan("join_bloom_reduce")
+    assert(p.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored: $p")
+    val joinAt = p.indexOf("ShuffledHashJoin")
+    val filterAt = p.indexOf("bloom_might_contain")
+    assert(filterAt > joinAt,
+      s"bloom filter is not below the join in the plan tree: $p")
+  }
+
+  test("evt_retention_cohorts shuffles the distinct user-week matrix, not the log") {
+    val p = plan("evt_retention_cohorts")
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("join_dpp_prune injects a dynamic partition pruning filter into the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),
