@@ -165,6 +165,70 @@ object Events {
     """)
   )
 
+  /** Per-user session stats via SECONDARY SORT — the scale-superior physical
+    * plan for per-key ordered scans: repartition by user_id, sort within
+    * partitions by (user_id, sec, event_id), then ONE streaming pass per
+    * partition with O(1) state (current user's running counters — never a
+    * per-group materialization like groupByKey.mapGroups, never a window's
+    * sort+frame machinery). Emits one row per user: session count (30-min
+    * gap rule), event count, and the largest session's event count. Same
+    * session semantics as stream_sessionize_30m, so the oracle is that op's
+    * CTE chain re-aggregated per user.
+    */
+  val evtSessionsSecondarySort = Op(
+    "evt_sessions_secondary_sort",
+    (s, d) => {
+      import s.implicits._
+      val sorted = T.events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("sec"), col("event_id"))
+        .as[(Long, Long, Long)]
+      sorted.mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+        var cur = Long.MinValue; var prevSec = 0L
+        var nSess = 0L; var nEv = 0L; var curLen = 0L; var maxLen = 0L
+        def flush(): Unit = if (cur != Long.MinValue) {
+          out += ((cur, nSess, nEv, math.max(maxLen, curLen)))
+        }
+        it.foreach { case (u, sec, _) =>
+          if (u != cur) {
+            flush()
+            cur = u; nSess = 1L; nEv = 1L; curLen = 1L; maxLen = 0L
+          } else if (sec - prevSec > 1800L) {
+            nSess += 1L; nEv += 1L; maxLen = math.max(maxLen, curLen); curLen = 1L
+          } else {
+            nEv += 1L; curLen += 1L
+          }
+          prevSec = sec
+        }
+        flush()
+        out.iterator
+      }.toDF("user_id", "n_sessions", "n_events", "max_session_events")
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH ord AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) AS sec,
+               LAG(CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT)) OVER w AS prev_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      flagged AS (
+        SELECT *, CASE WHEN prev_sec IS NULL OR sec - prev_sec > 1800 THEN 1 ELSE 0 END AS gap
+        FROM ord),
+      sess AS (
+        SELECT *, SUM(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged),
+      per AS (SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+      SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
+             MAX(n) AS max_session_events
+      FROM per GROUP BY user_id ORDER BY user_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths)
+    evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
+    evtSessionsSecondarySort)
 }

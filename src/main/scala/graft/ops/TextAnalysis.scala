@@ -197,6 +197,59 @@ object TextAnalysis {
     None
   )
 
+  /** Passage-level dedup stats — the "remove duplicated paragraphs" stage of
+    * a web-scale training-data pipeline, on fixed 10-token chunks (the
+    * fixture text has no sentence punctuation, so chunks stand in for
+    * paragraphs). Chunks are hashed per doc WITHOUT any shuffle (split +
+    * sequence-explode + slice are all narrow); only the 16-byte chunk
+    * hashes aggregate. A chunk is "duplicated" if it occurs in more than
+    * one distinct doc; emits per-source chunk counts and the duplicated
+    * fraction — at 100 TB this is the boilerplate-passage detector whose
+    * shuffle volume is hashes, never text.
+    */
+  val txtChunkDedup = Op(
+    "txt_chunk_dedup",
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) > 0)
+      val chunks = docs
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(0, (size(toks)+9) div 10 - 1)")).as("cid"),
+          col("toks"))
+        .select(col("doc_id"), col("source"),
+          md5(expr("array_join(slice(toks, cid*10+1, 10), ' ')")).as("h"))
+      val dup = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"), lit(1L).as("isdup"))
+      chunks.join(dup, Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup_chunks"))
+        .withColumn("dup_frac", round(col("n_dup_chunks") / col("n_chunks"), 6))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) > 0),
+      chunks AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(0, (len(toks)+9)//10),
+                 c -> md5(array_to_string(toks[(c*10+1):(c*10+10)], ' ')))) AS h
+        FROM docs),
+      dup AS (SELECT h FROM chunks GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT c.source, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+             ROUND(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) / COUNT(*), 6) AS dup_frac
+      FROM chunks c LEFT JOIN dup d ON c.h = d.h
+      GROUP BY c.source ORDER BY c.source
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens)
+    txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
+    txtChunkDedup)
 }

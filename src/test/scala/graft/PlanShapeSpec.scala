@@ -138,6 +138,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("evt_sessions_secondary_sort plans a partition-local sort, never a global one") {
+    val p = plan("evt_sessions_secondary_sort")
+    assert(p.contains("MapPartitions"), p)
+    // sortWithinPartitions prints as `Sort [...], false, 0` (global=false);
+    // the only global sort allowed is the final orderBy presentation
+    val sorts = p.linesIterator.filter(_.trim.startsWith("+- Sort ")).toList
+    assert(sorts.exists(_.contains("false, 0")), s"local sort missing: $p")
+  }
+
+  test("txt_chunk_dedup keeps chunking narrow: no shuffle before the hash aggregation") {
+    val p = plan("txt_chunk_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the explode+slice chunker must sit under the first Exchange (scan side)
+    assert(p.contains("Generate explode"), p)
+  }
+
   test("join_dpp_prune injects a dynamic partition pruning filter into the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),
