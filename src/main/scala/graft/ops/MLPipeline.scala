@@ -159,7 +159,40 @@ object MLPipeline {
     """)
   )
 
+  /** Deterministic hash-bucket sampling — the REPRODUCIBLE corpus-sampling
+    * pattern a training-data pipeline needs (rng-based sampling changes
+    * under repartition; this never does): bucket = (doc_id * 2654435761)
+    * mod 2^32 (Knuth multiplicative hash, pure integer math → identical in
+    * any engine), keep bucket < 20% of the space. The same formula selects
+    * the same docs on every run, every partitioning, every engine — which
+    * is what makes the sample JOIN-STABLE across derived tables (features,
+    * embeddings, labels computed in different jobs still line up). Emits
+    * per-source sampled/total counts and the exact achieved rate.
+    */
+  val sampleHashBucket = Op(
+    "sample_hash_bucket",
+    (s, d) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      T.documents(s, d)
+        .withColumn("in_sample", (bucket < lit(858993459L)).cast("int")) // floor(0.2 * 2^32)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("in_sample")).as("n_sampled"))
+        .withColumn("rate", round(col("n_sampled") / col("n_docs"), 6))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN (doc_id * 2654435761) % 4294967296 < 858993459
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+             ROUND(SUM(CASE WHEN (doc_id * 2654435761) % 4294967296 < 858993459
+                            THEN 1 ELSE 0 END) / COUNT(*), 6) AS rate
+      FROM documents GROUP BY source ORDER BY source
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
-    mlPredictionsSink)
+    mlPredictionsSink, sampleHashBucket)
 }

@@ -405,9 +405,50 @@ object Streaming {
     None
   )
 
+  /** Custom keyed state via flatMapGroupsWithState — the escape hatch for
+    * state machines no built-in stateful operator expresses (here: running
+    * per-user event/purchase counters, emitted in Update mode on every
+    * micro-batch). State is a 16-byte tuple per user, hash-partitioned by
+    * the group key and persisted in the state store — bounded, mergeable,
+    * and independent of history length, which is what lets the pattern run
+    * forever at 100 TB/day. The final-state read-back aggregates with max()
+    * over the update stream (counters are monotone, so max = latest),
+    * making the op's output independent of HOW the source was micro-batched
+    * — that invariance is what lets a stateful streaming op be hash-oracled
+    * at all.
+    */
+  val streamCustomState = Op(
+    "stream_custom_state",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val ev = readEventsStream(s, d).filter(col("user_id") % 8 === 0)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      val updated = ev.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+            var (ne, np) = state.getOption.getOrElse((0L, 0L))
+            rows.foreach { case (_, t) => ne += 1; if (t == "purchase") np += 1 }
+            state.update((ne, np))
+            Iterator((uid, ne, np))
+        }.toDF("user_id", "n_events", "n_purchases")
+      runToMemory(s, updated, "graft_stream_custom_state", mode = "update")
+        .groupBy(col("user_id"))
+        .agg(max(col("n_events")).as("n_events"), max(col("n_purchases")).as("n_purchases"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_purchases
+      FROM events WHERE user_id % 8 = 0
+      GROUP BY user_id ORDER BY user_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
     streamSessionWindow, streamForeachBatchSink, streamStreamJoin,
-    streamStreamOuterJoin)
+    streamStreamOuterJoin, streamCustomState)
 }
