@@ -393,9 +393,62 @@ object Aggs {
     """)
   )
 
+  /** Fixed-bin numeric histogram: 20 bins of width 25 with a capped top
+    * bin — one map-side-combined groupBy over a derived int key, the
+    * constant-memory distribution profile (vs exact percentiles' sort).
+    * floor(double/double) and least() are identical IEEE ops in both
+    * engines, so the binning is hash-exact.
+    */
+  val aggHistogramFixedBins = Op(
+    "agg_histogram_fixed_bins",
+    (s, d) =>
+      T.events(s, d)
+        .withColumn("bin", least(floor(col("value") / lit(25.0)), lit(19.0)).cast("int"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("bin")),
+    Some("""
+      SELECT CAST(LEAST(FLOOR(value / 25.0), 19.0) AS INT) AS bin,
+             COUNT(*) AS n, MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY 1 ORDER BY bin
+    """)
+  )
+
+  /** Exact per-group median via the rank formulation (row_number over a
+    * deterministic (value, event_id) order + the two middle ranks), NOT a
+    * sort-to-driver or percentile_approx: the window partitions by group,
+    * so no global sort, and the two picked rows per group are exact. The
+    * global-median scale path (partition pruning) is
+    * agg_exact_median_distributed; this is its per-group window twin.
+    */
+  val aggMedianByGroup = Op(
+    "agg_median_by_group",
+    (s, d) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      T.events(s, d).select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+        .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_rows"), avg(col("value")).as("median"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH ranked AS (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events)
+      SELECT event_type, MAX(n) AS n_rows, AVG(value) AS median
+      FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+      GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
     aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
-    aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments)
+    aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
+    aggHistogramFixedBins, aggMedianByGroup)
 }

@@ -276,8 +276,43 @@ object Windows {
     """)
   )
 
+  /** Gaps-and-islands: maximal runs of consecutive active hours per user —
+    * the classic "island = key - row_number" trick, which turns run
+    * detection into a plain groupBy (no self-join, no iterative logic).
+    * The distinct (user, hour) projection collapses the log before the
+    * window, and the window partitions by user — both bounded at any scale.
+    */
+  val winGapIslands = Op(
+    "win_gap_islands",
+    (s, d) => {
+      val act = T.events(s, d)
+        .select(col("user_id"), expr("CAST(unix_timestamp(ts) AS BIGINT) div 3600").as("hr"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      act.withColumn("island", col("hr") - row_number().over(w))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("hr")).as("start_hr"), max(col("hr")).as("end_hr"),
+          count(lit(1)).as("n_hours"))
+        .select(col("user_id"), col("start_hr"), col("end_hr"), col("n_hours"))
+        .orderBy(col("user_id"), col("start_hr"))
+    },
+    Some("""
+      WITH act AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) // 3600 AS hr
+        FROM events),
+      isl AS (
+        SELECT user_id, hr,
+               hr - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY hr) AS island
+        FROM act)
+      SELECT user_id, MIN(hr) AS start_hr, MAX(hr) AS end_hr, COUNT(*) AS n_hours
+      FROM isl GROUP BY user_id, island
+      ORDER BY user_id, start_hr
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
-    winCumulative, winRankDistributed)
+    winCumulative, winRankDistributed, winGapIslands)
 }
