@@ -877,9 +877,85 @@ object Similarity {
     """)
   )
 
+  /** Sparse lexical cosine — the TF-IDF-weighted similarity tier between
+    * token-set Jaccard (unweighted) and dense-embedding cosine: shared
+    * tokens contribute by weight, so rare-term overlap dominates. The dot
+    * product is a token-keyed equi-join (the sparse-vector trick: only
+    * coordinates BOTH docs touch ever join — never a dense d² loop), and
+    * every accumulation runs over DECIMAL(18,6) weights rounded first, so
+    * the sums are order-independent and the op hash-oracles despite ln()
+    * in the weighting (ln parity with DuckDB is established by
+    * txt_idf_tfidf). Bounded candidates (doc_id < 120, same source); the
+    * scale path for candidate generation is sim_minhash_lsh, with this
+    * exact scorer applied to its survivors.
+    */
+  val simTfidfCosine = Op(
+    "sim_tfidf_cosine",
+    (s, d) => {
+      val docs = T.documents(s, d).filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("source"), col("text"))
+      val toks = docs.select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("token"))
+      val tf = toks.groupBy(col("doc_id"), col("source"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val wtd = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+        .withColumn("w",
+          round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+        .select(col("doc_id"), col("source"), col("token"),
+          col("w").cast(DecimalType(18, 6)).as("wd"))
+      val norms = wtd.groupBy(col("doc_id"))
+        .agg(sum(col("wd") * col("wd")).cast("double").as("norm2"))
+      val a = wtd.select(col("doc_id").as("a_id"), col("source"), col("token"),
+        col("wd").as("wa"))
+      val b = wtd.select(col("doc_id").as("b_id"), col("source").as("src_b"),
+        col("token").as("tok_b"), col("wd").as("wb"))
+      a.join(b,
+          col("token") === col("tok_b") && col("source") === col("src_b") &&
+          col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(sum(col("wa") * col("wb")).cast("double").as("dot"))
+        .join(norms.select(col("doc_id").as("a_id"), col("norm2").as("na2")), "a_id")
+        .join(norms.select(col("doc_id").as("b_id"), col("norm2").as("nb2")), "b_id")
+        .withColumn("cosine", round(col("dot") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6))
+        .filter(col("cosine") >= 0.3)
+        .select(col("a_id"), col("b_id"), col("cosine"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, source, text FROM documents WHERE doc_id < 120),
+      toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS token FROM docs),
+      tf AS (SELECT doc_id, source, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      df AS (SELECT token, COUNT(*) AS df
+             FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM docs),
+      wtd AS (SELECT doc_id, source, token,
+                     CAST(ROUND(tf * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                          AS DECIMAL(18,6)) AS wd
+              FROM tf JOIN df USING (token) CROSS JOIN n),
+      norms AS (SELECT doc_id, CAST(SUM(wd * wd) AS DOUBLE) AS norm2
+                FROM wtd GROUP BY doc_id),
+      dots AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                      CAST(SUM(a.wd * b.wd) AS DOUBLE) AS dot
+               FROM wtd a JOIN wtd b
+                 ON a.token = b.token AND a.source = b.source AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)
+      SELECT a_id, b_id,
+             ROUND(dot / (SQRT(na.norm2) * SQRT(nb.norm2)), 6) AS cosine
+      FROM dots
+      JOIN norms na ON na.doc_id = a_id
+      JOIN norms nb ON nb.doc_id = b_id
+      WHERE ROUND(dot / (SQRT(na.norm2) * SQRT(nb.norm2)), 6) >= 0.3
+      ORDER BY a_id, b_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
-    simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance)
+    simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
+    simTfidfCosine)
 }
