@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** 3-iteration damped PageRank over the undirected (doubled) bipartite
+  /** 3-iteration damped PageRank (Page, Brin, Motwani, Winograd 1999 —
+    * public-knowledge algorithm) over the undirected (doubled) bipartite
     * customer↔supplier graph from orders⋈lineitem. Vertices: custkey, and
     * suppkey offset by 1e6. pr0 = 1e9 (scaled 1.0); each round
     * pr'(v) = 0.15e9 + 0.85 * Σ_{u→v} pr(u) div outdeg(u), all in integer

@@ -462,9 +462,11 @@ object Joins {
     """)
   )
 
-  /** Bloom-filter semi-join reduction — the runtime-filter pattern for a
-    * dim side too big to broadcast as rows but whose KEY SET fits a bloom
-    * sketch (10^9 keys ≈ 1.2 GB at 3% fpp vs hundreds of GB of rows). The
+  /** Bloom-filter semi-join reduction (Bloom 1970 filters; distributed
+    * semi-join reduction per Bernstein & Chiu 1981) — the runtime-filter
+    * pattern for a dim side too big to broadcast as rows but whose KEY SET
+    * fits a bloom sketch (10^9 keys ≈ 1.2 GB at 3% fpp vs hundreds of GB
+    * of rows). The
     * dim keys fold into a BloomFilter via a distributed tree aggregate
     * (`stat.bloomFilter` — only the fixed-size sketch reaches the driver),
     * the sketch broadcasts, and the fact side is pre-filtered BEFORE its

@@ -162,7 +162,7 @@ object MLPipeline {
   /** Deterministic hash-bucket sampling — the REPRODUCIBLE corpus-sampling
     * pattern a training-data pipeline needs (rng-based sampling changes
     * under repartition; this never does): bucket = (doc_id * 2654435761)
-    * mod 2^32 (Knuth multiplicative hash, pure integer math → identical in
+    * mod 2^32 (multiplicative hashing, Knuth TAOCP vol. 3 §6.4 — pure integer math → identical in
     * any engine), keep bucket < 20% of the space. The same formula selects
     * the same docs on every run, every partitioning, every engine — which
     * is what makes the sample JOIN-STABLE across derived tables (features,

@@ -877,7 +877,8 @@ object Similarity {
     """)
   )
 
-  /** Sparse lexical cosine — the TF-IDF-weighted similarity tier between
+  /** Sparse lexical cosine — the TF-IDF-weighted (Sparck Jones 1972)
+    * similarity tier between
     * token-set Jaccard (unweighted) and dense-embedding cosine: shared
     * tokens contribute by weight, so rare-term overlap dominates. The dot
     * product is a token-keyed equi-join (the sparse-vector trick: only

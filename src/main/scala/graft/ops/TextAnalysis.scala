@@ -198,7 +198,9 @@ object TextAnalysis {
   )
 
   /** Passage-level dedup stats — the "remove duplicated paragraphs" stage of
-    * a web-scale training-data pipeline, on fixed 10-token chunks (the
+    * a web-scale training-data pipeline (as in the public C4, Raffel et al.
+    * 2020, and RefinedWeb, Penedo et al. 2023, corpus recipes), on fixed
+    * 10-token chunks (the
     * fixture text has no sentence punctuation, so chunks stand in for
     * paragraphs). Chunks are hashed per doc WITHOUT any shuffle (split +
     * sequence-explode + slice are all narrow); only the 16-byte chunk
