@@ -118,19 +118,24 @@ object Bench {
     // Persist the full detail to a file and print a short, final,
     // self-contained summary line so any tail capture gets a parseable
     // record.
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
-      (detail + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // Persist artifacts ONLY for the full sweep — a local subset run (args
+    // given) must never clobber the driver-read records with a 5-query
+    // total.
+    if (keyFilter.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_detail.json"),
+        (detail + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () }
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failures":${failed.size},"sf":"$sfDir"}"""
     // r2: the driver's capture still parsed null off stdout (sbt prefixes
     // every line with "[info] "). Belt and braces: persist the summary at a
     // FIXED absolute path the driver can read without any stdout parsing.
-    for (p <- Seq("/root/repo/BENCH_SUMMARY.json", "BENCH_SUMMARY.json"))
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(p), (summary + "\n").getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+    if (keyFilter.isEmpty)
+      for (p <- Seq("/root/repo/BENCH_SUMMARY.json", "BENCH_SUMMARY.json"))
+        try java.nio.file.Files.write(
+          java.nio.file.Paths.get(p), (summary + "\n").getBytes("UTF-8"))
+        catch { case _: Throwable => () }
     println(summary)
     spark.stop()
   }
