@@ -430,7 +430,10 @@ object Aggs {
         .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
         .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
         .groupBy(col("event_type"))
-        .agg(max(col("n")).as("n_rows"), avg(col("value")).as("median"))
+        // Appendix A-2 discipline even though ≤2 rows make raw-double avg
+        // commutative-safe here: average through DECIMAL(18,4) so a future
+        // widening of the picked set can never become shuffle-order-dependent
+        .agg(max(col("n")).as("n_rows"), avg(Det.dec(col("value"))).cast("double").as("median"))
         .orderBy(col("event_type"))
     },
     Some("""
@@ -439,7 +442,8 @@ object Aggs {
                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY event_type) AS n
         FROM events)
-      SELECT event_type, MAX(n) AS n_rows, AVG(value) AS median
+      SELECT event_type, MAX(n) AS n_rows,
+             CAST(AVG(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS median
       FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
       GROUP BY event_type ORDER BY event_type
     """)

@@ -907,6 +907,9 @@ object Similarity {
           round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
         .select(col("doc_id"), col("source"), col("token"),
           col("w").cast(DecimalType(18, 6)).as("wd"))
+        // referenced by norms AND both self-join sides — checkpoint once or
+        // the whole tf/df/ln subtree re-executes three times per run
+        .localCheckpoint(true)
       val norms = wtd.groupBy(col("doc_id"))
         .agg(sum(col("wd") * col("wd")).cast("double").as("norm2"))
       val a = wtd.select(col("doc_id").as("a_id"), col("source"), col("token"),
