@@ -449,10 +449,75 @@ object Aggs {
     """)
   )
 
+  /** Statistical mode per group with a DETERMINISTIC tie-break (smallest
+    * value wins) — the built-in `mode()` leaves ties engine/order-dependent,
+    * which would never hash-match an oracle. Formulation: count per
+    * (group, value) — a map-side-combined groupBy that collapses the table
+    * to at most |group|×|distinct value| rows — then row_number over
+    * (count DESC, value ASC) picks one winner per group. Both shuffles key
+    * on bounded-cardinality columns, so this holds at any input volume.
+    */
+  val aggModePerGroup = Op(
+    "agg_mode_per_group",
+    (s, d) => {
+      val counts = T.part(s, d)
+        .groupBy(col("p_size"), col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("p_size"))
+        .orderBy(col("cnt").desc, col("p_brand"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("p_size"), col("p_brand").as("mode_brand"), col("cnt").as("n_occ"))
+        .orderBy(col("p_size"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT p_size, p_brand, COUNT(*) AS cnt
+        FROM part GROUP BY p_size, p_brand),
+      ranked AS (
+        SELECT p_size, p_brand, cnt,
+               ROW_NUMBER() OVER (PARTITION BY p_size
+                                  ORDER BY cnt DESC, p_brand) AS rn
+        FROM counts)
+      SELECT p_size, p_brand AS mode_brand, cnt AS n_occ
+      FROM ranked WHERE rn = 1 ORDER BY p_size
+    """)
+  )
+
+  /** Exact interpolated and discontinuous percentiles per group —
+    * percentile_cont (linear interpolation between the two straddling
+    * order statistics) and percentile_disc (smallest value at-or-above the
+    * quantile position). Both buffer the group in one reducer (the
+    * documented built-in limitation); per-group this is bounded by group
+    * size, and the GLOBAL scale path that never buffers is
+    * agg_exact_median_distributed. Interpolated values round6'd — the two
+    * engines interpolate with algebraically-equal but differently-ordered
+    * fp expressions.
+    */
+  val aggPercentileContDisc = Op(
+    "agg_percentile_cont_disc",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.25)"), 6).as("p25_cont"),
+          round(expr("percentile(value, 0.75)"), 6).as("p75_cont"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50_disc"))
+        .orderBy(col("event_type")),
+    Some("""
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.25), 6) AS p25_cont,
+             ROUND(quantile_cont(value, 0.75), 6) AS p75_cont,
+             quantile_disc(value, 0.5) AS p50_disc
+      FROM events GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
     aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
-    aggHistogramFixedBins, aggMedianByGroup)
+    aggHistogramFixedBins, aggMedianByGroup, aggModePerGroup,
+    aggPercentileContDisc)
 }

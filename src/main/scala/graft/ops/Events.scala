@@ -272,7 +272,59 @@ object Events {
     """)
   )
 
+  /** RFM user segmentation — recency / frequency / monetary, the classic
+    * intent-scoring rollup of a purchase log: hours since last purchase
+    * (against the log's own horizon, so the op is reproducible), purchase
+    * count, and decimal-exact spend, then a rule-based segment label. One
+    * groupBy on user_id plus a broadcast 1-row horizon join — no window,
+    * no skew risk, linear at any log size. Rule thresholds (not ntile
+    * cutoffs) keep each user's label independent of every other user —
+    * at 100 TB that means no global rank; the distributed-quantile path,
+    * if percentile cutoffs are wanted, is win_rank_distributed.
+    */
+  val evtRfmSegments = Op(
+    "evt_rfm_segments",
+    (s, d) => {
+      val p = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      val horizon = p.agg(max(unix_micros(col("ts"))).as("h_us"))
+      val rfm = p.groupBy(col("user_id"))
+        .agg(
+          max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("frequency"),
+          Det.sumDec(col("value")).as("monetary"))
+        .crossJoin(broadcast(horizon))
+        .withColumn("recency_hr", expr("(h_us - last_us) div 3600000000"))
+      rfm.withColumn("segment",
+          when(col("frequency") >= 30 && col("recency_hr") <= 72, "champion")
+            .when(col("frequency") >= 15, "loyal")
+            .when(col("recency_hr") >= 240, "at_risk")
+            .otherwise("regular"))
+        .select(col("user_id"), col("recency_hr"), col("frequency"),
+          col("monetary"), col("segment"))
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS us, value
+        FROM events WHERE event_type = 'purchase'),
+      h AS (SELECT MAX(us) AS h_us FROM p),
+      rfm AS (
+        SELECT user_id,
+               CAST((h.h_us - MAX(p.us)) // 3600000000 AS BIGINT) AS recency_hr,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        FROM p, h GROUP BY user_id, h.h_us)
+      SELECT user_id, recency_hr, frequency, monetary,
+             CASE WHEN frequency >= 30 AND recency_hr <= 72 THEN 'champion'
+                  WHEN frequency >= 15 THEN 'loyal'
+                  WHEN recency_hr >= 240 THEN 'at_risk'
+                  ELSE 'regular' END AS segment
+      FROM rfm ORDER BY user_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
-    evtSessionsSecondarySort, evtHourlyAnomaly)
+    evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments)
 }

@@ -594,10 +594,94 @@ object Joins {
     """)
   )
 
+  /** Pure non-equi join (no equality conjunct at all): customers banded into
+    * account-balance tiers held in a 5-row lookup table. With zero equi-keys
+    * Spark cannot hash- or sort-merge-join; the ONLY scalable physical form
+    * is BroadcastNestedLoopJoin with the tiny side broadcast — each fact
+    * partition streams once past the 5 in-memory tier rows, no shuffle of
+    * the big side at any scale (PlanShapeSpec asserts the BNLJ + the
+    * stream-side's absence of an Exchange). Contrast with join_theta_range,
+    * whose user_id equality conjunct lets the range predicate ride a hash
+    * join, and join_range_binned, the path when NEITHER side broadcasts.
+    */
+  val joinBroadcastNestedLoop = Op(
+    "join_broadcast_nested_loop",
+    (s, d) => {
+      import s.implicits._
+      val tiers = Seq(
+        ("t1_low", -1000.0, 0.0), ("t2_small", 0.0, 2500.0),
+        ("t3_mid", 2500.0, 5000.0), ("t4_high", 5000.0, 7500.0),
+        ("t5_top", 7500.0, 10000.0))
+        .toDF("tier", "lo", "hi")
+      T.customer(s, d)
+        .join(broadcast(tiers), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("sum_bal"))
+        .orderBy(col("tier"))
+    },
+    Some("""
+      SELECT tier, COUNT(*) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM customer
+      JOIN (VALUES ('t1_low', -1000.0, 0.0), ('t2_small', 0.0, 2500.0),
+                   ('t3_mid', 2500.0, 5000.0), ('t4_high', 5000.0, 7500.0),
+                   ('t5_top', 7500.0, 10000.0)) AS tiers(tier, lo, hi)
+        ON c_acctbal >= lo AND c_acctbal < hi
+      GROUP BY tier ORDER BY tier
+    """)
+  )
+
+  /** As-of join WITH TOLERANCE — the bounded-staleness variant of
+    * join_asof_last_event: each purchase attributes to the same user's
+    * latest click only if it happened within the last 15 minutes,
+    * otherwise NULL (unattributed). Same linear union + running-max window
+    * kernel (one shuffle on user_id, never a per-key candidate join); the
+    * tolerance is a post-window null-out, which is also exactly what makes
+    * the streaming twin's state evictable (stream_stream_join's watermark
+    * IS this bound). Latency in exact integer microseconds.
+    */
+  val joinAsofTolerance = Op(
+    "join_asof_tolerance",
+    (s, d) => {
+      val tolUs = 15L * 60 * 1000000
+      val e = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+          when(col("event_type") === "click", unix_micros(col("ts"))).as("click_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("last_click_us", max(col("click_us")).over(w))
+        .filter(col("tag") === 1)
+        .withColumn("lat_us", unix_micros(col("ts")) - col("last_click_us"))
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          when(col("lat_us") <= tolUs, col("lat_us")).as("latency_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CASE WHEN epoch_us(p.ts) - lc.last_us <= 900000000
+                  THEN epoch_us(p.ts) - lc.last_us END AS latency_us
+      FROM events p
+      LEFT JOIN LATERAL (
+        SELECT MAX(epoch_us(c.ts)) AS last_us
+        FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click'
+          AND c.ts <= p.ts) lc ON TRUE
+      WHERE p.event_type = 'purchase'
+      ORDER BY purchase_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
     joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted,
-    joinBloomReduce, sqlQ3ShippingPriority)
+    joinBloomReduce, sqlQ3ShippingPriority, joinBroadcastNestedLoop,
+    joinAsofTolerance)
 }

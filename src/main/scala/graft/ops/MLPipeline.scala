@@ -192,7 +192,47 @@ object MLPipeline {
     """)
   )
 
+  /** Stratified deterministic sampling — per-stratum rates (en 50%, de 25%,
+    * everything else 10%), the "rebalance the language mix" step of a
+    * training-data pipeline. Same Knuth multiplicative hash bucket as
+    * sample_hash_bucket (stable across engines, partitionings and runs —
+    * unlike sampleBy, whose draw depends on row order), with the threshold
+    * selected per stratum. Pure narrow map + one bounded groupBy; the
+    * sampled SET is reproducible, so a re-run appends nothing new.
+    */
+  val sampleStratified = Op(
+    "sample_stratified",
+    (s, d) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      val threshold = when(col("lang") === "en", lit(2147483648L))  // 0.50 * 2^32
+        .when(col("lang") === "de", lit(1073741824L))               // 0.25 * 2^32
+        .otherwise(lit(429496729L))                                 // 0.10 * 2^32
+      T.documents(s, d)
+        .withColumn("in_sample", (bucket < threshold).cast("int"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("in_sample")).as("n_sampled"))
+        .withColumn("rate", round(col("n_sampled") / col("n_docs"), 6))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH flagged AS (
+        SELECT lang,
+               CASE WHEN (doc_id * 2654435761) % 4294967296 <
+                         CASE lang WHEN 'en' THEN 2147483648
+                                   WHEN 'de' THEN 1073741824
+                                   ELSE 429496729 END
+                    THEN 1 ELSE 0 END AS in_sample
+        FROM documents)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(in_sample) AS BIGINT) AS n_sampled,
+             ROUND(SUM(in_sample) / COUNT(*), 6) AS rate
+      FROM flagged GROUP BY lang ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
-    mlPredictionsSink, sampleHashBucket)
+    mlPredictionsSink, sampleHashBucket, sampleStratified)
 }

@@ -169,6 +169,44 @@ object Multimodal {
     """)
   )
 
+  /** Raw-file ingest via the `binaryFile` source — THE entry point for
+    * media/blob corpora that don't arrive as parquet: each file becomes one
+    * row (path, length, content BinaryType) and all downstream processing is
+    * ordinary distributed DataFrame work; file listing parallelizes across
+    * the cluster and a length pushdown filter skips oversized blobs at scan
+    * time. Fixture: 50 docs written out as one text file each (partitioned
+    * write, so the doc id travels in the directory name, never the driver),
+    * read back as binary, fingerprinted. Oracle recomputes length+md5 from
+    * the documents table (text is ASCII, so bytes == chars; the text sink
+    * appends one '\n').
+    */
+  val scanBinaryFiles = Op(
+    "scan_binary_files",
+    (s, d) => {
+      val dir = T.scratch("binary_files_corpus")
+      T.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), col("text"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("doc_id").text(dir)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "doc_id=(\\d+)", 1).cast("long").as("doc_id"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+             md5(text || chr(10)) AS content_md5
+      FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    mmDecodeFeatures, mmResizeMeta, mmFrameSample, mmContentDedup)
+    mmDecodeFeatures, mmResizeMeta, mmFrameSample, mmContentDedup,
+    scanBinaryFiles)
 }

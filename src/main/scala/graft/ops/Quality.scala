@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** §2.16 Data-quality operators — the validation pass a training-data
+  * pipeline runs on every ingested batch before anything downstream trusts
+  * it: per-column profiles (null/distinct/range) and referential-integrity
+  * orphan counts.
+  */
+object Quality {
+
+  /** Single-pass per-column profile of `orders`: for each profiled column,
+    * row count, null count, exact distinct count, and min/max rendered as
+    * strings (numerics through DECIMAL so both engines print identically).
+    * ONE scan computes the whole wide aggregate (map-side partial agg; the
+    * multi-distinct expands the same way agg_multi_distinct does), then
+    * `stack` unpivots the 1-row result into one row per column — no
+    * per-column re-scan, which is what makes profiling affordable at
+    * 100 TB. Null counts are genuinely zero per the fixture invariant
+    * (FIXTURES.md "No NULLs") — the profile is what PROVES that invariant
+    * on each new batch.
+    */
+  val qcColumnProfile = Op(
+    "qc_column_profile",
+    (s, d) => {
+      // numeric min/max computed on the numeric value, RENDERED via decimal
+      // afterwards (min over the string form would be lexicographic)
+      def decStr(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(18,2)").cast("string")
+      T.orders(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_custkey")).as("nn_ck"),
+          countDistinct(col("o_custkey")).as("nd_ck"),
+          decStr(min(col("o_custkey"))).as("mn_ck"),
+          decStr(max(col("o_custkey"))).as("mx_ck"),
+          count(col("o_totalprice")).as("nn_tp"),
+          countDistinct(col("o_totalprice")).as("nd_tp"),
+          decStr(min(col("o_totalprice"))).as("mn_tp"),
+          decStr(max(col("o_totalprice"))).as("mx_tp"),
+          count(col("o_orderstatus")).as("nn_os"),
+          countDistinct(col("o_orderstatus")).as("nd_os"),
+          min(col("o_orderstatus")).as("mn_os"), max(col("o_orderstatus")).as("mx_os"),
+          count(col("o_orderpriority")).as("nn_op"),
+          countDistinct(col("o_orderpriority")).as("nd_op"),
+          min(col("o_orderpriority")).as("mn_op"), max(col("o_orderpriority")).as("mx_op"))
+        .selectExpr(
+          """stack(4,
+               'o_custkey',      n_rows, n_rows - nn_ck, nd_ck, mn_ck, mx_ck,
+               'o_totalprice',   n_rows, n_rows - nn_tp, nd_tp, mn_tp, mx_tp,
+               'o_orderstatus',  n_rows, n_rows - nn_os, nd_os, mn_os, mx_os,
+               'o_orderpriority',n_rows, n_rows - nn_op, nd_op, mn_op, mx_op
+             ) AS (col_name, n_rows, n_null, n_distinct, min_val, max_val)""")
+        .orderBy(col("col_name"))
+    },
+    Some("""
+      WITH w AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_custkey) AS nn_ck, COUNT(DISTINCT o_custkey) AS nd_ck,
+               CAST(CAST(MIN(o_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS mn_ck,
+               CAST(CAST(MAX(o_custkey) AS DECIMAL(18,2)) AS VARCHAR) AS mx_ck,
+               COUNT(o_totalprice) AS nn_tp, COUNT(DISTINCT o_totalprice) AS nd_tp,
+               CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn_tp,
+               CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx_tp,
+               COUNT(o_orderstatus) AS nn_os, COUNT(DISTINCT o_orderstatus) AS nd_os,
+               MIN(o_orderstatus) AS mn_os, MAX(o_orderstatus) AS mx_os,
+               COUNT(o_orderpriority) AS nn_op, COUNT(DISTINCT o_orderpriority) AS nd_op,
+               MIN(o_orderpriority) AS mn_op, MAX(o_orderpriority) AS mx_op
+        FROM orders)
+      SELECT 'o_custkey' AS col_name, n_rows, n_rows - nn_ck AS n_null,
+             nd_ck AS n_distinct, mn_ck AS min_val, mx_ck AS max_val FROM w
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, n_rows - nn_tp, nd_tp, mn_tp, mx_tp FROM w
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, n_rows - nn_os, nd_os, mn_os, mx_os FROM w
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, n_rows - nn_op, nd_op, mn_op, mx_op FROM w
+      ORDER BY col_name
+    """)
+  )
+
+  /** Referential-integrity check across the star schema's two core FKs:
+    * count of orphan child rows (FK value absent from the parent) for
+    * lineitem→orders and orders→customer, plus the parent-side key counts
+    * for context. Each check is one LEFT ANTI join — the shuffle keys on
+    * the FK, the parent side ships only its key column, and the count is a
+    * map-side-combinable aggregate, so the audit costs one key-projected
+    * pass per FK at any scale. Healthy fixtures report 0 orphans — the op
+    * is the proof, run per ingested batch.
+    */
+  val qcFkOrphans = Op(
+    "qc_fk_orphans",
+    (s, d) => {
+      import s.implicits._
+      val orphanLine = T.lineitem(s, d).select(col("l_orderkey"))
+        .join(T.orders(s, d).select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .count()
+      val orphanOrd = T.orders(s, d).select(col("o_custkey"))
+        .join(T.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .count()
+      val nLine = T.lineitem(s, d).count()
+      val nOrd = T.orders(s, d).count()
+      Seq(
+        ("lineitem->orders", nLine, orphanLine),
+        ("orders->customer", nOrd, orphanOrd))
+        .toDF("fk", "n_child_rows", "n_orphans")
+        .orderBy(col("fk"))
+    },
+    Some("""
+      SELECT 'lineitem->orders' AS fk,
+             (SELECT COUNT(*) FROM lineitem) AS n_child_rows,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      UNION ALL
+      SELECT 'orders->customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      ORDER BY fk
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(qcColumnProfile, qcFkOrphans)
+}

@@ -318,7 +318,45 @@ object Scalars {
     """)
   )
 
+  /** Gap-filled time series: daily purchase counts over a generated date
+    * spine, missing days explicit as 0 — the densification step every
+    * downstream time-series model needs (a LEFT JOIN against a `sequence`
+    * spine; the spine derives from the data's own bounds so the op is
+    * closed over its input). The spine is tiny (one row per day) and
+    * broadcast; the fact side aggregates BEFORE the join, so the join
+    * touches |days| rows, not |events|.
+    */
+  val dtGapFillSpine = Op(
+    "dt_gap_fill_spine",
+    (s, d) => {
+      val p = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("day"))
+      val daily = p.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val spine = p.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+      broadcast(spine).join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n_purchases"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT CAST(ts AS DATE) AS day FROM events
+        WHERE event_type = 'purchase'),
+      daily AS (SELECT day, COUNT(*) AS n FROM p GROUP BY day),
+      b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM p),
+      spine AS (
+        SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                           CAST(hi AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM b)
+      SELECT s.day, COALESCE(n, 0) AS n_purchases
+      FROM spine s LEFT JOIN daily USING (day)
+      ORDER BY day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     strFuncs, strSplitRegex, strCodecs, dtFuncs, dtEpochWindow, mathFuncs,
-    arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs, jsonExtract)
+    arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs,
+    jsonExtract, dtGapFillSpine)
 }

@@ -273,8 +273,100 @@ object Scans {
     """)
   )
 
+  /** Semi-structured ingest via Spark 4's VARIANT type — `parse_json` once
+    * into the binary variant encoding, then typed `variant_get` path
+    * extraction. Versus scan_json_struct's fixed StructType, VARIANT is the
+    * open-schema path: no schema declared up front, each query extracts the
+    * paths it needs, and the columnar variant encoding (shredded binary)
+    * is far cheaper than re-parsing JSON text per access — the right
+    * default for heterogenous event property bags at 100 TB.
+    */
+  val scanJsonVariant = Op(
+    "scan_json_variant",
+    (s, d) =>
+      T.events(s, d)
+        .select(col("event_id"), parse_json(col("props")).as("v"))
+        .select(
+          col("event_id"),
+          variant_get(col("v"), "$.k", "int").as("k_int"),
+          variant_get(col("v"), "$.k", "string").as("k_str"))
+        .orderBy(col("event_id")),
+    Some("""
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS INTEGER) AS k_int,
+             json_extract_string(props, '$.k') AS k_str
+      FROM events ORDER BY event_id
+    """)
+  )
+
+  /** SCD Type-2 dimension merge — versioned history maintenance for a
+    * dimension table: a new snapshot arrives, unchanged rows keep their
+    * open version, changed rows close the old version (valid_to stamped)
+    * and open a new current one. The merge is ONE equi-join of the two
+    * snapshots on the business key plus narrow maps — the exact shape a
+    * MERGE INTO compiles to — so it scales as a plain shuffle join (or a
+    * zero-shuffle bucketed join when the dim is stored bucketed by key,
+    * per join_bucketed_colocated). Versions are integers (1 = bootstrap,
+    * 2 = this snapshot) for deterministic output; production swaps in
+    * batch timestamps. Snapshot 2 is derived deterministically from the
+    * fixture: every custkey ≡ 3 (mod 10) gets a balance adjustment.
+    */
+  val dimScd2Merge = Op(
+    "dim_scd2_merge",
+    (s, d) => {
+      val dim1 = T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val dim2 = dim1.withColumn("c_acctbal",
+        when(pmod(col("c_custkey"), lit(10)) === 3, col("c_acctbal") + 100.0)
+          .otherwise(col("c_acctbal")))
+      val j = dim1.alias("a")
+        .join(dim2.alias("b"), col("a.c_custkey") === col("b.c_custkey"))
+        .withColumn("changed",
+          col("a.c_acctbal") =!= col("b.c_acctbal") ||
+          col("a.c_mktsegment") =!= col("b.c_mktsegment"))
+      val closed = j.filter(col("changed"))
+        .select(col("a.c_custkey").as("c_custkey"),
+          col("a.c_mktsegment").as("c_mktsegment"),
+          col("a.c_acctbal").as("c_acctbal"),
+          lit(1).as("valid_from"), lit(2).cast("int").as("valid_to"),
+          lit(false).as("is_current"))
+      val current = j.select(col("a.c_custkey").as("c_custkey"),
+          when(col("changed"), col("b.c_mktsegment")).otherwise(col("a.c_mktsegment")).as("c_mktsegment"),
+          when(col("changed"), col("b.c_acctbal")).otherwise(col("a.c_acctbal")).as("c_acctbal"),
+          when(col("changed"), lit(2)).otherwise(lit(1)).as("valid_from"),
+          lit(null).cast("int").as("valid_to"),
+          lit(true).as("is_current"))
+      closed.unionAll(current)
+        .orderBy(col("c_custkey"), col("valid_from"))
+    },
+    Some("""
+      WITH dim1 AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+      dim2 AS (
+        SELECT c_custkey, c_mktsegment,
+               CASE WHEN c_custkey % 10 = 3 THEN c_acctbal + 100.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM dim1),
+      j AS (
+        SELECT a.c_custkey, a.c_mktsegment AS seg1, a.c_acctbal AS bal1,
+               b.c_mktsegment AS seg2, b.c_acctbal AS bal2,
+               (a.c_acctbal <> b.c_acctbal OR a.c_mktsegment <> b.c_mktsegment) AS changed
+        FROM dim1 a JOIN dim2 b USING (c_custkey))
+      SELECT c_custkey, seg1 AS c_mktsegment, bal1 AS c_acctbal,
+             1 AS valid_from, 2 AS valid_to, FALSE AS is_current
+      FROM j WHERE changed
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN changed THEN seg2 ELSE seg1 END,
+             CASE WHEN changed THEN bal2 ELSE bal1 END,
+             CASE WHEN changed THEN 2 ELSE 1 END,
+             CAST(NULL AS INTEGER), TRUE
+      FROM j
+      ORDER BY c_custkey, valid_from
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
-    sinkPartitionedPrune, sinkCompactedFiles)
+    sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant)
 }

@@ -446,9 +446,100 @@ object Streaming {
     """)
   )
 
+  /** Stream-static enrichment — the most common production streaming shape:
+    * an unbounded event stream joined to a bounded dimension table (here a
+    * derived nation assignment) with the static side BROADCAST, so the
+    * stream side never shuffles and the join is stateless (no watermark, no
+    * state store — each micro-batch joins independently). Because it is
+    * stateless and append-mode, the streaming result is row-identical to
+    * the batch join, which makes this the one streaming op that can be
+    * FULLY oracled rather than batch-twin-tested. Deterministic 1/4 user
+    * slice bounds the replay cost.
+    */
+  val streamStaticEnrich = Op(
+    "stream_static_enrich",
+    (s, d) => {
+      val dim = T.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      val enriched = readEventsStream(s, d)
+        .filter(col("user_id") % 4 === 0)
+        .join(broadcast(dim), pmod(col("user_id"), lit(25)) === col("n_nationkey"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("n_name"))
+      runToMemory(s, enriched, "graft_stream_enrich", mode = "append")
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type, n_name
+      FROM events JOIN nation ON user_id % 25 = n_nationkey
+      WHERE user_id % 4 = 0 ORDER BY event_id
+    """)
+  )
+
+  /** Incremental file ingest with exactly-once semantics — the production
+    * "process only what's new" ETL loop: a checkpointed file-source stream
+    * run with Trigger.AvailableNow drains everything currently in the
+    * landing directory and stops; when the next generation of files lands,
+    * re-running with the SAME checkpoint processes ONLY the new files (the
+    * source log records what was consumed). Two generations are replayed
+    * here; the sink read-back contains every row EXACTLY once, which is
+    * what the oracle hash-proves — without the checkpoint the second run
+    * would re-ingest generation 1 and the hash would differ. At scale this
+    * is the no-reprocessing ingest pattern for a continuously-landing
+    * 100 TB corpus (checkpoint size tracks file count, not data volume).
+    */
+  val streamIncrementalIngest = Op(
+    "stream_incremental_ingest",
+    (s, d) => {
+      import java.nio.file.{Files, Path, Paths}
+      val root = Paths.get(T.scratch("incr_ingest"))
+      // reset THIS op's state from any earlier invocation in the sweep
+      // (checkpoint reuse across invocations would skip generation 1)
+      if (Files.exists(root)) {
+        import java.util.Comparator
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+      }
+      val slice = T.events(s, d).filter(col("user_id") % 8 === 1)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      val src = s"$root/src"
+      slice.filter(col("event_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(src)
+      val srcSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType)))
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema(srcSchema)
+          .option("pathGlobFilter", "*.parquet").parquet(src)
+          .writeStream.format("parquet")
+          .option("path", s"$root/sink")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      drainOnce()
+      // generation 2 lands as new files in the same directory
+      slice.filter(col("event_id") % 2 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/staging")
+      Files.list(Paths.get(s"$root/staging")).forEach { p =>
+        if (p.toString.endsWith(".parquet"))
+          Files.move(p, Paths.get(src, "gen2_" + p.getFileName.toString))
+        ()
+      }
+      drainOnce()
+      s.read.parquet(s"$root/sink")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, event_type
+      FROM events WHERE user_id % 8 = 1 ORDER BY event_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
     streamSessionWindow, streamForeachBatchSink, streamStreamJoin,
-    streamStreamOuterJoin, streamCustomState)
+    streamStreamOuterJoin, streamCustomState, streamStaticEnrich,
+    streamIncrementalIngest)
 }

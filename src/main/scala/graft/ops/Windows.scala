@@ -311,8 +311,70 @@ object Windows {
     """)
   )
 
+  /** Forward-fill (last-observation-carried-forward): gaps in a per-user
+    * metric stream are filled with the most recent non-null value. The
+    * fixtures have no NULLs (FIXTURES.md), so a deterministic null pattern
+    * is injected (every 3rd event by id) and then repaired with
+    * last(ignoreNulls) over a running frame — one shuffle on user_id, the
+    * window never materializes more than a partition stripe. This is the
+    * standard sensor/feature-imputation shape for training pipelines.
+    */
+  val winFillForward = Op(
+    "win_fill_forward",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.events(s, d)
+        .withColumn("val_gap",
+          when(col("event_id") % 3 === 0, lit(null)).otherwise(col("value")))
+        .withColumn("val_filled", last(col("val_gap"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("val_gap"), col("val_filled"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id,
+             CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS val_gap,
+             LAST_VALUE(CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS val_filled
+      FROM events ORDER BY event_id
+    """)
+  )
+
+  /** nth_value + cume_dist — the two ranking-family functions the other
+    * window ops don't cover: per nation, every supplier sees the 2nd-richest
+    * supplier's name (full-partition frame) and its own cumulative
+    * distribution. Same single shuffle on the partition key as any window.
+    */
+  val winNthCume = Op(
+    "win_nth_cume",
+    (s, d) => {
+      val ord = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.supplier(s, d)
+        .select(
+          col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
+          nth_value(col("s_name"), 2).over(full).as("runner_up"),
+          round(cume_dist().over(ord), 6).as("cdist"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      SELECT s_suppkey, s_nationkey, s_acctbal,
+             NTH_VALUE(s_name, 2) OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS runner_up,
+             ROUND(CUME_DIST() OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey), 6) AS cdist
+      FROM supplier ORDER BY s_suppkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
-    winCumulative, winRankDistributed, winGapIslands)
+    winCumulative, winRankDistributed, winGapIslands, winFillForward,
+    winNthCume)
 }

@@ -159,6 +159,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a dynamicpruning PartitionFilter: $p")
   }
 
+  test("join_broadcast_nested_loop broadcasts the tier table, never shuffles the fact side") {
+    val p = plan("join_broadcast_nested_loop")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // below the join sit only its two inputs: the customer scan streams in
+    // directly, so the ONLY exchange under the BNLJ line is the broadcast
+    // of the 5-row tier table (plans print top-down: parents first)
+    val below = p.linesIterator.dropWhile(!_.contains("BroadcastNestedLoopJoin")).drop(1)
+    val exch = below.filter(_.contains("Exchange")).toList
+    assert(exch.forall(_.contains("BroadcastExchange")),
+      s"stream side shuffled below BNLJ: $p")
+  }
+
+  test("qc_column_profile profiles all columns in ONE scan of orders") {
+    val p = plan("qc_column_profile")
+    assert(p.sliding("Scan parquet".length).count(_ == "Scan parquet") == 1,
+      s"profile should read orders exactly once: $p")
+  }
+
   test("join_bucketed_colocated joins without shuffling either fact side") {
     def exchanges(p: String): Int =
       p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
