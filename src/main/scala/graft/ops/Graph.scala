@@ -80,5 +80,73 @@ object Graph {
     """)
   )
 
-  val ops: Vector[Op] = Vector(graphPagerank)
+  /** Distributed triangle counting over the supplier co-occurrence graph
+    * (suppliers linked when they serve >= 2 common orders). Edge
+    * construction is LINEAR: per-order supplier pairs fan out bounded by
+    * order size (≤ 7 lineitems), never a supplier×supplier product, and
+    * the support threshold keeps only repeat ties. Counting uses the
+    * classic oriented edge-join (node-iterator++, Schank 2007): orient
+    * every edge low→high vertex id, join wedges (a→b, a→c with b < c)
+    * against the closing edge (b→c) — each triangle counted exactly once,
+    * all steps plain equi-joins that shuffle on vertex keys. The fixture's
+    * supplier universe is tiny relative to its orders, so its
+    * co-occurrence graph is unrealistically DENSE — the suppkey < 250
+    * bound keeps this an oracle anchor (house pattern of the bounded
+    * similarity twins); at real scale the same plan applies with
+    * degree-ordered orientation (orient toward higher degree), which
+    * bounds wedge fanout by O(sqrt(2m)) per edge on any power-law graph.
+    * Emits per-vertex triangle participation top-20 + the global count.
+    */
+  val graphTriangleCount = Op(
+    "graph_triangle_count",
+    (s, d) => {
+      val orderSupp = T.lineitem(s, d)
+        .filter(col("l_suppkey") < 250)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
+        .filter(col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("a"), col("b"))
+      val wedges = pairs.as("e1").join(pairs.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.b").as("u"), col("e2.b").as("v"), col("e1.a").as("apex"))
+      val tris = wedges.join(pairs.as("e3"),
+          col("u") === col("e3.a") && col("v") === col("e3.b"))
+        .select(col("apex"), col("u"), col("v"))
+      val perVertex = tris.select(explode(array(col("apex"), col("u"), col("v"))).as("supp"))
+        .groupBy(col("supp")).agg(count(lit(1)).as("n_triangles"))
+      val total = tris.agg(count(lit(1)).as("t")).select(col("t"))
+      perVertex.crossJoin(broadcast(total))
+        .select(col("supp"), col("n_triangles"), col("t").as("total_triangles"))
+        .orderBy(col("n_triangles").desc, col("supp"))
+        .limit(20)
+    },
+    Some("""
+      WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                  FROM lineitem WHERE l_suppkey < 250),
+      pairs AS (
+        SELECT x.sk AS a, y.sk AS b
+        FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+        GROUP BY x.sk, y.sk HAVING COUNT(*) >= 2),
+      tris AS (
+        SELECT e1.a AS apex, e1.b AS u, e2.b AS v
+        FROM pairs e1
+        JOIN pairs e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+      pv AS (
+        SELECT supp, COUNT(*) AS n_triangles
+        FROM (SELECT apex AS supp FROM tris
+              UNION ALL SELECT u FROM tris
+              UNION ALL SELECT v FROM tris)
+        GROUP BY supp)
+      SELECT supp, n_triangles,
+             (SELECT COUNT(*) FROM tris) AS total_triangles
+      FROM pv ORDER BY n_triangles DESC, supp LIMIT 20
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount)
 }

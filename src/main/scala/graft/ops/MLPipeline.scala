@@ -232,7 +232,33 @@ object MLPipeline {
     """)
   )
 
+  /** Deterministic k-fold cross-validation assignment — fold id from the
+    * same engine-stable multiplicative hash as sample_hash_bucket (mod k),
+    * so folds are reproducible under any partitioning, disjoint and
+    * exhaustive by construction, and any worker can recompute membership
+    * without a lookup table. Emits per-(fold, lang) counts — the class-
+    * balance check you run BEFORE training k models. Contrast
+    * ml_train_test_split (the 80/20 two-way form, oracle-exempt via
+    * MLlib); the pure-integer fold formula is fully hash-oracled.
+    */
+  val mlKfoldAssign = Op(
+    "ml_kfold_assign",
+    (s, d) => {
+      val fold = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(5))
+      T.documents(s, d)
+        .withColumn("fold", fold.cast("int"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("fold"), col("lang"))
+    },
+    Some("""
+      SELECT CAST(((doc_id * 2654435761) % 4294967296) % 5 AS INTEGER) AS fold,
+             lang, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2 ORDER BY fold, lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
-    mlPredictionsSink, sampleHashBucket, sampleStratified)
+    mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign)
 }

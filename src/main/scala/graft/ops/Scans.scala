@@ -273,6 +273,46 @@ object Scans {
     """)
   )
 
+  /** Inverted-index serving — the search-engine primitive behind the
+    * reference's domain: an offline BUILD writes the token→doc postings
+    * table to storage clustered by token (repartition on token +
+    * sortWithinPartitions, so parquet min/max stats make a term lookup
+    * skip every irrelevant row group), and the SERVE path answers a
+    * conjunctive two-term query by intersecting the two posting lists —
+    * an IN-pushdown scan of the index plus one doc_id-keyed self-join.
+    * The corpus itself is never rescanned at query time; at 100 TB the
+    * postings read is proportional to the terms' document frequency, not
+    * the corpus.
+    */
+  val serveInvertedIndex = Op(
+    "serve_inverted_index",
+    (s, d) => {
+      val idx = T.scratch("inverted_index")
+      T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .repartition(col("token"))
+        .sortWithinPartitions(col("token"), col("doc_id"))
+        .write.mode("overwrite").parquet(idx)
+      val postings = s.read.parquet(idx)
+        .filter(col("token").isin("join", "filter"))
+      postings.alias("a").filter(col("a.token") === "join")
+        .join(postings.alias("b").filter(col("b.token") === "filter"),
+          col("a.doc_id") === col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+      SELECT a.doc_id
+      FROM p a JOIN p b ON a.doc_id = b.doc_id
+      WHERE a.token = 'join' AND b.token = 'filter'
+      ORDER BY a.doc_id
+    """)
+  )
+
   /** Semi-structured ingest via Spark 4's VARIANT type — `parse_json` once
     * into the binary variant encoding, then typed `variant_get` path
     * extraction. Versus scan_json_struct's fixed StructType, VARIANT is the
@@ -368,5 +408,6 @@ object Scans {
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
-    sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant)
+    sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
+    serveInvertedIndex)
 }
