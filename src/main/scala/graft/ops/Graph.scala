@@ -118,9 +118,13 @@ object Graph {
         .select(col("apex"), col("u"), col("v"))
       val perVertex = tris.select(explode(array(col("apex"), col("u"), col("v"))).as("supp"))
         .groupBy(col("supp")).agg(count(lit(1)).as("n_triangles"))
-      val total = tris.agg(count(lit(1)).as("t")).select(col("t"))
-      perVertex.crossJoin(broadcast(total))
-        .select(col("supp"), col("n_triangles"), col("t").as("total_triangles"))
+      // every triangle contributes exactly 3 per-vertex rows, so the
+      // global count is sum/3 OVER the aggregate already computed — a
+      // window over the <=|V| aggregated rows, never a second execution
+      // of the wedge join (a separate tris.agg branch would re-run it)
+      perVertex
+        .withColumn("total_triangles", expr("sum(n_triangles) OVER () div 3"))
+        .select(col("supp"), col("n_triangles"), col("total_triangles"))
         .orderBy(col("n_triangles").desc, col("supp"))
         .limit(20)
     },

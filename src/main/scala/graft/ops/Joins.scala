@@ -616,8 +616,7 @@ object Joins {
       T.customer(s, d)
         .join(broadcast(tiers), col("c_acctbal") >= col("lo") && col("c_acctbal") < col("hi"))
         .groupBy(col("tier"))
-        .agg(count(lit(1)).as("n_cust"),
-          sum(col("c_acctbal").cast("decimal(18,4)")).cast("double").as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), Det.sumDec(col("c_acctbal")).as("sum_bal"))
         .orderBy(col("tier"))
     },
     Some("""

@@ -81,31 +81,31 @@ object Quality {
 
   /** Referential-integrity check across the star schema's two core FKs:
     * count of orphan child rows (FK value absent from the parent) for
-    * lineitem→orders and orders→customer, plus the parent-side key counts
-    * for context. Each check is one LEFT ANTI join — the shuffle keys on
-    * the FK, the parent side ships only its key column, and the count is a
-    * map-side-combinable aggregate, so the audit costs one key-projected
-    * pass per FK at any scale. Healthy fixtures report 0 orphans — the op
-    * is the proof, run per ingested batch.
+    * lineitem→orders and orders→customer, plus the child-side row counts
+    * for context. Each check is ONE pass: a left join against the
+    * parent's key column (parents are PKs, so no row multiplication) with
+    * both the row count and the null-parent count taken from the same
+    * map-side-combinable aggregate — child and parent each scanned
+    * exactly once per FK, and the whole op stays lazy like every other
+    * Op. Healthy fixtures report 0 orphans — the op is the proof, run
+    * per ingested batch.
     */
   val qcFkOrphans = Op(
     "qc_fk_orphans",
     (s, d) => {
-      import s.implicits._
-      val orphanLine = T.lineitem(s, d).select(col("l_orderkey"))
-        .join(T.orders(s, d).select(col("o_orderkey")),
-          col("l_orderkey") === col("o_orderkey"), "left_anti")
-        .count()
-      val orphanOrd = T.orders(s, d).select(col("o_custkey"))
-        .join(T.customer(s, d).select(col("c_custkey")),
-          col("o_custkey") === col("c_custkey"), "left_anti")
-        .count()
-      val nLine = T.lineitem(s, d).count()
-      val nOrd = T.orders(s, d).count()
-      Seq(
-        ("lineitem->orders", nLine, orphanLine),
-        ("orders->customer", nOrd, orphanOrd))
-        .toDF("fk", "n_child_rows", "n_orphans")
+      def fkCheck(name: String, child: org.apache.spark.sql.DataFrame,
+                  fk: String, parent: org.apache.spark.sql.DataFrame,
+                  pk: String) =
+        child.select(col(fk))
+          .join(parent.select(col(pk)), col(fk) === col(pk), "left")
+          .agg(
+            count(lit(1)).as("n_child_rows"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(name).as("fk"), col("n_child_rows"), col("n_orphans"))
+      fkCheck("lineitem->orders", T.lineitem(s, d), "l_orderkey",
+          T.orders(s, d), "o_orderkey")
+        .unionAll(fkCheck("orders->customer", T.orders(s, d), "o_custkey",
+          T.customer(s, d), "c_custkey"))
         .orderBy(col("fk"))
     },
     Some("""

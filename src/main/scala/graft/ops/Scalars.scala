@@ -323,8 +323,11 @@ object Scalars {
     * downstream time-series model needs (a LEFT JOIN against a `sequence`
     * spine; the spine derives from the data's own bounds so the op is
     * closed over its input). The spine is tiny (one row per day) and
-    * broadcast; the fact side aggregates BEFORE the join, so the join
-    * touches |days| rows, not |events|.
+    * one side of the join; the fact side aggregates BEFORE the join, so
+    * the join touches |days| rows, not |events|. The broadcast hint sits
+    * on the DAILY (right/build) side — a left-outer join can only
+    * build-broadcast its non-preserved side, so hinting the spine would
+    * be silently dead.
     */
   val dtGapFillSpine = Op(
     "dt_gap_fill_spine",
@@ -334,7 +337,7 @@ object Scalars {
       val daily = p.groupBy(col("day")).agg(count(lit(1)).as("n"))
       val spine = p.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
-      broadcast(spine).join(daily, Seq("day"), "left")
+      spine.join(broadcast(daily), Seq("day"), "left")
         .select(col("day"), coalesce(col("n"), lit(0L)).as("n_purchases"))
         .orderBy(col("day"))
     },

@@ -495,8 +495,10 @@ object Streaming {
       // (checkpoint reuse across invocations would skip generation 1)
       if (Files.exists(root)) {
         import java.util.Comparator
-        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+        val walk = Files.walk(root)
+        try walk.sorted(Comparator.reverseOrder[Path]())
           .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close() // NIO streams hold a directory fd until closed
       }
       val slice = T.events(s, d).filter(col("user_id") % 8 === 1)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
@@ -520,11 +522,12 @@ object Streaming {
       // generation 2 lands as new files in the same directory
       slice.filter(col("event_id") % 2 === 1).coalesce(1)
         .write.mode("overwrite").parquet(s"$root/staging")
-      Files.list(Paths.get(s"$root/staging")).forEach { p =>
+      val staged = Files.list(Paths.get(s"$root/staging"))
+      try staged.forEach { p =>
         if (p.toString.endsWith(".parquet"))
           Files.move(p, Paths.get(src, "gen2_" + p.getFileName.toString))
         ()
-      }
+      } finally staged.close()
       drainOnce()
       s.read.parquet(s"$root/sink")
         .select(col("event_id"), col("user_id"), col("event_type"))

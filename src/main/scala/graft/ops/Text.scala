@@ -242,7 +242,73 @@ object Text {
     """)
   )
 
+  /** PMI collocations (Church & Hanks 1990) — adjacent token pairs that
+    * co-occur far more than chance: pmi = ln(p(xy) / (p(x)p(y))), the
+    * standard association measure for multiword-expression mining in a
+    * training corpus. Three counting aggregations (bigrams via the native
+    * codegen'd token_ngrams, unigrams, totals broadcast as one row) and a
+    * token-keyed join — every step map-side-combinable, no step touches
+    * more than the vocabulary after the first agg, so the plan is
+    * indifferent to corpus size. min-count 25 floors the estimator noise;
+    * ln parity with DuckDB is established (txt_idf_tfidf), round6 on top.
+    */
+  val txtCollocationPmi = Op(
+    "txt_collocation_pmi",
+    (s, d) => {
+      graft.functions.NGrams.register(s)
+      val toks = tokens(s, d)
+      val uni = toks.groupBy(col("token")).agg(count(lit(1)).as("uc"))
+      val biAll = T.documents(s, d)
+        .select(explode(expr("token_ngrams(split(text, ' '), 2)")).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("bc"))
+      val bi = biAll.filter(col("bc") >= 25)
+        .withColumn("x", split(col("bigram"), " ").getItem(0))
+        .withColumn("y", split(col("bigram"), " ").getItem(1))
+      // p(xy) normalizes over ALL bigram mass, not just the surviving
+      // candidates — summing post-filter would shift every PMI by a
+      // constant ln(total/filtered) and stop being the cited formula
+      val totals = uni.agg(sum(col("uc")).as("n_uni"))
+        .crossJoin(biAll.agg(sum(col("bc")).as("n_bi")))
+      bi.join(uni.select(col("token").as("x"), col("uc").as("xc")), "x")
+        .join(uni.select(col("token").as("y"), col("uc").as("yc")), "y")
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(
+          log((col("bc") / col("n_bi")) /
+              ((col("xc") / col("n_uni")) * (col("yc") / col("n_uni")))), 6))
+        .select(col("bigram"), col("bc"), col("pmi"))
+        .orderBy(col("pmi").desc, col("bigram"))
+        .limit(40)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      uni AS (SELECT token, COUNT(*) AS uc FROM toks GROUP BY token),
+      seq AS (
+        SELECT doc_id, unnest(toks) AS token,
+               generate_subscripts(toks, 1) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      bi_all AS (
+        SELECT a.token || ' ' || b.token AS bigram, COUNT(*) AS bc,
+               a.token AS x, b.token AS y
+        FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY 1, 3, 4),
+      bi AS (SELECT * FROM bi_all WHERE bc >= 25),
+      tot AS (
+        SELECT (SELECT SUM(uc) FROM uni) AS n_uni,
+               (SELECT SUM(bc) FROM bi_all) AS n_bi)
+      SELECT bigram, bc,
+             ROUND(LN((bc / n_bi) /
+                      ((xc / n_uni) * (yc / n_uni))), 6) AS pmi
+      FROM bi
+      JOIN (SELECT token AS x, uc AS xc FROM uni) USING (x)
+      JOIN (SELECT token AS y, uc AS yc FROM uni) USING (y)
+      CROSS JOIN tot
+      ORDER BY pmi DESC, bigram LIMIT 40
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtNormalize, txtWordcount, txtStopwordFilter, txtTf, txtIdfTfidf,
-    txtNgrams, txtDocStats, txtStringIndexer, txtHashingTf, txtLangDistPivot)
+    txtNgrams, txtDocStats, txtStringIndexer, txtHashingTf, txtLangDistPivot,
+    txtCollocationPmi)
 }

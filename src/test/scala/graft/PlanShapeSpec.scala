@@ -177,6 +177,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"profile should read orders exactly once: $p")
   }
 
+  test("serve_inverted_index pushes the term IN-list into the postings scan") {
+    val p = plan("serve_inverted_index")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).toList
+    assert(pushed.nonEmpty && pushed.forall(_.contains("token")),
+      s"term filter not pushed to the postings scan: $pushed")
+    // the serve path must read the index, not the documents corpus
+    val scans = p.linesIterator.filter(_.contains("Scan parquet")).size
+    assert(!p.contains("documents.parquet"),
+      s"query path rescanned the corpus ($scans scans): $p")
+  }
+
   test("join_bucketed_colocated joins without shuffling either fact side") {
     def exchanges(p: String): Int =
       p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
