@@ -188,6 +188,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"query path rescanned the corpus ($scans scans): $p")
   }
 
+  test("dim_scd2_merge is ONE snapshot join (the MERGE INTO shape), not one per branch") {
+    val p = plan("dim_scd2_merge")
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("BroadcastHashJoin") ||
+      l.contains("ShuffledHashJoin"))
+    // closed + current branches both derive from the same join; plan may
+    // reuse or duplicate the subtree per union branch, but no branch may
+    // introduce additional join depth
+    assert(joins <= 2, s"expected at most one join per union branch: $p")
+  }
+
+  test("dt_gap_fill_spine broadcasts the aggregated daily side") {
+    assert(plan("dt_gap_fill_spine").contains("BroadcastHashJoin"), "daily side not broadcast")
+  }
+
   test("join_bucketed_colocated joins without shuffling either fact side") {
     def exchanges(p: String): Int =
       p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
