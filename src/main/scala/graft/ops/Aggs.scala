@@ -140,6 +140,41 @@ object Aggs {
     None
   )
 
+  /** Sliding-window distinct counting from STORED sketches — "distinct
+    * users in the trailing 24 h, every hour": exactly is infeasible at
+    * scale (distinct doesn't decompose over overlapping windows; the naive
+    * form re-scans 24 h of raw log per hour). The sketch-table form: one
+    * HLL sketch per hour persisted (|hours| rows, built in one pass over
+    * the log), then each hour's answer is hll_union_agg over its trailing
+    * 24 sketch rows via a bounded self-join on the hour key — the query
+    * touches kilobytes of sketches, never the log, and both steps are
+    * associative merges. This is the streaming-analytics rolling-cardinality
+    * pattern; the same stored table answers ANY window multiple of an
+    * hour. Oracle-exempt (sketch bytes engine-specific); ExemptSpec proves
+    * every hour's estimate within 5% of the exact trailing distinct.
+    */
+  val winSlidingDistinctHll = Op(
+    "win_sliding_distinct_hll",
+    (s, d) => {
+      val tmp = T.scratch("hll_hourly")
+      T.events(s, d)
+        .withColumn("hr", expr("unix_timestamp(ts) div 3600"))
+        .groupBy(col("hr"))
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+        .write.mode("overwrite").parquet(tmp)
+      val sk = s.read.parquet(tmp)
+      sk.select(col("hr"))
+        .join(sk.select(col("hr").as("h2"), col("sketch")),
+          col("h2") >= col("hr") - 23 && col("h2") <= col("hr"))
+        .groupBy(col("hr"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users_24h"),
+          count(lit(1)).as("n_sketches"))
+        .orderBy(col("hr"))
+    },
+    None
+  )
+
   /** Approximate quantiles via the GK/KLL-style percentile_approx sketch —
     * the 100 TB path for order statistics (bounded sketch per group, merges
     * associatively) vs an exact percentile's full per-group sort. Accuracy
@@ -519,5 +554,5 @@ object Aggs {
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
     aggHistogramFixedBins, aggMedianByGroup, aggModePerGroup,
-    aggPercentileContDisc)
+    aggPercentileContDisc, winSlidingDistinctHll)
 }

@@ -42,6 +42,24 @@ class ExemptSpec extends AnyFunSuite {
         s"$k: merged estimate ${merged(k)} vs exact $e")
   }
 
+  test("win_sliding_distinct_hll: every trailing-24h estimate within 5% of exact") {
+    val approx = Registry.queries("win_sliding_distinct_hll")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = T.events(spark, sf)
+      .select(expr("unix_timestamp(ts) div 3600").as("hr"), col("user_id"))
+      .distinct()
+    val exact = pairs.select(col("hr"))
+      .distinct()
+      .join(pairs.select(col("hr").as("h2"), col("user_id")),
+        col("h2") >= col("hr") - 23 && col("h2") <= col("hr"))
+      .groupBy(col("hr")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((h, e) <- exact)
+      assert(math.abs(approx(h).toDouble - e) / e < 0.05,
+        s"hour $h: estimate ${approx(h)} vs exact $e")
+  }
+
   test("agg_approx_quantiles: values inside the exact [p-0.01, p+0.01] band, deterministic") {
     val rows = Registry.queries("agg_approx_quantiles")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -16,6 +16,7 @@ class RegistrySpec extends AnyFunSuite {
     val exempt = q -- o
     val expectedExempt = Set(
       "agg_approx_hll", "agg_hll_partitioned_merge", "agg_approx_quantiles",
+      "win_sliding_distinct_hll",
       "txt_hashing_tf", "txt_freq_tokens",
       "sim_minhash_lsh",
       "stream_structured_tumbling", "stream_dedup_watermark", "stream_late_data_policy",
