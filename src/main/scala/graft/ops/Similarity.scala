@@ -956,10 +956,63 @@ object Similarity {
     """)
   )
 
+  /** Int8 embedding quantization — the 4× storage/bandwidth compression
+    * every billion-vector ANN index applies before sharding (Jégou et al.'s
+    * scalar-quantization baseline): per vector, affine-map each float
+    * coordinate onto [0,255] by the vector's own min/max, and report the
+    * worst-case reconstruction error. All math is per-row `transform`/
+    * `aggregate` lambdas — narrow, codegen-adjacent, zero shuffle until
+    * the final per-source rollup. Rounding is floor(x+0.5) in BOTH engines
+    * (`round`'s half-even vs half-up tie rules differ across engines;
+    * floor+0.5 is identical IEEE754 arithmetic). Emits per-source mean and
+    * max reconstruction error (decimal-exact accumulation), proving the
+    * quantizer loses <= scale/2 per coordinate.
+    */
+  val embQuantizeInt8 = Op(
+    "emb_quantize_int8",
+    (s, d) =>
+      T.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .withColumn("mn", expr("aggregate(embedding, CAST('Infinity' AS DOUBLE), (a, x) -> least(a, CAST(x AS DOUBLE)))"))
+        .withColumn("mx", expr("aggregate(embedding, CAST('-Infinity' AS DOUBLE), (a, x) -> greatest(a, CAST(x AS DOUBLE)))"))
+        .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+        .withColumn("max_err", expr(
+          """aggregate(embedding, CAST(0.0 AS DOUBLE),
+             (a, x) -> greatest(a, abs(CAST(x AS DOUBLE) -
+               (mn + floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) * scale))))"""))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          round(avg(Det.dec(col("max_err"))).cast("double"), 6).as("mean_max_err"),
+          round(max(col("max_err")), 6).as("worst_err"),
+          round(max(col("scale") / 2.0), 6).as("err_bound"))
+        .orderBy(col("label")),
+    Some("""
+      WITH q AS (
+        SELECT label,
+               list_min(embedding) AS mn, list_max(embedding) AS mx,
+               (list_max(embedding) - list_min(embedding)) / 255.0 AS scale,
+               embedding
+        FROM (SELECT label,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+              FROM embeddings)),
+      e AS (
+        SELECT label, scale,
+               list_max(list_transform(embedding,
+                 x -> abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))) AS max_err
+        FROM q)
+      SELECT label, COUNT(*) AS n_vecs,
+             ROUND(CAST(AVG(CAST(max_err AS DECIMAL(18,4))) AS DOUBLE), 6) AS mean_max_err,
+             ROUND(MAX(max_err), 6) AS worst_err,
+             ROUND(MAX(scale / 2.0), 6) AS err_bound
+      FROM e GROUP BY label ORDER BY label
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
-    simTfidfCosine)
+    simTfidfCosine, embQuantizeInt8)
 }
