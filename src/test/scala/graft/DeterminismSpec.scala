@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Registry
+
+/** Shuffle-order independence — the failure class the DuckDB oracle only
+  * catches if the driver's partitioning happens to differ from ours: a
+  * result that depends on the number of shuffle partitions (double
+  * summation order, non-deterministic tie-breaks, partition-id leakage)
+  * is wrong at cluster scale even when it hash-matches locally. Each op
+  * below runs under two different shuffle-partition settings (a prime, and
+  * the suite default) and must produce IDENTICAL rows. The list covers
+  * every mechanism the repo relies on for determinism: decimal-cast sums,
+  * two-pass rank offsets, iterative label propagation, integer-scaled
+  * PageRank, windowed tie-breaks, scratch-state rebuild, and the
+  * floor(x+0.5) quantizer.
+  */
+class DeterminismSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val keys = Seq(
+    "agg_hash_groupby",          // decimal-cast distributed sums
+    "agg_exact_median_distributed", // two-pass rank, boundary pinning
+    "win_rank_distributed",      // range-partition offsets
+    "dedup_cc_clusters",         // iterative min-label propagation
+    "graph_pagerank",            // integer-scaled iterative mass
+    "sim_label_centroids",       // integer micro-unit distributed mean
+    "agg_mode_per_group",        // deterministic tie-break
+    "evt_rfm_segments",          // broadcast horizon + decimal sums
+    "dim_scd2_merge",            // snapshot join + union branches
+    "emb_quantize_int8",         // floor(x+0.5) quantizer arithmetic
+    "txt_collocation_pmi",       // ln over count ratios
+    "qc_column_profile")         // multi-distinct Expand + stack
+
+  private def rows(name: String, parts: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try Registry.queries(name)(spark, sf).collect().map(_.toString).toSeq
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (k <- keys)
+    test(s"$k is invariant to the shuffle partition count") {
+      val a = rows(k, "7")
+      val b = rows(k, "4")
+      assert(a == b,
+        s"$k differs across partition counts: ${a.diff(b).take(3)} vs ${b.diff(a).take(3)}")
+    }
+}
