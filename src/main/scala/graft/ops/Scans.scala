@@ -45,6 +45,36 @@ object Scans {
     Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
   )
 
+  /** ORC round-trip — the other first-class columnar format (predicate
+    * pushdown, column pruning, vectorized read all apply exactly as for
+    * parquet): a filtered orders slice written as ORC, read back with a
+    * pushed filter, aggregated. Completes the format matrix
+    * (parquet / csv / jsonl / json-struct / variant / text / binary / orc);
+    * at scale the choice is interop-driven, and the engine treats both
+    * columnar formats identically.
+    */
+  val scanOrcRoundtrip = Op(
+    "scan_orc_roundtrip",
+    (s, d) => {
+      val tmp = T.scratch("orders_orc")
+      T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .filter(col("o_totalprice") > 100000.0)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          Det.sumDec(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""
+      SELECT o_orderstatus, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      FROM orders WHERE o_totalprice > 100000.0
+      GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+  )
+
   /** Two-source scan: nation ∪ region keys unified to one (kind, key, name)
     * relation via unionByName.
     */
@@ -409,5 +439,5 @@ object Scans {
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
-    serveInvertedIndex)
+    serveInvertedIndex, scanOrcRoundtrip)
 }
