@@ -124,5 +124,41 @@ object Quality {
     """)
   )
 
-  val ops: Vector[Op] = Vector(qcColumnProfile, qcFkOrphans)
+  /** Zero-extra-pass pipeline metrics via the Observation API — the
+    * production monitoring pattern: a write pipeline carries `observe`d
+    * aggregates (row count, decimal-exact quantity mass, business-rule
+    * counter) that are computed BY THE SAME JOB that writes the data, as
+    * accumulator-style metrics — no second scan, no race with a separate
+    * QC query reading the table it audits. The op runs the write, then
+    * emits the observed metrics row; the oracle recomputes them directly,
+    * proving observe() metrics equal a dedicated aggregation.
+    */
+  val qcObserveMetrics = Op(
+    "qc_observe_metrics",
+    (s, d) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      T.lineitem(s, d)
+        .filter(col("l_quantity") > 10.0)
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          Det.sumDec(col("l_quantity")).as("sum_qty"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"))
+        .write.mode("overwrite").parquet(T.scratch("observed_sink"))
+      val m = obs.get
+      Seq((m("n_rows").asInstanceOf[Long],
+           m("sum_qty").asInstanceOf[Double],
+           m("n_discounted").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_qty", "n_discounted")
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discounted
+      FROM lineitem WHERE l_quantity > 10.0
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(qcColumnProfile, qcFkOrphans, qcObserveMetrics)
 }

@@ -75,6 +75,37 @@ object Scans {
     """)
   )
 
+  /** Compressed text ingest: gzip CSV round-trip. gzip is NOT splittable —
+    * one file = one task regardless of size, the classic ingest bottleneck
+    * — so the write deliberately fans the slice out to 4 files first
+    * (at scale: many medium .gz files, or zstd/bzip2 where splittable
+    * codecs are available, then compact per sink_compacted_files).
+    */
+  val scanCsvGzip = Op(
+    "scan_csv_gzip",
+    (s, d) => {
+      val tmp = T.scratch("supplier_csv_gz")
+      T.supplier(s, d)
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip").csv(tmp)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).option("header", "true").csv(tmp)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"), Det.sumDec(col("s_acctbal")).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n_supp,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """)
+  )
+
   /** Two-source scan: nation ∪ region keys unified to one (kind, key, name)
     * relation via unionByName.
     */
@@ -439,5 +470,5 @@ object Scans {
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
-    serveInvertedIndex, scanOrcRoundtrip)
+    serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip)
 }
