@@ -146,9 +146,11 @@ object Quality {
           sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("n_discounted"))
         .write.mode("overwrite").parquet(T.scratch("observed_sink"))
       val m = obs.get
+      // sum over zero rows is null; a bare asInstanceOf[Double] would
+      // silently unbox it to 0.0 and diverge from the oracle's NULL
       Seq((m("n_rows").asInstanceOf[Long],
-           m("sum_qty").asInstanceOf[Double],
-           m("n_discounted").asInstanceOf[Long]))
+           Option(m("sum_qty")).map(_.asInstanceOf[Double]),
+           Option(m("n_discounted")).map(_.asInstanceOf[Long])))
         .toDF("n_rows", "sum_qty", "n_discounted")
     },
     Some("""

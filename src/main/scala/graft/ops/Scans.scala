@@ -350,8 +350,7 @@ object Scans {
     (s, d) => {
       // _SUCCESS gates the build (same idiom as the IVF index): repeated
       // queries in a sweep — and a real serving loop — pay the build once
-      val dirKey = d.replaceAll("[^A-Za-z0-9.]", "_")
-      val idx = T.scratch(s"inverted_index_$dirKey")
+      val idx = T.scratchFor(d, "inverted_index")
       if (!new java.io.File(s"$idx/_SUCCESS").exists())
         T.documents(s, d)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))

@@ -552,8 +552,7 @@ object Similarity {
     * batches" loop — pay the fit exactly once.
     */
   private def ivfIndex(s: SparkSession, d: String, nList: Int): (DataFrame, DataFrame) = {
-    val dirKey = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val idx = T.scratch(s"ivf_index_${dirKey}_$nList")
+    val idx = T.scratchFor(d, s"ivf_index_$nList")
     if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists()) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -964,9 +963,11 @@ object Similarity {
     * `aggregate` lambdas — narrow, codegen-adjacent, zero shuffle until
     * the final per-source rollup. Rounding is floor(x+0.5) in BOTH engines
     * (`round`'s half-even vs half-up tie rules differ across engines;
-    * floor+0.5 is identical IEEE754 arithmetic). Emits per-source mean and
-    * max reconstruction error (decimal-exact accumulation), proving the
-    * quantizer loses <= scale/2 per coordinate.
+    * floor+0.5 is identical IEEE754 arithmetic — applied to the quantizer
+    * AND to the 6dp output rounding). Emits per-label mean and max
+    * reconstruction error (decimal-exact accumulation), proving the
+    * quantizer loses <= scale/2 per coordinate; constant vectors guard
+    * the zero-scale division (error 0 by construction).
     */
   val embQuantizeInt8 = Op(
     "emb_quantize_int8",
@@ -976,16 +977,24 @@ object Similarity {
         .withColumn("mn", expr("aggregate(embedding, CAST('Infinity' AS DOUBLE), (a, x) -> least(a, CAST(x AS DOUBLE)))"))
         .withColumn("mx", expr("aggregate(embedding, CAST('-Infinity' AS DOUBLE), (a, x) -> greatest(a, CAST(x AS DOUBLE)))"))
         .withColumn("scale", (col("mx") - col("mn")) / lit(255.0))
+        // constant vector ⇒ scale 0 ⇒ 0/0 NaN without the guard; it
+        // quantizes trivially with zero error
         .withColumn("max_err", expr(
-          """aggregate(embedding, CAST(0.0 AS DOUBLE),
-             (a, x) -> greatest(a, abs(CAST(x AS DOUBLE) -
-               (mn + floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) * scale))))"""))
+          """CASE WHEN mx = mn THEN CAST(0.0 AS DOUBLE)
+             ELSE aggregate(embedding, CAST(0.0 AS DOUBLE),
+               (a, x) -> greatest(a, abs(CAST(x AS DOUBLE) -
+                 (mn + floor((CAST(x AS DOUBLE) - mn) / scale + 0.5) * scale))))
+             END"""))
         .groupBy(col("label"))
         .agg(
           count(lit(1)).as("n_vecs"),
-          round(avg(Det.dec(col("max_err"))).cast("double"), 6).as("mean_max_err"),
-          round(max(col("max_err")), 6).as("worst_err"),
-          round(max(col("scale") / 2.0), 6).as("err_bound"))
+          // floor(x*1e6+0.5)/1e6, NOT round(x,6): same half-up-for-
+          // non-negatives rounding via IDENTICAL IEEE754 arithmetic in
+          // both engines — round()'s decimal-string vs binary tie
+          // handling differs, the very pitfall the quantizer avoids
+          (floor(avg(Det.dec(col("max_err"))).cast("double") * 1e6 + 0.5) / 1e6).as("mean_max_err"),
+          (floor(max(col("max_err")) * 1e6 + 0.5) / 1e6).as("worst_err"),
+          (floor(max(col("scale") / 2.0) * 1e6 + 0.5) / 1e6).as("err_bound"))
         .orderBy(col("label")),
     Some("""
       WITH q AS (
@@ -998,13 +1007,15 @@ object Similarity {
               FROM embeddings)),
       e AS (
         SELECT label, scale,
-               list_max(list_transform(embedding,
-                 x -> abs(x - (mn + floor((x - mn) / scale + 0.5) * scale)))) AS max_err
+               CASE WHEN mx = mn THEN 0.0
+                    ELSE list_max(list_transform(embedding,
+                      x -> abs(x - (mn + floor((x - mn) / scale + 0.5) * scale))))
+               END AS max_err
         FROM q)
       SELECT label, COUNT(*) AS n_vecs,
-             ROUND(CAST(AVG(CAST(max_err AS DECIMAL(18,4))) AS DOUBLE), 6) AS mean_max_err,
-             ROUND(MAX(max_err), 6) AS worst_err,
-             ROUND(MAX(scale / 2.0), 6) AS err_bound
+             floor(CAST(AVG(CAST(max_err AS DECIMAL(18,4))) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_max_err,
+             floor(MAX(max_err) * 1e6 + 0.5) / 1e6 AS worst_err,
+             floor(MAX(scale / 2.0) * 1e6 + 0.5) / 1e6 AS err_bound
       FROM e GROUP BY label ORDER BY label
     """)
   )

@@ -46,6 +46,14 @@ object T {
   }
   def scratch(name: String): String = scratchRoot.resolve(name).toString
 
+  /** Scratch path keyed by dataset dir — for _SUCCESS-gated build-once
+    * artifacts (IVF index, inverted index): the same op invoked at a
+    * different sf must not reuse the other scale's cache. One home for
+    * the sanitization so the gated caches can never silently collide.
+    */
+  def scratchFor(dir: String, name: String): String =
+    scratch(s"${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
   def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")

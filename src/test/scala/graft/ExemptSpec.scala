@@ -254,8 +254,7 @@ class ExemptSpec extends AnyFunSuite {
   test("sim_ivf_knn: persisted index is reused — repeat call identical, no refit") {
     val r1 = Registry.queries("sim_ivf_knn")(spark, sf).collect()
     // index artifacts persisted by the first call
-    val idx = new java.io.File(graft.ops.T.scratch(
-      s"ivf_index_${sf.replaceAll("[^A-Za-z0-9.]", "_")}_16"))
+    val idx = new java.io.File(graft.ops.T.scratchFor(sf, "ivf_index_16"))
     assert(new java.io.File(idx, "centroids/_SUCCESS").exists(), s"no centroid table under $idx")
     assert(new java.io.File(idx, "assigned/_SUCCESS").exists(), s"no inverted lists under $idx")
     val mtime = new java.io.File(idx, "centroids/_SUCCESS").lastModified()
