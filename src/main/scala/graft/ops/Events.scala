@@ -324,7 +324,71 @@ object Events {
     """)
   )
 
+  /** A/B experiment readout — deterministic variant assignment (the same
+    * engine-stable multiplicative hash as the sampling ops, so a user's
+    * variant is recomputable anywhere and stable for the experiment's
+    * life), per-variant conversion to purchase, lift, and the two-
+    * proportion z-statistic in closed form. One groupBy on user_id + one
+    * 1-row aggregate — nothing scales with event volume except the first
+    * per-user pass. All ratio arithmetic is written in the identical
+    * order in both engines; round6 absorbs last-ulp libm noise in sqrt.
+    */
+  val evtAbTestLift = Op(
+    "evt_ab_test_lift",
+    (s, d) => {
+      val bucket = pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+      // "converted" must not be near-universal (a month of events gives
+      // nearly every user a purchase → p=1 → zero z denominator); the
+      // purchases-exceed-signups comparison splits users near 50/50 at
+      // every sf
+      val users = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+              sum(when(col("event_type") === "signup", 1L).otherwise(0L)))
+          .cast("long").as("converted"))
+        .withColumn("variant", when(bucket < lit(2147483648L), "A").otherwise("B"))
+      users.agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+        .withColumn("rate_a", round(col("conv_a") / col("n_a"), 6))
+        .withColumn("rate_b", round(col("conv_b") / col("n_b"), 6))
+        .withColumn("lift", round((col("conv_b") / col("n_b")) / (col("conv_a") / col("n_a")) - 1.0, 6))
+        .withColumn("z_stat", round(
+          ((col("conv_a") / col("n_a")) - (col("conv_b") / col("n_b"))) /
+          nullif(sqrt(((col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))) *
+               (lit(1.0) - (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))) *
+               (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), lit(0.0)), 6))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+                         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted,
+               CASE WHEN (MIN(user_id) * 2654435761) % 4294967296 < 2147483648
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events GROUP BY user_id),
+      agg AS (
+        SELECT CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM users)
+      SELECT n_a, conv_a, n_b, conv_b,
+             ROUND(conv_a / n_a, 6) AS rate_a,
+             ROUND(conv_b / n_b, 6) AS rate_b,
+             ROUND((conv_b / n_b) / (conv_a / n_a) - 1.0, 6) AS lift,
+             ROUND(((conv_a / n_a) - (conv_b / n_b)) /
+                   NULLIF(sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+                        (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+                        (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z_stat
+      FROM agg
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
-    evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments)
+    evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift)
 }

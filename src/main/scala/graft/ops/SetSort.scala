@@ -173,7 +173,54 @@ object SetSort {
     """)
   )
 
+  /** 2-D skyline (Pareto frontier, Börzsönyi et al. 2001): parts not
+    * dominated on (minimize price, maximize size) — dominance = another
+    * part with price <= AND size >=, one strictly better. The sort-based
+    * formulation, not the quadratic NOT-EXISTS: (1) per-price max size — a
+    * distributed groupBy on price; (2) STRICT-prefix running max over the
+    * per-price aggregates ordered by price (|distinct prices| rows — the
+    * only non-distributed step, tiny by construction; the fully
+    * distributed form range-partitions it with the TwoPassRank
+    * prefix-offset kernel); (3) join back: survive iff no strictly-cheaper
+    * price reached your size AND no same-price part strictly exceeds it.
+    * Equal (price, size) pairs don't dominate each other and both stay —
+    * the standard skyline tie rule.
+    */
+  val aggSkylinePareto = Op(
+    "agg_skyline_pareto",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = T.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice").as("price"),
+          col("p_size").as("size"))
+      val perPrice = p.groupBy(col("price")).agg(max(col("size")).as("gmax"))
+      val wPrefix = Window.orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pref = perPrice.withColumn("strict_max", max(col("gmax")).over(wPrefix))
+      p.join(pref, Seq("price"))
+        .filter(
+          (col("strict_max").isNull || col("strict_max") < col("size")) &&
+          col("gmax") === col("size"))
+        .select(col("p_partkey"), col("price"), col("size"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""
+      WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part),
+      per_price AS (SELECT price, MAX(size) AS gmax FROM p GROUP BY price),
+      pref AS (
+        SELECT price, gmax,
+               MAX(gmax) OVER (ORDER BY price
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_max
+        FROM per_price)
+      SELECT p_partkey, price, size
+      FROM p JOIN pref USING (price)
+      WHERE (strict_max IS NULL OR strict_max < size) AND gmax = size
+      ORDER BY p_partkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     sortMultikeyNulls, sortTopkLimit, setUnionAll, setUnionDistinct,
-    setIntersect, setExcept, setIntersectAll, setExceptAll, reshapeUnpivot)
+    setIntersect, setExcept, setIntersectAll, setExceptAll, reshapeUnpivot,
+    aggSkylinePareto)
 }
