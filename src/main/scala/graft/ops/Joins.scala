@@ -676,11 +676,118 @@ object Joins {
     """)
   )
 
+  /** Composite flagship: the TPC-H Q5 shape (local-supplier revenue) — the
+    * hardest join topology in the TPC-H core because the supplier edge is a
+    * DOUBLE condition: lineitem joins supplier on l_suppkey AND the
+    * customer's nation must equal the supplier's nation, which no single
+    * join reorder removes. The scale plan: region→nation prunes to a
+    * broadcast dim chain, the orders date filter pushes to the scan, the
+    * two fact joins shuffle on orderkey once, and the nation-equality is a
+    * post-join filter on two already-present int columns (never a second
+    * shuffle). Revenue sums through DECIMAL(18,4).
+    */
+  val sqlQ5LocalSupplier = Op(
+    "sql_q5_local_supplier",
+    (s, d) => {
+      val asiaNations = T.nation(s, d)
+        .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = T.lineitem(s, d).select(
+        col("l_orderkey"), col("l_suppkey"),
+        Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      // customer/supplier are key-projected but GROW with SF (unlike
+      // region/nation, bounded by geography) — no broadcast hint: AQE
+      // broadcasts them at test scale and falls back to shuffle joins at
+      // 100 TB, where forcing the hint would OOM the driver.
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""
+      SELECT n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name
+    """)
+  )
+
+  /** Composite flagship: the TPC-H Q10 shape (returned-item revenue) — the
+    * canonical "who cost us money last quarter" report: quarter-filtered
+    * orders, returned lineitems only (l_returnflag = 'R'), revenue rolled
+    * up per customer with the customer's nation attached, top-20. Scale
+    * shape: both fact filters push to the scans, the fact-fact join
+    * shuffles on orderkey, customer attributes ride a broadcast, and the
+    * top-20 is TakeOrderedAndProject. The group-by carries the customer
+    * attribute columns (name/acctbal/nation) — at 100 TB that is free
+    * because c_custkey determines them, so the grouping hash is as wide as
+    * the key but no extra shuffle rows exist.
+    */
+  val sqlQ10ReturnedItems = Op(
+    "sql_q10_returned_items",
+    (s, d) => {
+      val ord = T.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = T.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val cust = T.customer(s, d)
+        .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      // cust grows with SF — unhinted, so AQE broadcasts at test scale
+      // and shuffles on c_custkey at 100 TB (same rationale as Q5).
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
     joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted,
     joinBloomReduce, sqlQ3ShippingPriority, joinBroadcastNestedLoop,
-    joinAsofTolerance)
+    joinAsofTolerance, sqlQ5LocalSupplier, sqlQ10ReturnedItems)
 }

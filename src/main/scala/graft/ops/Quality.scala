@@ -162,5 +162,62 @@ object Quality {
     """)
   )
 
-  val ops: Vector[Op] = Vector(qcColumnProfile, qcFkOrphans, qcObserveMetrics)
+  /** Distribution-drift audit (r3c) — "did this batch's event mix shift?":
+    * the event log is split at mid-month into a baseline and a current
+    * half, each half's per-type frequency is compared against the GLOBAL
+    * frequency, and the per-type deviation plus each half's total-variation
+    * distance is emitted. ALL math is integer parts-per-million (x*1e6 div
+    * n — the micro-unit trick from sim_label_centroids/graph_pagerank):
+    * no doubles, no logs, so the result is bit-exact under any shuffle
+    * order and fully hash-oracle-able — unlike a float PSI whose ln()
+    * differs between engines. Shape: one scan, one tiny groupBy
+    * (halves × types = 10 rows), window sums over the 10-row grid — scan
+    * cost dominates at 100 TB, exactly what a per-batch QC gate needs.
+    */
+  val qcDistributionDrift = Op(
+    "qc_distribution_drift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val grid = T.events(s, d)
+        .withColumn("half",
+          when(col("ts") < lit("2024-01-16").cast("timestamp"), "baseline")
+            .otherwise("current"))
+        .groupBy(col("half"), col("event_type"))
+        .agg(count(lit(1)).as("o"))
+      val wHalf = Window.partitionBy(col("half"))
+      val wType = Window.partitionBy(col("event_type"))
+      grid
+        .withColumn("n_half", sum(col("o")).over(wHalf))
+        .withColumn("n_type", sum(col("o")).over(wType))
+        .withColumn("n_total", sum(col("o")).over(Window.partitionBy()))
+        .withColumn("ppm_obs", expr("o * 1000000L div n_half"))
+        .withColumn("ppm_exp", expr("n_type * 1000000L div n_total"))
+        .withColumn("ppm_delta", abs(col("ppm_obs") - col("ppm_exp")))
+        .withColumn("tvd_ppm",
+          expr("sum(ppm_delta) over (partition by half) div 2"))
+        .select(col("half"), col("event_type"), col("o"),
+          col("ppm_obs"), col("ppm_exp"), col("ppm_delta"), col("tvd_ppm"))
+        .orderBy(col("half"), col("event_type"))
+    },
+    Some("""
+      WITH grid AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'baseline'
+                    ELSE 'current' END AS half,
+               event_type, COUNT(*) AS o
+        FROM events GROUP BY 1, 2),
+      ppm AS (
+        SELECT half, event_type, o,
+               CAST(o * 1000000 // SUM(o) OVER (PARTITION BY half) AS BIGINT) AS ppm_obs,
+               CAST(SUM(o) OVER (PARTITION BY event_type) * 1000000 // SUM(o) OVER () AS BIGINT) AS ppm_exp
+        FROM grid)
+      SELECT half, event_type, o, ppm_obs, ppm_exp,
+             abs(ppm_obs - ppm_exp) AS ppm_delta,
+             CAST(SUM(abs(ppm_obs - ppm_exp)) OVER (PARTITION BY half) // 2 AS BIGINT) AS tvd_ppm
+      FROM ppm
+      ORDER BY half, event_type
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift)
 }

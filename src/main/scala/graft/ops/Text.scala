@@ -307,8 +307,78 @@ object Text {
     """)
   )
 
+  /** BM25 ranking (r3c; Robertson & Walker 1994, k1 = 1.2, b = 0.75) — the
+    * retrieval scorer the search-intent loop actually serves with: given a
+    * conjunctive query, rank the corpus by summed per-term BM25. Pairs with
+    * serve_inverted_index (which finds the candidate docs); this op scores
+    * them. Scale shape: tf/df/dl are the same one-pass token aggregates as
+    * txt_idf_tfidf, the query-term df table broadcasts (|query| rows), the
+    * per-doc score is one grouped sum — no all-pairs anything. Determinism:
+    * ln() agrees between the JDK and DuckDB on these operands (precedent:
+    * txt_idf_tfidf), the remaining ops are IEEE +,*,/ on identical
+    * operands, and the final score is rounded to 6 before the top-20 cut,
+    * whose (score, doc_id) order is total.
+    */
+  val txtBm25Rank = Op(
+    "txt_bm25_rank",
+    (s, d) => {
+      val query = Seq("spark", "join", "filter")
+      val toks = tokens(s, d)
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val nAvg = dl.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("total_dl"))
+      val tf = toks.filter(col("token").isin(query: _*))
+        .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(nAvg))
+        .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+        .withColumn("idf",
+          log((col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+        .withColumn("score_t",
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        // per-term double scores pass through DECIMAL(18,12) before the
+        // cross-term sum: double addition is shuffle-order-dependent,
+        // decimal addition is not (Det rationale, applied at higher scale
+        // because these are ln-derived magnitudes ~1e0)
+        .groupBy(col("doc_id"))
+        .agg(
+          round(sum(col("score_t").cast("decimal(18,12)")).cast("double"), 6).as("bm25"),
+          count(lit(1)).as("n_terms"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      n AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_dl FROM dl),
+      tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks
+             WHERE token IN ('spark', 'join', 'filter') GROUP BY doc_id, token),
+      df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      scored AS (
+        SELECT tf.doc_id,
+               -- 2.2/1.2 forced to DOUBLE: DuckDB parses bare decimals
+               -- exactly, Spark's lit(2.2) is the nearest double — the
+               -- engines must multiply by the SAME inexact constant
+               LN((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+                 * (tf * CAST(2.2 AS DOUBLE))
+                 / (tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+                 AS score_t
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN n)
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(score_t AS DECIMAL(18,12))) AS DOUBLE), 6) AS bm25,
+             COUNT(*) AS n_terms
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id
+      LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtNormalize, txtWordcount, txtStopwordFilter, txtTf, txtIdfTfidf,
     txtNgrams, txtDocStats, txtStringIndexer, txtHashingTf, txtLangDistPivot,
-    txtCollocationPmi)
+    txtCollocationPmi, txtBm25Rank)
 }

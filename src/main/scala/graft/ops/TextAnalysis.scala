@@ -251,7 +251,116 @@ object TextAnalysis {
     """)
   )
 
+  /** PII redaction — the mandatory scrub pass of any training-data pipeline
+    * (emails/phones masked before text ever reaches dedup or tokenize). The
+    * fixture corpus is PII-free by construction, so the op first plants
+    * deterministic contact strings (derived from doc_id/source — identical
+    * in the oracle), then redacts with conservative character-class regexes
+    * that parse identically under Java regex and DuckDB's RE2. Everything
+    * is a narrow codegen'd projection — the only shuffle is the final tiny
+    * per-source rollup, so at 100 TB this runs at scan speed. The residual
+    * column re-scans the REDACTED text for both patterns and must be 0:
+    * the op carries its own audit, the property a production scrub pass
+    * ships with.
+    */
+  val txtPiiRedact = Op(
+    "txt_pii_redact",
+    (s, d) => {
+      val email = "[a-z0-9]+@[a-z0-9.]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      T.documents(s, d)
+        .withColumn("body",
+          concat(col("text"), lit(" contact user"), col("doc_id"), lit("@"),
+            col("source"), lit(".example.com call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("body"), email, "[EMAIL]"),
+            phone, "[PHONE]"))
+        .withColumn("n_email", expr(s"size(regexp_extract_all(body, '$email', 0))").cast("long"))
+        .withColumn("n_phone", expr(s"size(regexp_extract_all(body, '$phone', 0))").cast("long"))
+        .withColumn("residual",
+          expr(s"size(regexp_extract_all(redacted, '$email', 0))").cast("long") +
+            expr(s"size(regexp_extract_all(redacted, '$phone', 0))").cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_email")).as("n_emails"),
+          sum(col("n_phone")).as("n_phones"),
+          sum(col("residual")).as("n_residual"),
+          sum(length(col("body")) - length(col("redacted"))).as("chars_removed"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_email) AS BIGINT) AS n_emails,
+             CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+             CAST(SUM(residual) AS BIGINT) AS n_residual,
+             CAST(SUM(len_body - len_red) AS BIGINT) AS chars_removed
+      FROM (
+        SELECT source,
+               CAST(len(regexp_extract_all(body, '[a-z0-9]+@[a-z0-9.]+')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(body, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(redacted, '[a-z0-9]+@[a-z0-9.]+'))
+                  + len(regexp_extract_all(redacted, '[0-9]{3}-[0-9]{4}')) AS BIGINT) AS residual,
+               length(body) AS len_body, length(redacted) AS len_red
+        FROM (
+          SELECT source, body,
+                 regexp_replace(regexp_replace(body, '[a-z0-9]+@[a-z0-9.]+', '[EMAIL]', 'g'),
+                                '[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') AS redacted
+          FROM (
+            SELECT source,
+                   text || ' contact user' || doc_id || '@' || source ||
+                   '.example.com call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS body
+            FROM documents)))
+      GROUP BY source ORDER BY source
+    """)
+  )
+
+  /** Unicode NFC normalization via the native [[graft.functions.UnicodeNormalize]]
+    * expression (JDK `java.text.Normalizer`, codegen'd — see its scaladoc for
+    * why this must precede any byte-keyed dedup). The fixture is ASCII-only,
+    * so the op plants decomposed sequences (e + U+0301 combining acute) that
+    * both engines construct identically, normalizes, and emits before/after
+    * code-point counts: where the letter has a precomposed acute form (the
+    * vowels, most sonorants) NFC folds letter+mark into one code point and
+    * `changed` is true; where it doesn't (x, t, …) the sequence is already
+    * NFC and survives verbatim — and the normalized bytes hash-match
+    * DuckDB's `nfc_normalize` either way, proving the JDK normalizer and
+    * DuckDB's utf8proc agree byte-for-byte on both branches.
+    */
+  val txtUnicodeNfc = Op(
+    "txt_unicode_nfc",
+    (s, d) => {
+      graft.functions.UnicodeNorm.register(s)
+      T.documents(s, d)
+        .withColumn("tok", split(col("text"), " ").getItem(0))
+        .filter(length(col("tok")) >= 1)
+        .withColumn("raw",
+          concat(substring(col("tok"), 1, 1), lit("\u0301"),
+            expr("substring(tok, 2, length(tok))")))
+        .withColumn("nfc", call_function("unicode_norm", col("raw"), lit("NFC")))
+        .select(
+          col("doc_id"), col("raw"), col("nfc"),
+          length(col("raw")).cast("long").as("raw_cps"),
+          length(col("nfc")).cast("long").as("nfc_cps"),
+          (col("raw") =!= col("nfc")).as("changed"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+             length(raw) AS raw_cps,
+             length(nfc_normalize(raw)) AS nfc_cps,
+             raw <> nfc_normalize(raw) AS changed
+      FROM (
+        SELECT doc_id,
+               substring(tok, 1, 1) || chr(769) || substring(tok, 2) AS raw
+        FROM (SELECT doc_id, string_split(text, ' ')[1] AS tok FROM documents)
+        WHERE length(tok) >= 1)
+      ORDER BY doc_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
-    txtChunkDedup)
+    txtChunkDedup, txtPiiRedact, txtUnicodeNfc)
 }

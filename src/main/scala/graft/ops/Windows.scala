@@ -372,9 +372,102 @@ object Windows {
     """)
   )
 
+  /** Rolling least-squares slope (r3c) — the per-user trend feature of a
+    * behavioral-features pipeline: over each user's trailing 5 events, the
+    * closed-form OLS slope of value vs time. Every windowed sum is exact —
+    * x is whole seconds since 2024-01-01 (BIGINT, so Σx and Σx² never
+    * round), y runs through DECIMAL(18,2) (scaled magnitudes stay under
+    * 2^53, so the decimal→double casts on BOTH engines are exact) — and the
+    * final slope arithmetic is the same IEEE ops on the same exact operands,
+    * so the unrounded doubles hash-match. Zero-variance windows (all 5
+    * events in the same second) emit NULL via the integer-exact denominator
+    * test. One shuffle on user_id; the window state is 5 rows.
+    */
+  val winRollingSlope = Op(
+    "win_rolling_slope",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      T.events(s, d)
+        .withColumn("x",
+          (unix_timestamp(col("ts")) - unix_timestamp(lit("2024-01-01").cast("timestamp"))))
+        .withColumn("y", col("value").cast("decimal(18,2)"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w).cast("double"))
+        .withColumn("sxy",
+          sum(col("x").cast("decimal(18,2)") * col("y")).over(w).cast("double"))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("slope",
+          when(col("n") * col("sxx") - col("sx") * col("sx") === 0, lit(null))
+            .otherwise(
+              (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+                (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+        .select(col("event_id"), col("user_id"), col("n"), col("slope"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, n,
+             CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                  ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope
+      FROM (
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(y) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(18,2)) * y) OVER w AS DOUBLE) AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx
+        FROM (
+          SELECT event_id, user_id, ts,
+                 epoch_us(ts) // 1000000 - epoch_us(TIMESTAMP '2024-01-01') // 1000000 AS x,
+                 CAST(value AS DECIMAL(18,2)) AS y
+          FROM events)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      ORDER BY event_id
+    """)
+  )
+
+  /** Trailing EWMA (r3c, α = 0.5) — the recency-weighted activity feature.
+    * A recursive recurrence has no single window function, but over a
+    * BOUNDED trailing frame it is a fold: collect the last 8 values in
+    * frame order and fold acc*0.5 + x*0.5 left-to-right, seeded with the
+    * oldest element (list_reduce semantics, mirrored exactly by seeding
+    * Spark's `aggregate` with element 1 and folding the rest). Fold order
+    * is frame order in both engines and every step is the same two IEEE
+    * ops, so the unrounded doubles hash-match. The frame bound (8) caps
+    * per-row state; one shuffle on user_id.
+    */
+  val winEwmaTrailing = Op(
+    "win_ewma_trailing",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-7, Window.currentRow)
+      T.events(s, d)
+        .withColumn("arr", collect_list(col("value")).over(w))
+        .withColumn("ewma",
+          expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0], (acc, x) -> acc * 0.5D + x * 0.5D)"))
+        .select(col("event_id"), col("user_id"), col("value"), col("ewma"))
+        .orderBy(col("event_id"))
+    },
+    Some("""
+      SELECT event_id, user_id, value,
+             list_reduce(arr, (acc, x) -> acc * 0.5 + x * 0.5) AS ewma
+      FROM (
+        SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+        FROM events)
+      ORDER BY event_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
     winCumulative, winRankDistributed, winGapIslands, winFillForward,
-    winNthCume)
+    winNthCume, winRollingSlope, winEwmaTrailing)
 }

@@ -203,6 +203,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("dt_gap_fill_spine").contains("BroadcastHashJoin"), "daily side not broadcast")
   }
 
+  test("sql_q5_local_supplier: date filter pushed, nation chain broadcast, one fact-fact shuffle") {
+    val p = plan("sql_q5_local_supplier")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"o_orderdate filter not pushed: $p")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("sql_q10_returned_items: returnflag pushed to the lineitem scan, top-20 via TakeOrdered") {
+    val p = plan("sql_q10_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"), s"l_returnflag filter not pushed: $p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 became a global sort: $p")
+  }
+
+  test("txt_pii_redact: redaction stays narrow — exactly one exchange (the source rollup)") {
+    val p = plan("txt_pii_redact")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    // partial agg + final agg = 1 shuffle exchange; the sort after adds one more
+    assert(exchanges <= 2, s"regex scrub should not shuffle the corpus: $p")
+  }
+
   test("join_bucketed_colocated joins without shuffling either fact side") {
     def exchanges(p: String): Int =
       p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))

@@ -147,5 +147,35 @@ class PropertySpec extends AnyFunSuite {
     assert(r0(edge.getSeq[String](3)) == Seq("abc", "bcd"))
   }
 
+  test("unicode_norm composes and decomposes per the four normalization forms") {
+    graft.functions.UnicodeNorm.register(spark)
+    // e + U+0301 combining acute: NFC composes to U+00E9, NFD is identity on
+    // the decomposed input, NFKC folds compatibility chars (U+FB01 fi-ligature).
+    val row = spark.sql(
+      s"""SELECT unicode_norm(concat('e', '́'), 'NFC')  AS c,
+         |       unicode_norm(concat('e', '́'), 'NFD')  AS d,
+         |       unicode_norm('é', 'NFD')               AS d2,
+         |       unicode_norm('ﬁ', 'NFKC')              AS k,
+         |       unicode_norm(CAST(NULL AS STRING), 'NFC')   AS n,
+         |       unicode_norm('plain ascii', 'NFC')          AS a""".stripMargin).head()
+    assert(row.getString(0) == "é")
+    assert(row.getString(1) == "é")
+    assert(row.getString(2) == "é")
+    assert(row.getString(3) == "fi")
+    assert(row.isNullAt(4))
+    assert(row.getString(5) == "plain ascii")
+    // Interpreted eval (constant folding) and codegen'd eval must agree: run
+    // the same e+acute through a column-dependent (non-foldable) expression.
+    // 'e' is used deliberately — not every letter has a precomposed acute
+    // form (x+U+0301 stays two code points), but e does (U+00E9).
+    val viaCol = graft.ops.T.documents(spark, sf)
+      .select(call_function("unicode_norm",
+        concat(lit("e"), lit("́"), substring(col("text"), 1, 0)),
+        lit("NFC")).as("x"))
+      .filter(length(col("x")) =!= 1)
+      .count()
+    assert(viaCol == 0, "NFC must compose e + combining acute to one code point")
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }
