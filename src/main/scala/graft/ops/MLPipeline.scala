@@ -258,7 +258,38 @@ object MLPipeline {
     """)
   )
 
+  /** PCA feature reduction (r3c): project the 64-dim embeddings onto their
+    * top-8 principal components — the standard pre-clustering /
+    * pre-indexing compression (half of the IVF-PQ recipe; pairs with
+    * emb_quantize_int8 which compresses per-dimension). The fit is a
+    * distributed Gramian eigendecomposition (one treeAggregate over the
+    * corpus, k×d model on the driver — the same "tiny model, big data"
+    * shape as the IVF quantizer); transform is a broadcast matrix multiply,
+    * scan-speed at 100 TB. Oracle-exempt (eigenvector sign and float
+    * summation order are engine-specific); MLSpec asserts the variance
+    * ordering, the dominance of the leading components, and projection
+    * shape.
+    */
+  val mlPcaFeatures = Op(
+    "ml_pca_features",
+    (s, d) => {
+      import org.apache.spark.ml.feature.PCA
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val feat = T.embeddings(s, d)
+        .select(col("vec_id"),
+          array_to_vector(transform(col("embedding"), x => x.cast("double"))).as("features"))
+      val model = new PCA().setInputCol("features").setOutputCol("pca").setK(8).fit(feat)
+      model.transform(feat)
+        .select(col("vec_id"), vector_to_array(col("pca")).as("p"))
+        .select(col("vec_id") +:
+          (0 until 8).map(i => round(col("p").getItem(i), 4).as(s"pc$i")): _*)
+        .orderBy(col("vec_id"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
-    mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign)
+    mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
+    mlPcaFeatures)
 }

@@ -1020,10 +1020,161 @@ object Similarity {
     """)
   )
 
+  /** Sign-random-projection cosine ANN (r3c; Charikar 2002 SRP-LSH) over
+    * embeddings, made FULLY hash-oracle-able — which float SRP never is —
+    * by keeping every step in integers:
+    *
+    *   1. quantize: q[i] = round(embedding[i] * 1000) as BIGINT (the same
+    *      half-away rounding in both engines);
+    *   2. 16 signed projections with LCG-derived integer weights
+    *      w(b,i) = (1103515245*(b*64+i) + 12345) % 2^31 % 2001 - 1000 —
+    *      a fixed pseudo-random matrix both engines recompute identically,
+    *      never materialized;
+    *   3. sketch bit b = sign of the integer dot product — both the dot
+    *      and the 16-bit sketch assembly are per-row `aggregate` folds
+    *      over `sequence`, so sketching is scan-speed, NO shuffle;
+    *   4. the same 4-band pigeonhole join as sim_simhash_bands (hamming
+    *      <= 3 ⟹ some 4-bit band identical) generates candidates as a
+    *      hash-partitioned equi-join;
+    *   5. surviving pairs (few) join BACK to the quantized vectors for an
+    *      exact integer dot — at 100 TB the band join moves only 8-byte
+    *      sketches, vectors are fetched once for the verified survivors.
+    *
+    * Sister op to sim_simhash_bands (text sketches) — this is the
+    * embedding-side cosine analogue, and with sim_brp_lsh (euclidean,
+    * recall-tested) completes the ANN family with an integer-exact member.
+    */
+  val embSrpAnn = Op(
+    "emb_srp_ann",
+    (s, d) => {
+      val wExpr = // LCG weight for (bit b, dim i), all-BIGINT arithmetic
+        "(1103515245L * CAST(b * 64 + i AS BIGINT) + 12345L) % 2147483648L % 2001L - 1000L"
+      val quant = T.embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+            .as("q"))
+      val sketched = quant.withColumn("srp",
+        expr(s"""aggregate(sequence(0, 15), 0L, (acc, b) ->
+                   acc + IF(aggregate(sequence(0, 63), 0L,
+                              (a2, i) -> a2 + element_at(q, i + 1) * ($wExpr)) >= 0,
+                            CAST(pow(2, b) AS BIGINT), 0L))"""))
+        .select(col("vec_id"), col("srp"))
+      val banded = sketched
+        .select(col("vec_id"), col("srp"), explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("band_val", expr("(srp div CAST(pow(16, band) AS BIGINT)) % 16"))
+      val a = banded.select(col("vec_id").as("a_id"), col("srp").as("sa"),
+        col("band"), col("band_val"))
+      val b = banded.select(col("vec_id").as("b_id"), col("srp").as("sb"),
+        col("band").as("band_b"), col("band_val").as("bv_b"))
+      val pairs = a.join(b,
+          col("band") === col("band_b") && col("band_val") === col("bv_b") &&
+            col("a_id") < col("b_id"))
+        .withColumn("x", expr("sa ^ sb"))
+        // keep each colliding pair at its LOWEST matching band only (exact
+        // integer dedup, no distinct — same trick as sim_simhash_bands)
+        .filter(expr("""band = CASE WHEN x % 16 = 0 THEN 0
+                                    WHEN (x div 16) % 16 = 0 THEN 1
+                                    WHEN (x div 256) % 16 = 0 THEN 2
+                                    ELSE 3 END"""))
+        .withColumn("hamming", expr("CAST(bit_count(x) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+      pairs
+        .join(quant.select(col("vec_id").as("a_id"), col("q").as("qa")), "a_id")
+        .join(quant.select(col("vec_id").as("b_id"), col("q").as("qb")), "b_id")
+        .withColumn("qdot",
+          expr("aggregate(sequence(0, 63), 0L, (acc, i) -> acc + element_at(qa, i + 1) * element_at(qb, i + 1))"))
+        .select(col("a_id"), col("b_id"), col("hamming"), col("qdot"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH quant AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings),
+      sk AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(range(0, 16), b ->
+                 CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                        q[i + 1] * ((CAST(1103515245 AS BIGINT) * (b * 64 + i) + 12345)
+                                    % 2147483648 % 2001 - 1000))) >= 0
+                      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS srp
+        FROM quant),
+      banded AS (
+        SELECT vec_id, srp, band,
+               (srp // CAST(pow(16, band) AS BIGINT)) % 16 AS band_val
+        FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+      cand AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               xor(a.srp, b.srp) AS x, a.band AS band
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT a_id, b_id, CAST(bit_count(x) AS BIGINT) AS hamming
+        FROM cand
+        WHERE band = CASE WHEN x % 16 = 0 THEN 0
+                          WHEN (x // 16) % 16 = 0 THEN 1
+                          WHEN (x // 256) % 16 = 0 THEN 2
+                          ELSE 3 END
+          AND bit_count(x) <= 3)
+      SELECT p.a_id, p.b_id, p.hamming,
+             CAST(list_sum(list_transform(range(0, 64),
+               i -> qa.q[i + 1] * qb.q[i + 1])) AS BIGINT) AS qdot
+      FROM pairs p
+      JOIN quant qa ON qa.vec_id = p.a_id
+      JOIN quant qb ON qb.vec_id = p.b_id
+      ORDER BY p.a_id, p.b_id
+    """)
+  )
+
+  /** Normalization-keyed dedup (r3c) — why [[graft.functions.UnicodeNormalize]]
+    * must run BEFORE any byte-keyed dedup: the same sentence arrives from
+    * the web in precomposed (é = U+00E9) and decomposed (e + U+0301) byte
+    * forms, and a raw content hash treats them as distinct. The op builds
+    * both byte forms of every doc (translate → precomposed twin, replace →
+    * decomposed twin — identical construction in the oracle), then counts
+    * distinct md5 keys per lang with and without an NFC pre-pass: raw
+    * keying sees 2N distinct docs, NFC keying collapses them to N. Narrow
+    * until the per-lang rollup; the md5s shuffle, never the text.
+    */
+  val dedupNormalizedKey = Op(
+    "dedup_normalized_key",
+    (s, d) => {
+      graft.functions.UnicodeNorm.register(s)
+      val docs = T.documents(s, d)
+      val pre = docs.select(col("doc_id"), col("lang"),
+        translate(col("text"), "e", "\u00e9").as("t"))
+      val deco = docs.select(col("doc_id"), col("lang"),
+        regexp_replace(col("text"), "e", "e\u0301").as("t"))
+      pre.unionAll(deco)
+        .withColumn("raw_key", md5(col("t")))
+        .withColumn("nfc_key", md5(call_function("unicode_norm", col("t"), lit("NFC"))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_variants"),
+          countDistinct(col("raw_key")).as("n_raw_keys"),
+          countDistinct(col("nfc_key")).as("n_nfc_keys"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_variants,
+             COUNT(DISTINCT raw_key) AS n_raw_keys,
+             COUNT(DISTINCT nfc_key) AS n_nfc_keys
+      FROM (
+        SELECT lang, md5(t) AS raw_key, md5(nfc_normalize(t)) AS nfc_key
+        FROM (
+          SELECT lang, replace(text, 'e', chr(233)) AS t FROM documents
+          UNION ALL
+          SELECT lang, replace(text, 'e', 'e' || chr(769)) AS t FROM documents))
+      GROUP BY lang ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
-    simTfidfCosine, embQuantizeInt8)
+    simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey)
 }

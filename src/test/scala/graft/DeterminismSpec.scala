@@ -30,7 +30,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dim_scd2_merge",            // snapshot join + union branches
     "emb_quantize_int8",         // floor(x+0.5) quantizer arithmetic
     "txt_collocation_pmi",       // ln over count ratios
-    "qc_column_profile")         // multi-distinct Expand + stack
+    "qc_column_profile",         // multi-distinct Expand + stack
+    "emb_srp_ann",               // integer SRP sketches + band join
+    "win_rolling_slope",         // exact windowed sums -> IEEE slope
+    "txt_bm25_rank")             // decimal-summed ln-derived scores
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -176,6 +176,27 @@ class ExemptSpec extends AnyFunSuite {
     assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "pipeline not deterministic")
   }
 
+  test("ml_pca_features: 8 components, variance-ordered, leading components dominate, deterministic") {
+    val r1 = Registry.queries("ml_pca_features")(spark, sf).collect()
+    assert(r1.length == T.embeddings(spark, sf).count())
+    // per-component variance must be (weakly) decreasing — the defining
+    // PCA ordering; compute from the rounded projections, tolerate the
+    // rounding noise with a 1e-3 slack
+    val n = r1.length.toDouble
+    val vars = (0 until 8).map { i =>
+      val xs = r1.map(_.getDouble(1 + i))
+      val mu = xs.sum / n
+      xs.map(x => (x - mu) * (x - mu)).sum / n
+    }
+    for (i <- 0 until 7)
+      assert(vars(i) >= vars(i + 1) - 1e-3,
+        s"pc$i variance ${vars(i)} < pc${i + 1} variance ${vars(i + 1)}")
+    // the 8 kept components must actually carry signal
+    assert(vars.head > 0.0)
+    val r2 = Registry.queries("ml_pca_features")(spark, sf).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq, "PCA not deterministic in-session")
+  }
+
   test("ml_logreg_intent: train accuracy >= 0.9 on rule labels") {
     val rows = Registry.queries("ml_logreg_intent")(spark, sf).collect()
     // StringIndexer alphabetDesc: transactional=0, navigational=1, informational=2

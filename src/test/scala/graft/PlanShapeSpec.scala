@@ -102,6 +102,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"all-pairs join survived — the band key is not driving the join: $p")
   }
 
+  test("emb_srp_ann joins on the band pair — an equi-join, never all-pairs") {
+    val p = plan("emb_srp_ann")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
+      p.contains("ShuffledHashJoin"), s"banded join not planned as an equi-join: $p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join survived — the band key is not driving the join: $p")
+  }
+
   test("win_rank_distributed never collapses to a single partition") {
     val p = plan("win_rank_distributed")
     assert(p.contains("Window"), p)

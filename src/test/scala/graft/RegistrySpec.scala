@@ -22,6 +22,7 @@ class RegistrySpec extends AnyFunSuite {
       "stream_structured_tumbling", "stream_dedup_watermark", "stream_late_data_policy",
       "stream_stream_join", "stream_stream_outer_join",
       "ml_feature_pipeline", "ml_logreg_intent", "ml_train_test_split",
+      "ml_pca_features",
       "sim_brp_lsh", "sim_ivf_knn")
     assert(exempt == expectedExempt, s"unexpected oracle-exempt set: $exempt")
   }
