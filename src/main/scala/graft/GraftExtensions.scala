@@ -27,8 +27,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[functions.CharNGrams].getName, "char_ngrams"),
       functions.NGrams.charBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[functions.UnicodeNormalize].getName, "unicode_norm"),
+      functions.UnicodeNorm.builder))
     // declarative aggregate(zip_with(...)) dot products fuse into the
     // codegen'd VectorDot automatically (exact-semantics rewrite)
     ext.injectOptimizerRule(_ => functions.DotProductFusion)
+    // the TopKPerKey whole-operator extension (bounded-heap per-key top-k)
+    ext.injectPlannerStrategy(_ => plans.TopKStrategy)
   }
 }

@@ -465,9 +465,52 @@ object Windows {
     """)
   )
 
+  /** Top-3 orders per customer through the custom [[graft.plans.TopKPerKey]]
+    * whole-operator extension (logical node → SparkStrategy →
+    * bounded-heap SparkPlan; full rationale in its scaladoc): the same
+    * semantics as win_row_number_topk's window form, but with per-key
+    * k-bounded heap state instead of WindowExec's full partition sort —
+    * hash-checked against the identical ROW_NUMBER oracle, so the custom
+    * operator is held to the exact same correctness bar as the built-ins.
+    * The strategy is registered idempotently on the session here;
+    * GraftExtensions users get it injected at session build.
+    */
+  val winTopkHeap = Op(
+    "win_topk_heap",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+      if (!s.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.TopKStrategy
+      val orders = T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      val lp = orders.queryExecution.analyzed
+      def attr(n: String) = lp.output.find(_.name == n).get
+      val topk = graft.plans.TopKPerKey(
+        3,
+        Seq(attr("o_custkey")),
+        // total order: price desc, orderkey asc tiebreak — bounded eviction
+        // under a partial order would be nondeterministic
+        Seq(SortOrder(attr("o_totalprice"), Descending),
+          SortOrder(attr("o_orderkey"), Ascending)),
+        lp)
+      org.apache.spark.sql.GraftBridge.ofRows(s, topk)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
     winCumulative, winRankDistributed, winGapIslands, winFillForward,
-    winNthCume, winRollingSlope, winEwmaTrailing)
+    winNthCume, winRollingSlope, winEwmaTrailing, winTopkHeap)
 }

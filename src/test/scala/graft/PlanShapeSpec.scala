@@ -110,6 +110,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"all-pairs join survived — the band key is not driving the join: $p")
   }
 
+  test("win_topk_heap runs the custom TopKPerKeyExec — no WindowExec, no sort below it") {
+    // SparkPlan.nodeName strips the Exec suffix — the node prints as
+    // "TopKPerKey"; a `!` prefix would mean broken attribute accounting
+    val p = plan("win_topk_heap")
+    assert(p.contains("TopKPerKey "), s"custom strategy did not plan the node: $p")
+    assert(!p.contains("!TopKPerKey"), s"node has missing-input marker: $p")
+    assert(!p.contains("Window"), s"fell back to the window form: $p")
+    // the only sort allowed is the final presentation orderBy ABOVE the
+    // operator; below it the heap replaces sorting entirely
+    val below = p.substring(p.indexOf("TopKPerKey "))
+    assert(!below.contains("Sort "), s"sort below the heap operator: $below")
+  }
+
   test("win_rank_distributed never collapses to a single partition") {
     val p = plan("win_rank_distributed")
     assert(p.contains("Window"), p)
