@@ -388,7 +388,103 @@ object Events {
     """)
   )
 
+  /** U-shaped multi-touch attribution (r3c) — the marketing-analytics
+    * workhorse: each purchase's value is credited across the user's clicks
+    * in the preceding 7 days (40% first touch / 40% last / 20% split over
+    * the middles; 1 touch takes all, 2 split evenly). Every weight and
+    * every credit is INTEGER: weights in ppm with the integer-division
+    * remainder pinned to the last middle touch, purchase value scaled to
+    * exact 1e-4 units through DECIMAL(18,4), credit = value_units * ppm
+    * div 1e6 — bit-stable under any shuffle order, fully hash-oracled
+    * (float attribution never is). Scale shape: the clicks⋈purchases join
+    * keys on user_id (the event log's natural partition key — per-user
+    * fanout is bounded by the 7-day window), the per-purchase
+    * first/last/count ranking is one window over that same partitioning,
+    * and the final rollup is 3 rows.
+    */
+  val evtAttributionU = Op(
+    "evt_attribution_u",
+    (s, d) => {
+      val ev = T.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").cast("decimal(18,4)").as("p_val"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"), col("event_id").as("c_id"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("c_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS") &&
+          col("c_ts") < col("p_ts"))
+      val w = Window.partitionBy(col("p_id"))
+      val wOrd = w.orderBy(col("c_ts"), col("c_id"))
+      val ranked = touches
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(w))
+      val weighted = ranked.withColumn("w_ppm",
+        when(col("cnt") === 1, lit(1000000L))
+          .when(col("cnt") === 2, lit(500000L))
+          .when(col("rn") === 1, lit(400000L))
+          .when(col("rn") === col("cnt"), lit(400000L))
+          // middle: equal integer split, remainder pinned to the LAST
+          // middle (`div`, not `/` — Column./ on longs is double division)
+          .otherwise(expr(
+            "200000L div (cnt - 2) + IF(rn = cnt - 1, 200000L % (cnt - 2), 0L)")))
+      weighted
+        .withColumn("bucket",
+          when(col("cnt") === 1, "only")
+            .when(col("rn") === 1, "first")
+            .when(col("rn") === col("cnt"), "last")
+            .otherwise("middle"))
+        // p_val DECIMAL(18,4) * 10000 = exact integer 1e-4 value units
+        .withColumn("credit_units",
+          expr("CAST(p_val * 10000 AS BIGINT) * w_ppm div 1000000"))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_touches"),
+          sum(col("w_ppm")).as("ppm_mass"),
+          sum(col("credit_units")).as("credit_units"))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(value AS DECIMAL(18,4)) AS p_val
+        FROM events WHERE event_type = 'purchase'),
+      clicks AS (
+        SELECT user_id, ts AS c_ts, event_id AS c_id
+        FROM events WHERE event_type = 'click'),
+      touches AS (
+        SELECT p.p_id, p.p_val, c.c_ts, c.c_id
+        FROM purchases p JOIN clicks c USING (user_id)
+        WHERE c.c_ts >= p.p_ts - INTERVAL 7 DAY AND c.c_ts < p.p_ts),
+      ranked AS (
+        SELECT p_id, p_val,
+               ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS rn,
+               COUNT(*) OVER (PARTITION BY p_id) AS cnt
+        FROM touches),
+      weighted AS (
+        SELECT p_id, p_val, rn, cnt,
+               CASE WHEN cnt = 1 THEN 1000000
+                    WHEN cnt = 2 THEN 500000
+                    WHEN rn = 1 THEN 400000
+                    WHEN rn = cnt THEN 400000
+                    ELSE 200000 // (cnt - 2)
+                         + CASE WHEN rn = cnt - 1 THEN 200000 % (cnt - 2) ELSE 0 END
+               END AS w_ppm,
+               CASE WHEN cnt = 1 THEN 'only'
+                    WHEN rn = 1 THEN 'first'
+                    WHEN rn = cnt THEN 'last'
+                    ELSE 'middle' END AS bucket
+        FROM ranked)
+      SELECT bucket, COUNT(*) AS n_touches,
+             CAST(SUM(w_ppm) AS BIGINT) AS ppm_mass,
+             CAST(SUM(CAST(p_val * 10000 AS BIGINT) * w_ppm // 1000000) AS BIGINT) AS credit_units
+      FROM weighted
+      GROUP BY bucket ORDER BY bucket
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
-    evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift)
+    evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
+    evtAttributionU)
 }

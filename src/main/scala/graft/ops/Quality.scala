@@ -218,6 +218,77 @@ object Quality {
     """)
   )
 
+  /** Expectation suite (r3c) — the declarative per-batch assertion pass
+    * (the Great Expectations pattern as a query): each rule is a row with
+    * its checked/violation counts and verdict. ONE wide aggregate per
+    * scanned table computes every per-table rule (domain, range,
+    * uniqueness — same single-pass shape as qc_column_profile), plus one
+    * key-projected join for the cross-table temporal rule; `stack`
+    * unpivots to the rule grid. Note the ship-before-order rule REALLY
+    * fires on this corpus (~half the lineitems) — the suite demonstrably
+    * catches a data defect rather than rubber-stamping. At 100 TB: two
+    * scans + one FK join, rule count adds columns, not passes.
+    */
+  val qcExpectationSuite = Op(
+    "qc_expectation_suite",
+    (s, d) => {
+      val o = T.orders(s, d).agg(
+        count(lit(1)).as("o_n"),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v_price"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L)).as("v_status"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("v_dupkey"))
+      val l = T.lineitem(s, d).agg(
+        count(lit(1)).as("l_n"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)).as("v_disc"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_qty"))
+      val x = T.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+        .join(T.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(
+          count(lit(1)).as("x_n"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L).otherwise(0L)).as("v_ship"))
+      o.crossJoin(l).crossJoin(x)
+        .selectExpr(
+          """stack(6,
+               'orders.totalprice_positive',  o_n, v_price,
+               'orders.status_in_domain',     o_n, v_status,
+               'orders.orderkey_unique',      o_n, v_dupkey,
+               'lineitem.discount_in_[0,1]',  l_n, v_disc,
+               'lineitem.quantity_in_[1,50]', l_n, v_qty,
+               'lineitem.ship_after_order',   x_n, v_ship
+             ) AS (rule, n_checked, n_violations)""")
+        .withColumn("pass", col("n_violations") === 0)
+        .orderBy(col("rule"))
+    },
+    Some("""
+      WITH o AS (
+        SELECT COUNT(*) AS o_n,
+               CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+               CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS v_status,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_dupkey
+        FROM orders),
+      l AS (
+        SELECT COUNT(*) AS l_n,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty
+        FROM lineitem),
+      x AS (
+        SELECT COUNT(*) AS x_n,
+               CAST(SUM(CASE WHEN l_shipdate < o_orderdate THEN 1 ELSE 0 END) AS BIGINT) AS v_ship
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT rule, n_checked, n_violations, n_violations = 0 AS pass
+      FROM (
+        SELECT 'orders.totalprice_positive' AS rule, o_n AS n_checked, v_price AS n_violations FROM o
+        UNION ALL SELECT 'orders.status_in_domain', o_n, v_status FROM o
+        UNION ALL SELECT 'orders.orderkey_unique', o_n, v_dupkey FROM o
+        UNION ALL SELECT 'lineitem.discount_in_[0,1]', l_n, v_disc FROM l
+        UNION ALL SELECT 'lineitem.quantity_in_[1,50]', l_n, v_qty FROM l
+        UNION ALL SELECT 'lineitem.ship_after_order', x_n, v_ship FROM x)
+      ORDER BY rule
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift)
+    qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
+    qcExpectationSuite)
 }

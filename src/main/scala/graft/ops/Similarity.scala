@@ -1049,16 +1049,25 @@ object Similarity {
     (s, d) => {
       val wExpr = // LCG weight for (bit b, dim i), all-BIGINT arithmetic
         "(1103515245L * CAST(b * 64 + i AS BIGINT) + 12345L) % 2147483648L % 2001L - 1000L"
+      // localCheckpoint is load-bearing twice over: (a) it materializes the
+      // corpus-sized-but-tiny quantized/sketch tables ONCE — without the
+      // barrier CollapseProject folds the 1024-step interpreted sketch
+      // lambda into the band join's projections and re-evaluates it per
+      // CANDIDATE PAIR (measured: 4 min instead of ~5 s at sf0.1); (b) it
+      // is the shape the scale path wants anyway — a persisted sketch
+      // index, built once, joined many times.
       val quant = T.embeddings(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
             .as("q"))
+        .localCheckpoint(true)
       val sketched = quant.withColumn("srp",
         expr(s"""aggregate(sequence(0, 15), 0L, (acc, b) ->
                    acc + IF(aggregate(sequence(0, 63), 0L,
                               (a2, i) -> a2 + element_at(q, i + 1) * ($wExpr)) >= 0,
                             CAST(pow(2, b) AS BIGINT), 0L))"""))
         .select(col("vec_id"), col("srp"))
+        .localCheckpoint(true)
       val banded = sketched
         .select(col("vec_id"), col("srp"), explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("band_val", expr("(srp div CAST(pow(16, band) AS BIGINT)) % 16"))
@@ -1079,11 +1088,16 @@ object Similarity {
         .withColumn("hamming", expr("CAST(bit_count(x) AS BIGINT)"))
         .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming"))
+      // survivor dot through the codegen'd vec_dot, not an interpreted
+      // fold: |q| <= ~2000 is float-exact, VectorDot accumulates in
+      // double (exact under 2^53), so the BIGINT cast is the exact
+      // integer dot
+      graft.functions.VectorDot.register(s)
+      val qf = (c: Column) => transform(c, x => x.cast("float"))
       pairs
-        .join(quant.select(col("vec_id").as("a_id"), col("q").as("qa")), "a_id")
-        .join(quant.select(col("vec_id").as("b_id"), col("q").as("qb")), "b_id")
-        .withColumn("qdot",
-          expr("aggregate(sequence(0, 63), 0L, (acc, i) -> acc + element_at(qa, i + 1) * element_at(qb, i + 1))"))
+        .join(quant.select(col("vec_id").as("a_id"), qf(col("q")).as("qa")), "a_id")
+        .join(quant.select(col("vec_id").as("b_id"), qf(col("q")).as("qb")), "b_id")
+        .withColumn("qdot", dot(col("qa"), col("qb")).cast("bigint"))
         .select(col("a_id"), col("b_id"), col("hamming"), col("qdot"))
         .orderBy(col("a_id"), col("b_id"))
     },
