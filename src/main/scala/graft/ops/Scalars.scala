@@ -358,8 +358,62 @@ object Scalars {
     """)
   )
 
+  /** Month-over-month revenue growth per nation (r3c) — the
+    * period-over-period report every BI layer ships: monthly decimal-exact
+    * revenue, lag(1) over the per-nation month series, growth in integer
+    * ppm ((cur - prev) * 1e6 div prev on the EXACT 1e-4 revenue units —
+    * float division would be engine-identical here, but ppm keeps the
+    * whole op integer and makes the NULL first month explicit). Scale
+    * shape: the monthly rollup is the only data-sized shuffle; the lag
+    * window runs over nations × months rows.
+    */
+  val dtMomGrowth = Op(
+    "dt_mom_growth",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthly = T.orders(s, d)
+        .join(T.customer(s, d).select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT)")
+          .as("rev_units"))
+      val w = Window.partitionBy(col("n_name")).orderBy(col("month"))
+      monthly
+        .withColumn("prev_units", lag(col("rev_units"), 1).over(w))
+        // sign * (abs * 1e6 div prev): Spark's `div` truncates toward zero
+        // while DuckDB's `//` floors — on the non-negative operand the two
+        // agree, so the signed growth is engine-identical
+        .withColumn("growth_ppm",
+          expr("""CAST(SIGN(rev_units - prev_units) AS BIGINT)
+                  * (abs(rev_units - prev_units) * 1000000L div prev_units)"""))
+        .select(col("n_name"), col("month"), col("rev_units"),
+          col("prev_units"), col("growth_ppm"))
+        .orderBy(col("n_name"), col("month"))
+    },
+    Some("""
+      WITH monthly AS (
+        SELECT n_name, date_trunc('month', o_orderdate) AS month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000 AS BIGINT) AS rev_units
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, date_trunc('month', o_orderdate)),
+      lagged AS (
+        SELECT n_name, month, rev_units,
+               LAG(rev_units, 1) OVER (PARTITION BY n_name ORDER BY month) AS prev_units
+        FROM monthly)
+      SELECT n_name, month, rev_units, prev_units,
+             CAST(SIGN(rev_units - prev_units) AS BIGINT)
+               * (abs(rev_units - prev_units) * 1000000 // prev_units) AS growth_ppm
+      FROM lagged
+      ORDER BY n_name, month
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     strFuncs, strSplitRegex, strCodecs, dtFuncs, dtEpochWindow, mathFuncs,
     arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs,
-    jsonExtract, dtGapFillSpine)
+    jsonExtract, dtGapFillSpine, dtMomGrowth)
 }

@@ -1027,9 +1027,10 @@ object Similarity {
     *   1. quantize: q[i] = round(embedding[i] * 1000) as BIGINT (the same
     *      half-away rounding in both engines);
     *   2. 16 signed projections with LCG-derived integer weights
-    *      w(b,i) = (1103515245*(b*64+i) + 12345) % 2^31 % 2001 - 1000 —
-    *      a fixed pseudo-random matrix both engines recompute identically,
-    *      never materialized;
+    *      w(b,i) = ((b*64+i+1)*2654435761 % 2^32 * 40503) % 2^32 % 2001
+    *      - 1000 (two rounds of Knuth multiplicative mixing) — a fixed
+    *      pseudo-random matrix both engines recompute identically, never
+    *      materialized;
     *   3. sketch bit b = sign of the integer dot product — both the dot
     *      and the 16-bit sketch assembly are per-row `aggregate` folds
     *      over `sequence`, so sketching is scan-speed, NO shuffle;
@@ -1047,8 +1048,14 @@ object Similarity {
   val embSrpAnn = Op(
     "emb_srp_ann",
     (s, d) => {
-      val wExpr = // LCG weight for (bit b, dim i), all-BIGINT arithmetic
-        "(1103515245L * CAST(b * 64 + i AS BIGINT) + 12345L) % 2147483648L % 2001L - 1000L"
+      // weight for (bit b, dim i), all-BIGINT arithmetic: two rounds of
+      // Knuth multiplicative mixing (same constant as the sampling ops) —
+      // a single affine step left consecutive indices correlated across
+      // bits, which concentrated sketch hamming low and inflated the
+      // candidate set ~8x
+      val wExpr =
+        "(((CAST(b * 64 + i AS BIGINT) + 1L) * 2654435761L) % 4294967296L" +
+          " * 40503L) % 4294967296L % 2001L - 1000L"
       // localCheckpoint is load-bearing twice over: (a) it materializes the
       // corpus-sized-but-tiny quantized/sketch tables ONCE — without the
       // barrier CollapseProject folds the 1024-step interpreted sketch
@@ -1111,8 +1118,8 @@ object Similarity {
         SELECT vec_id, q,
                CAST(list_sum(list_transform(range(0, 16), b ->
                  CASE WHEN list_sum(list_transform(range(0, 64), i ->
-                        q[i + 1] * ((CAST(1103515245 AS BIGINT) * (b * 64 + i) + 12345)
-                                    % 2147483648 % 2001 - 1000))) >= 0
+                        q[i + 1] * ((((b * 64 + i + 1) * 2654435761) % 4294967296
+                                     * 40503) % 4294967296 % 2001 - 1000))) >= 0
                       THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS srp
         FROM quant),
       banded AS (
@@ -1185,10 +1192,113 @@ object Similarity {
     """)
   )
 
+  /** SRP capture rate measured EXACTLY, in-engine, as an oracled query
+    * (r3c) — approximation quality is usually a test-only artifact
+    * (ExemptSpec's recall bounds for MinHash/BRP/IVF); because emb_srp_ann
+    * is integer end-to-end, its quality is computable as ordinary SQL that
+    * DuckDB hash-checks. Ground truth: the TOP-200 most-similar pairs in
+    * the bounded id range (this corpus has no pairs above cos 0.48, so a
+    * fixed near-dup threshold would be vacuous) ranked by integer-exact
+    * cos²-ppm — qdot <= 2.1e7 is double-exact, qdot² <= 4.5e14 still
+    * double-exact, the *1e6/(q·q)(q·q) steps are the same two IEEE ops in
+    * both engines, and (cos2_ppm, a_id, b_id) is a total order. Capture =
+    * how many of the top-200 the banded SRP candidates contain; random
+    * candidate sets capture ~|cand|/|pairs|, a working sketch several
+    * times that. Emits counts + capture_ppm — the quality dashboard a
+    * production ANN deployment refreshes per index build. (Measured at
+    * sf0.01: 14/200 captured with ~1.2k candidates of 44.9k pairs — a
+    * ~2.6x lift over random selection, which is what a 16-bit sketch
+    * honestly buys at this corpus's cos<=0.48 similarity ceiling; the
+    * sketch-width/band trade is the tunable, and this op is the dial's
+    * readout.)
+    */
+  val embSrpRecall = Op(
+    "emb_srp_recall",
+    (s, d) => {
+      graft.functions.VectorDot.register(s)
+      val qf = T.embeddings(s, d)
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS FLOAT))")
+            .as("qv"))
+        .withColumn("qq", dot(col("qv"), col("qv")).cast("bigint"))
+        .localCheckpoint(true)
+      val a = qf.select(col("vec_id").as("a_id"), col("qv").as("va"), col("qq").as("qaa"))
+      val b = qf.select(col("vec_id").as("b_id"), col("qv").as("vb"), col("qq").as("qbb"))
+      val top = a.join(b, col("a_id") < col("b_id"))
+        .withColumn("qdot", dot(col("va"), col("vb")).cast("bigint"))
+        .withColumn("cos2_ppm",
+          floor(col("qdot").cast("double") * col("qdot").cast("double") * 1000000.0 /
+            (col("qaa") * col("qbb")).cast("double")).cast("long"))
+        .select(col("a_id"), col("b_id"), col("cos2_ppm"))
+        .orderBy(col("cos2_ppm").desc, col("a_id"), col("b_id"))
+        .limit(200)
+        .localCheckpoint(true)
+      val cand = embSrpAnn.fn(s, d)
+        .filter(col("a_id") < 300 && col("b_id") < 300)
+        .select(col("a_id"), col("b_id"))
+      val nC = cand.count()
+      val nH = top.join(cand, Seq("a_id", "b_id"), "left_semi").count()
+      import s.implicits._
+      Seq((200L, nC, nH, nH * 1000000L / 200L))
+        .toDF("n_top", "n_candidates", "n_hits", "capture_ppm")
+    },
+    Some("""
+      WITH quant AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id < 300),
+      withn AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(range(0, 64), i -> q[i+1] * q[i+1])) AS BIGINT) AS qq
+        FROM quant),
+      scored AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(floor(
+                 CAST(CAST(list_sum(list_transform(range(0, 64), i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS DOUBLE)
+                 * CAST(CAST(list_sum(list_transform(range(0, 64), i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS DOUBLE)
+                 * 1000000.0 / CAST(a.qq * b.qq AS DOUBLE)) AS BIGINT) AS cos2_ppm
+        FROM withn a JOIN withn b ON a.vec_id < b.vec_id),
+      top AS (
+        SELECT a_id, b_id FROM scored
+        ORDER BY cos2_ppm DESC, a_id, b_id LIMIT 200),
+      sk AS (
+        SELECT vec_id, q,
+               CAST(list_sum(list_transform(range(0, 16), b ->
+                 CASE WHEN list_sum(list_transform(range(0, 64), i ->
+                        q[i + 1] * ((((b * 64 + i + 1) * 2654435761) % 4294967296
+                                     * 40503) % 4294967296 % 2001 - 1000))) >= 0
+                      THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS srp
+        FROM (SELECT vec_id,
+                list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+              FROM embeddings)),
+      banded AS (
+        SELECT vec_id, srp, band,
+               (srp // CAST(pow(16, band) AS BIGINT)) % 16 AS band_val
+        FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
+        WHERE bit_count(xor(a.srp, b.srp)) <= 3
+          AND a.vec_id < 300 AND b.vec_id < 300),
+      hits AS (SELECT * FROM top t
+               WHERE EXISTS (SELECT 1 FROM cand c
+                             WHERE c.a_id = t.a_id AND c.b_id = t.b_id))
+      SELECT CAST(200 AS BIGINT) AS n_top,
+             (SELECT COUNT(*) FROM cand) AS n_candidates,
+             (SELECT COUNT(*) FROM hits) AS n_hits,
+             (SELECT COUNT(*) FROM hits) * 1000000 // 200 AS capture_ppm
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
-    simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey)
+    simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
+    embSrpRecall)
 }
