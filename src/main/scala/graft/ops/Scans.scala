@@ -469,9 +469,58 @@ object Scans {
     """)
   )
 
+  /** Dynamic partition overwrite (r3c) — the idempotent-backfill primitive:
+    * re-running an ingest for ONE partition must replace exactly that
+    * partition and leave every other byte untouched (static overwrite mode
+    * would truncate the whole table — the classic production data-loss
+    * trap). The op writes lineitem partitioned by returnflag, then
+    * "backfills" the A partition with a corrected copy (quantity + 1000)
+    * under partitionOverwriteMode=dynamic, and reads the table back: A
+    * rows show the correction, N/R rows are bit-identical originals — the
+    * oracle reconstructs the expected post-backfill table directly. At
+    * 100 TB the backfill job touches only the target partition's files;
+    * the session-level conf is restored afterwards.
+    */
+  val sinkDynamicOverwrite = Op(
+    "sink_dynamic_overwrite",
+    (s, d) => {
+      val tmp = T.scratch("lineitem_backfill")
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        T.lineitem(s, d)
+          .filter(col("l_returnflag") === "A")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_quantity") + 1000.0).as("l_quantity"), col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(tmp)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None    => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.read.parquet(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          Det.sumDec(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""
+      SELECT l_returnflag, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(CASE WHEN l_returnflag = 'A' THEN l_quantity + 1000.0
+                                ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
-    serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip)
+    serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite)
 }

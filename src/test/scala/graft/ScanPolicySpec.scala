@@ -40,4 +40,32 @@ class ScanPolicySpec extends AnyFunSuite {
       .csv(T.scratch("nation_badcsv"))
     assertThrows[Exception](strict.collect())
   }
+
+  test("sink_dynamic_overwrite: non-target partitions keep their exact files") {
+    // run the op end-to-end (full write + dynamic backfill), fingerprint
+    // the untouched partitions, then re-issue ONLY the dynamic backfill
+    // write: same file names + lengths = the backfill never rewrote them —
+    // the idempotent-backfill guarantee the oracle's aggregate view cannot
+    // see (a static-mode overwrite would instead truncate the table)
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    Registry.queries("sink_dynamic_overwrite")(spark, sf).collect()
+    val root = T.scratch("lineitem_backfill")
+    def fingerprint(flag: String): Set[(String, Long)] =
+      Files.list(Paths.get(root, s"l_returnflag=$flag")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.size(p)).toSet
+    val before = Seq("N", "R").map(f => f -> fingerprint(f)).toMap
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      T.lineitem(spark, sf)
+        .filter(col("l_returnflag") === "A")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_quantity") + 1000.0).as("l_quantity"), col("l_returnflag"))
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(root)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    for (f <- Seq("N", "R"))
+      assert(fingerprint(f) == before(f),
+        s"dynamic overwrite rewrote untouched partition l_returnflag=$f")
+  }
 }
