@@ -518,9 +518,99 @@ object Scans {
     """)
   )
 
+  /** Parquet codec trade-off (r3c) — the 100 TB storage lever nobody can
+    * tune blind: the same deterministic byte stream (one sorted output
+    * file per codec, so sizes are reproducible) written with snappy /
+    * zstd / gzip, read back and emitted as (codec, n_files, bytes,
+    * n_rows). Oracle-exempt (DuckDB writes its own parquet — byte sizes
+    * are engine-specific by nature); §5 asserts each codec round-trips
+    * hash-identically, zstd beats snappy on bytes, and sizes are stable
+    * across repeated writes.
+    */
+  val sinkCodecTradeoff = Op(
+    "sink_codec_tradeoff",
+    (s, d) => {
+      import org.apache.spark.sql.DataFrame
+      val src = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+        .coalesce(1)
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+      def writeWith(codec: String): (String, Long, Long, Long) = {
+        val path = T.scratch(s"codec_$codec")
+        src.write.mode("overwrite").option("compression", codec).parquet(path)
+        val files = new java.io.File(path).listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+        (codec, files.length.toLong, files.map(_.length).sum,
+          s.read.parquet(path).count())
+      }
+      val rows = Seq("snappy", "zstd", "gzip").map(writeWith)
+      import s.implicits._
+      rows.toDF("codec", "n_files", "bytes", "n_rows").orderBy(col("codec"))
+    },
+    None
+  )
+
+  /** Sorted-layout min/max data skipping (r3c) — Z-order-lite, the scan
+    * lever that dwarfs codec choice at 100 TB: the same events written (a)
+    * range-partitioned + sorted by an INT64 epoch-micros sort key and (b)
+    * deliberately scrambled, then both read back with a 1-day predicate.
+    * Parquet keeps per-row-group min/max stats; on the sorted layout the
+    * pushed filter eliminates whole row groups/files, on the scrambled
+    * layout every row group straddles the predicate range so nothing
+    * skips. The sort key is deliberately INT64, not the timestamp:
+    * measured on this Spark build, a pushed TIMESTAMP(_NTZ) predicate
+    * appears in PushedFilters but prunes NOTHING (scan emits all rows),
+    * while the same predicate on unix_micros prunes to the matching
+    * row groups — "store the time sort key as int64" IS the finding. The
+    * op reports the FileSourceScan's actual output rows (post-pruning,
+    * pre-row-filter) per layout. Oracle-exempt (scan metrics are
+    * engine-internal); §5 asserts identical query results and a >=4x
+    * scan reduction on the sorted layout.
+    */
+  val sinkSortedSkipping = Op(
+    "sink_sorted_skipping",
+    (s, d) => {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val ev = T.events(s, d)
+        .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"), col("value"))
+      val sortedPath = T.scratch("events_sorted")
+      val shuffledPath = T.scratch("events_shuffled")
+      ev.repartitionByRange(8, col("ts_us")).sortWithinPartitions(col("ts_us"))
+        .write.mode("overwrite").parquet(sortedPath)
+      // deterministic scramble: partition by a hash of the id so every
+      // output file's ts_us min/max spans the whole month
+      ev.repartition(8, expr("pmod(hash(event_id), 8)"))
+        .write.mode("overwrite").parquet(shuffledPath)
+      val lo = 1704844800000000L // 2024-01-10T00:00Z in epoch micros
+      val hi = lo + 86400L * 1000000L
+      def probe(layout: String, path: String): (String, Long, Long) = {
+        val q = s.read.parquet(path)
+          .filter(col("ts_us") >= lo && col("ts_us") < hi)
+        // collect() drives q's OWN queryExecution — count() would build a
+        // separate aggregate plan and leave these metrics untouched
+        val n = q.collect().length.toLong
+        val plan = q.queryExecution.executedPlan match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scanRows = plan.collectLeaves().collect {
+          case f: FileSourceScanExec => f.metrics("numOutputRows").value
+        }.sum
+        (layout, scanRows, n)
+      }
+      val rows = Seq(probe("sorted", sortedPath), probe("shuffled", shuffledPath))
+      import s.implicits._
+      rows.toDF("layout", "scan_rows", "result_rows").orderBy(col("layout"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
-    serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite)
+    serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite,
+    sinkCodecTradeoff, sinkSortedSkipping)
 }

@@ -23,6 +23,7 @@ class RegistrySpec extends AnyFunSuite {
       "stream_stream_join", "stream_stream_outer_join",
       "ml_feature_pipeline", "ml_logreg_intent", "ml_train_test_split",
       "ml_pca_features",
+      "sink_codec_tradeoff", "sink_sorted_skipping",
       "sim_brp_lsh", "sim_ivf_knn")
     assert(exempt == expectedExempt, s"unexpected oracle-exempt set: $exempt")
   }
