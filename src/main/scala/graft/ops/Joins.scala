@@ -783,11 +783,53 @@ object Joins {
     """)
   )
 
+  /** Composite flagship: the TPC-H Q18 shape (large-volume customers) —
+    * the HAVING-aggregate-as-filter topology the other flagships don't
+    * cover: lineitem pre-aggregates per order, the aggregate ITSELF is
+    * the filter (sum qty > 300), and only the surviving handful of
+    * orderkeys join onward. Scale shape: the heavy agg is map-side
+    * combined on the fact's own key (no join before it), its output is
+    * tiny so AQE broadcasts it into orders, the threshold compares
+    * decimal-exact sums, and the top-20 is TakeOrderedAndProject.
+    */
+  val sqlQ18LargeOrders = Op(
+    "sql_q18_large_orders",
+    (s, d) => {
+      val big = T.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(Det.dec(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val ord = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(T.customer(s, d).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    },
+    Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CAST(sum_qty AS DOUBLE) AS sum_qty
+      FROM (
+        SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300) big
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
     joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted,
     joinBloomReduce, sqlQ3ShippingPriority, joinBroadcastNestedLoop,
-    joinAsofTolerance, sqlQ5LocalSupplier, sqlQ10ReturnedItems)
+    joinAsofTolerance, sqlQ5LocalSupplier, sqlQ10ReturnedItems,
+    sqlQ18LargeOrders)
 }

@@ -360,7 +360,132 @@ object TextAnalysis {
     """)
   )
 
+  /** Benchmark decontamination (r3c) — the train/eval overlap scan every
+    * serious training-data pipeline runs (the n-gram collision recipe of
+    * the GPT-3/PaLM decontamination appendices — their 13-grams scale to
+    * 4-token shingles on this corpus's ~60-word vocabulary, measured to
+    * flag a realistic ~1.6% of train docs): a held-out "benchmark" slice
+    * (doc_id % 97 == 0 stands in for the eval set), train docs flagged
+    * when they share ANY 4-token shingle with any benchmark doc. Shingles are md5'd per doc with no
+    * shuffle (narrow explode), the collision join moves 16-byte hashes
+    * only, and the verdict is per-source counts — at 100 TB this is the
+    * chunk-hash join shape of txt_chunk_dedup pointed at contamination.
+    */
+  val txtContaminationCheck = Op(
+    "txt_contamination_check",
+    (s, d) => {
+      def shingles(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 4)
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(1, size(toks) - 3)")).as("i"), col("toks"))
+        .select(col("doc_id"), col("source"),
+          md5(expr("array_join(slice(toks, i, 4), ' ')")).as("h"))
+      val docs = T.documents(s, d)
+      val bench = shingles(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("h")).distinct()
+      val train = shingles(docs.filter(col("doc_id") % 97 =!= 0))
+      val contaminated = train.join(bench, Seq("h"), "left_semi")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated.withColumn("hit", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_train_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .withColumn("contam_ppm", expr("n_contaminated * 1000000L div n_train_docs"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents),
+      sh AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(toks) - 2),
+                 i -> md5(array_to_string(toks[i:i+3], ' ')))) AS h
+        FROM docs WHERE len(toks) >= 4),
+      bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+      contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE doc_id % 97 <> 0 AND h IN (SELECT h FROM bench))
+      SELECT d.source, COUNT(*) AS n_train_docs,
+             CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated,
+             CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) * 1000000
+                  // COUNT(*) AS BIGINT) AS contam_ppm
+      FROM docs d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+      WHERE d.doc_id % 97 <> 0
+      GROUP BY d.source ORDER BY d.source
+    """)
+  )
+
+  /** Unigram-LM log-probability filter (r3c) — the perplexity-quality
+    * stage of the CCNet/RefinedWeb recipes with the 5-gram KenLM replaced
+    * by the corpus's own unigram model (no external model files exist
+    * here; the pipeline shape is identical): token frequencies are the
+    * LM, each doc scores avg -ln p(token) with add-one smoothing, docs
+    * land in score quartiles via ntile, and the op emits per-quartile
+    * stats. High avg surprise = unusual vocabulary = filter candidate.
+    * One token agg (the LM fits in a broadcast — vocabulary-sized), one
+    * per-doc agg through DECIMAL for the cross-token sum, one tiny
+    * quartile rollup. ln-over-count-ratios hash-parity per the
+    * txt_idf_tfidf precedent.
+    */
+  val txtUnigramLogprob = Op(
+    "txt_unigram_logprob",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val total = toks.agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("v_size"))
+      val scored = toks
+        .join(broadcast(vocab), "token")
+        .crossJoin(broadcast(total))
+        // add-one smoothing; surprise per token through DECIMAL(18,12)
+        // so the per-doc sum is shuffle-order-free
+        .withColumn("surprise",
+          (-log((col("cnt") + 1.0) / (col("n_tokens") + col("v_size"))))
+            .cast("decimal(18,12)"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_tok"),
+          round((sum(col("surprise")) / count(lit(1))).cast("double"), 6).as("avg_nll"))
+      scored
+        .withColumn("quartile",
+          ntile(4).over(Window.orderBy(col("avg_nll"), col("doc_id"))).cast("long"))
+        .groupBy(col("quartile"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(min(col("avg_nll")), 6).as("min_nll"),
+          round(max(col("avg_nll")), 6).as("max_nll"),
+          sum(col("n_tok")).as("total_tokens"))
+        .orderBy(col("quartile"))
+    },
+    Some("""
+      WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      vocab AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+      total AS (SELECT COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS v_size FROM toks),
+      scored AS (
+        SELECT doc_id, COUNT(*) AS n_tok,
+               ROUND(CAST(SUM(CAST(-LN((cnt + 1.0) / (n_tokens + v_size)) AS DECIMAL(18,12))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_nll
+        FROM toks JOIN vocab USING (token) CROSS JOIN total
+        GROUP BY doc_id),
+      q AS (
+        SELECT doc_id, n_tok, avg_nll,
+               CAST(NTILE(4) OVER (ORDER BY avg_nll, doc_id) AS BIGINT) AS quartile
+        FROM scored)
+      SELECT quartile, COUNT(*) AS n_docs,
+             ROUND(MIN(avg_nll), 6) AS min_nll,
+             ROUND(MAX(avg_nll), 6) AS max_nll,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+      FROM q GROUP BY quartile ORDER BY quartile
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
-    txtChunkDedup, txtPiiRedact, txtUnicodeNfc)
+    txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
+    txtUnigramLogprob)
 }
