@@ -288,7 +288,75 @@ object Quality {
     """)
   )
 
+  /** Order-independent dataset fingerprint (r3c) — "did two pipelines
+    * produce the same dataset?" answered WITHOUT sorting anything: each
+    * row canonicalizes to a string, md5s, and the first 12 hex chars fold
+    * to a 48-bit integer (the fold is strpos-based so both engines parse
+    * hex identically); the dataset digest is then bit_xor + modular sum +
+    * count over those row hashes — all three commutative/associative, so
+    * the digest is identical under ANY partitioning or shuffle order, and
+    * a single differing/missing/duplicated row flips it. At 100 TB this
+    * is one scan + a constant-size aggregate — the equality check that
+    * replaces a full sort-merge diff. Emitted for documents and for a
+    * derived "cleaned" view to show drift detection across pipeline
+    * stages.
+    */
+  val qcDatasetFingerprint = Op(
+    "qc_dataset_fingerprint",
+    (s, d) => {
+      // 12 hex chars -> 48-bit int via an explicit fold; strpos-based so
+      // the hex parse is identical SQL in both engines
+      def rowHash(canon: String) =
+        s"""aggregate(
+              transform(sequence(1, 12),
+                i -> CAST(instr('0123456789abcdef', substring(md5($canon), i, 1)) - 1 AS BIGINT)),
+              0L, (acc, v) -> acc * 16L + v)"""
+      val docs = T.documents(s, d)
+        .withColumn("rh", expr(rowHash("concat_ws('|', doc_id, lang, source, text)")))
+      val cleaned = T.documents(s, d)
+        .filter(length(col("text")) >= 20)
+        .withColumn("rh", expr(rowHash("concat_ws('|', doc_id, lang, trim(text))")))
+      def digest(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(rh)").as("xor_fp"),
+          expr("sum(rh % 1000000007L) % 1000000007L").as("sum_fp"))
+          .withColumn("dataset", lit(name))
+      digest("documents", docs)
+        .unionAll(digest("cleaned", cleaned))
+        .select(col("dataset"), col("n_rows"), col("xor_fp"), col("sum_fp"))
+        .orderBy(col("dataset"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT list_reduce(
+                 list_transform(range(1, 13),
+                   i -> CAST(strpos('0123456789abcdef',
+                          substring(md5(concat_ws('|', doc_id, lang, source, text)), i, 1)) - 1 AS BIGINT)),
+                 (acc, v) -> acc * 16 + v) AS rh
+        FROM documents),
+      hc AS (
+        SELECT list_reduce(
+                 list_transform(range(1, 13),
+                   i -> CAST(strpos('0123456789abcdef',
+                          substring(md5(concat_ws('|', doc_id, lang, trim(text))), i, 1)) - 1 AS BIGINT)),
+                 (acc, v) -> acc * 16 + v) AS rh
+        FROM documents WHERE length(text) >= 20)
+      SELECT dataset, n_rows, xor_fp, sum_fp FROM (
+        SELECT 'documents' AS dataset, COUNT(*) AS n_rows,
+               CAST(bit_xor(rh) AS BIGINT) AS xor_fp,
+               CAST(SUM(rh % 1000000007) % 1000000007 AS BIGINT) AS sum_fp
+        FROM h
+        UNION ALL
+        SELECT 'cleaned', COUNT(*),
+               CAST(bit_xor(rh) AS BIGINT),
+               CAST(SUM(rh % 1000000007) % 1000000007 AS BIGINT)
+        FROM hc)
+      ORDER BY dataset
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
-    qcExpectationSuite)
+    qcExpectationSuite, qcDatasetFingerprint)
 }

@@ -531,7 +531,10 @@ object Scans {
     "sink_codec_tradeoff",
     (s, d) => {
       import org.apache.spark.sql.DataFrame
+      // a deterministic ~25% slice: the codec ratios are the point, and the
+      // three single-threaded sorted writes are the op's whole cost
       val src = T.lineitem(s, d)
+        .filter(expr("pmod(l_orderkey, 4)") === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
         .coalesce(1)
