@@ -539,10 +539,77 @@ object Streaming {
     """)
   )
 
+  /** CDC upsert apply (r3c) — the change-feed consumer every serving table
+    * sits behind: the event stream is treated as a keyed change feed
+    * ((user_id, event_type) is the key), split into 3 generation files and
+    * replayed one file per micro-batch; each batch MERGEs into the keyed
+    * state table via foreachBatch — union current state with the batch,
+    * keep the latest row per key (ts desc, event_id desc), overwrite.
+    * Latest-wins merge is associative and commutative, so the FINAL state
+    * is independent of batch boundaries and arrival order — which is what
+    * makes this op fully ORACLED (the batch twin is dedup_keyed_latest's
+    * shape on the same slice), unlike the windowed streaming demos. The
+    * localCheckpoint before the overwrite breaks the read-your-own-input
+    * lineage (Spark refuses to overwrite a path it is reading). At scale
+    * this is the foreachBatch-MERGE idiom every lakehouse CDC pipeline
+    * runs; state per batch is one key-partitioned join+window.
+    */
+  val streamCdcUpsert = Op(
+    "stream_cdc_upsert",
+    (s, d) => {
+      val feed = T.scratch("cdc_feed")
+      val state = T.scratch("cdc_state")
+      val src = T.events(s, d).filter(col("user_id") % 8 === 0)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      // 3 generation files -> 3 micro-batches (maxFilesPerTrigger=1);
+      // the first write overwrites so stale feed files can't linger
+      for (g <- 0 to 2)
+        src.filter(pmod(col("event_id"), lit(3)) === g)
+          .coalesce(1).write.mode(if (g == 0) "overwrite" else "append").parquet(feed)
+      val feedSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val stream = s.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(feed)
+      withPinnedStatePartitions(s) {
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            // batchId 0 ignores any state left by a previous invocation
+            // (checkpointless streams restart batch ids at 0)
+            val current =
+              if (batchId > 0 && new java.io.File(state).exists)
+                s.read.schema(feedSchema).parquet(state)
+              else s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), feedSchema)
+            val w = Window.partitionBy(col("user_id"), col("event_type"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val merged = current.unionByName(batch.toDF())
+              .withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+              .localCheckpoint(true)
+            merged.write.mode("overwrite").parquet(state)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+      }
+      s.read.schema(feedSchema).parquet(state)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""
+      SELECT user_id, event_type, event_id, ts, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE user_id % 8 = 0)
+      WHERE rn = 1
+      ORDER BY user_id, event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
     streamSessionWindow, streamForeachBatchSink, streamStreamJoin,
     streamStreamOuterJoin, streamCustomState, streamStaticEnrich,
-    streamIncrementalIngest)
+    streamIncrementalIngest, streamCdcUpsert)
 }
