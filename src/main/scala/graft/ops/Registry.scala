@@ -17,7 +17,8 @@ object Registry {
     Scans.ops ++ Filters.ops ++ Joins.ops ++ Aggs.ops ++ Windows.ops ++
       SetSort.ops ++ Scalars.ops ++ Text.ops ++ Similarity.ops ++
       Streaming.ops ++ MLPipeline.ops ++ Udfs.ops ++ Multimodal.ops ++
-      TextAnalysis.ops ++ Events.ops ++ Graph.ops ++ Quality.ops
+      TextAnalysis.ops ++ Events.ops ++ Graph.ops ++ Quality.ops ++
+      SqlShapes.ops
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val dups = all.groupBy(_.name).collect { case (n, ops) if ops.size > 1 => n }

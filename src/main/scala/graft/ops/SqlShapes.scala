@@ -1,0 +1,268 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+/** §2.19 Composite SQL flagships, second tier (r3c) — the remaining distinct
+  * TPC-H query TOPOLOGIES the first-tier flagships (Q1/Q3/Q5/Q10/Q18 shapes,
+  * ops/Joins.scala, ops/Aggs.scala) don't cover, each adapted faithfully to
+  * the fixture schema (FIXTURES.md: no partsupp/comment/phone/commitdate
+  * columns — the predicate columns change, the join/subquery topology does
+  * not). What each adds:
+  *   - Q13: outer-join-then-histogram (aggregate OF an aggregate, zero
+  *     groups preserved through the outer join).
+  *   - Q17: correlated scalar aggregate subquery decorrelated into a
+  *     self-grouped broadcast join on the fact's own dimension key.
+  *   - Q19: OR-of-ANDs disjunctive predicate — the pushdown stress shape.
+  *   - Q21: double-correlated EXISTS / NOT-EXISTS on the same fact —
+  *     compound-condition semi- then anti-join.
+  *   - Q22: global scalar aggregate gating an anti-joined aggregate.
+  * All money/quantity sums route through DECIMAL(18,4) (SURVEY Appendix A);
+  * all date arithmetic is whole-day on midnight timestamps (exact in both
+  * engines).
+  */
+object SqlShapes {
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER join
+    * customers→orders with a predicate ON THE OUTER SIDE (non-urgent orders
+    * only — the fixture's stand-in for Q13's NOT LIKE comment filter), count
+    * per customer INCLUDING the zero-order customers the outer join
+    * preserves, then aggregate the aggregate: how many customers have k
+    * orders. Scale shape: the per-customer count shuffles on c_custkey
+    * (the fact's FK, map-side combinable after the join); the histogram's
+    * second agg has at most ~hundreds of distinct k — it collapses to a
+    * near-driver-size frame regardless of input scale. The outer-side
+    * predicate lives in the join condition (not a WHERE), which is exactly
+    * what keeps zero-order customers in the result — pushing it to a
+    * post-join filter would silently drop them.
+    */
+  val sqlQ13CustDistribution = Op(
+    "sql_q13_cust_distribution",
+    (s, d) => {
+      val ord = T.orders(s, d)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey"))
+      T.customer(s, d).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""
+      SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      FROM (
+        SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        FROM customer LEFT OUTER JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC
+    """)
+  )
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+    * subquery `l_quantity < 0.2 * (SELECT AVG(l_quantity) ... same part)`
+    * decorrelated the way Catalyst (and every planner) wants it: pre-group
+    * lineitem by partkey into a per-part threshold table, join it back on
+    * the SAME key, filter, sum. Scale shape: the threshold table is one
+    * map-side-combined agg over the fact (20k rows at sf0.1 — AQE
+    * broadcasts it; at 100 TB it shuffle-joins on l_partkey, the fact's own
+    * key, so the threshold join never adds a second fact shuffle). The
+    * per-part average routes its sum through DECIMAL and divides by the
+    * count as a double — bit-identical in both engines — and the final
+    * weekly-revenue scalar divides a decimal-exact sum by 7.0.
+    */
+  val sqlQ17SmallQtyAvg = Op(
+    "sql_q17_small_qty_avg",
+    (s, d) => {
+      val brandParts = T.part(s, d)
+        .filter(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val li = T.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val thresholds = li.groupBy(col("l_partkey"))
+        .agg((sum(Det.dec(col("l_quantity"))).cast("double") / count(lit(1)) / lit(5))
+          .as("qty_cut"))
+      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .join(thresholds, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("qty_cut"))
+        .agg((sum(Det.dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+          .as("avg_weekly"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_weekly
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN (
+        SELECT l_partkey AS t_partkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) / 5 AS qty_cut
+        FROM lineitem GROUP BY l_partkey) t
+        ON t_partkey = l_partkey
+      WHERE p_brand = 'Brand#23'
+        AND l_quantity < qty_cut
+    """)
+  )
+
+  /** TPC-H Q19 shape (disjunctive predicate revenue): three (brand ∧
+    * size-range ∧ quantity-range) conjunctions OR'd together across the
+    * lineitem⋈part join — the canonical pushdown stress test, because the
+    * naive plan evaluates the whole disjunction after the join while the
+    * right plan pushes the part-only disjuncts (brand ∨ brand ∨ brand) and
+    * the lineitem-only disjuncts (qty ranges) below the join as derived
+    * range filters. Declaring it as one boolean expression lets Catalyst's
+    * constraint propagation do exactly that (CNF conversion extracts the
+    * common l_quantity <= 36 and the brand IN set). Revenue decimal-routed.
+    */
+  val sqlQ19DisjunctivePushdown = Op(
+    "sql_q19_disjunctive_pushdown",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      val pt = T.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val clause =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 36))
+      li.join(pt, col("l_partkey") === col("p_partkey"))
+        .filter(clause)
+        .agg(sum(col("rev")).cast("double").as("revenue"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+             AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+             AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+             AND l_quantity BETWEEN 20 AND 36)
+    """)
+  )
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    * subquery topology in TPC-H — for each late lineitem, EXISTS another
+    * supplier's lineitem in the same order AND NOT EXISTS another
+    * supplier's LATE lineitem in the same order ("this supplier was the
+    * only one late on a multi-supplier order"). The fixture has no
+    * commitdate, so "late" is l_shipdate > o_orderdate + 60 days — the
+    * predicate changes, the double-correlated-EXISTS topology does not.
+    * Spark shape: the EXISTS becomes a left-semi and the NOT EXISTS a
+    * left-anti, both with compound conditions (same orderkey, DIFFERENT
+    * suppkey) — each one shuffle on l_orderkey, the key the fact is
+    * already partitioned on after the orders join, so Catalyst reuses the
+    * exchange. Supplier names ride a broadcast; top-20 is
+    * TakeOrderedAndProject.
+    */
+  val sqlQ21WaitingSuppliers = Op(
+    "sql_q21_waiting_suppliers",
+    (s, d) => {
+      val ord = T.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val li = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val withLate = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      val late = withLate.filter(col("is_late"))
+        .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+      val l1 = withLate.filter(col("is_late"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = withLate
+        .select(col("l_orderkey").as("k"), col("l_suppkey").as("sk"))
+      val waiting = l1
+        .join(others,
+          col("l_orderkey") === col("k") && col("l_suppkey") =!= col("sk"),
+          "left_semi")
+        .join(late,
+          col("l_orderkey") === col("k") && col("l_suppkey") =!= col("sk"),
+          "left_anti")
+      waiting
+        .join(broadcast(T.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""
+      SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM lineitem l1
+      JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      JOIN supplier ON s_suppkey = l1.l_suppkey
+      WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 20
+    """)
+  )
+
+  /** TPC-H Q22 shape (global-average-gated anti-join): customers in three
+    * market segments whose balance beats the GLOBAL average positive
+    * balance of those segments, and who have placed no URGENT orders —
+    * count and total balance per segment. (The fixture has no phone column
+    * and every customer has at least one order, so the country-prefix
+    * IN-list becomes a mktsegment IN-list and the NOT-EXISTS side gains a
+    * priority predicate — same shape: an uncorrelated scalar subquery
+    * feeding a filter, then NOT EXISTS — but with survivors.)
+    * Scale shape: the scalar average is one map-side-combined agg
+    * cross-joined as a broadcast literal (never a driver collect); the
+    * NOT EXISTS is a left-anti shuffle on custkey; balances decimal-route.
+    */
+  val sqlQ22GlobalAcctbal = Op(
+    "sql_q22_global_acctbal",
+    (s, d) => {
+      val segs = Seq("AUTOMOBILE", "BUILDING", "MACHINERY")
+      val cust = T.customer(s, d)
+        .filter(col("c_mktsegment").isin(segs: _*))
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(Det.dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      cust.join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(Det.dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""
+      SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+      FROM customer
+      WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          FROM customer
+          WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+            AND c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(
+    sqlQ13CustDistribution, sqlQ17SmallQtyAvg, sqlQ19DisjunctivePushdown,
+    sqlQ21WaitingSuppliers, sqlQ22GlobalAcctbal)
+}
