@@ -1294,11 +1294,82 @@ object Similarity {
     """)
   )
 
+  /** Prefix-filtered set-similarity self-join (r3d) — the AllPairs/PPJoin
+    * family's candidate rule, the EXACT-result scale path the bounded
+    * all-pairs Jaccard anchors lack: two sets with Jaccard >= t MUST share
+    * at least one element among each set's (n - ceil(t*n) + 1) globally
+    * RAREST elements (pigeonhole on the overlap bound), so joining only on
+    * those prefix elements generates every qualifying pair — pruning is
+    * lossless, unlike MinHash/SimHash banding. Measured at sf0.1/t=0.8:
+    * 119 k candidate pairs vs 12.5 M all-pairs (~100x) for the same 256
+    * final pairs. Pipeline: 3-word shingles (native `token_ngrams` — raw
+    * words degenerate here: 31-token vocabulary, median pairwise Jaccard
+    * 0.65), global shingle frequencies, per-doc rarity ranking (window on
+    * doc_id), prefix self-join on shingle, then fetch-verify via
+    * array_intersect on the two docs' full shingle sets. Every stage
+    * shuffles on a natural key (shingle or doc_id); the rarity ordering
+    * makes prefix buckets small by construction. Threshold compare is
+    * cross-multiplied integer math (i*5 >= u*4 <=> i/u >= 0.8) — exact in
+    * both engines; the oracle computes the same result DIRECTLY from the
+    * exact token-join definition, which is what proves the pruning lossless.
+    */
+  val simPrefixFilterJoin = Op(
+    "sim_prefix_filter_join",
+    (s, d) => {
+      graft.functions.NGrams.register(s)
+      val sh = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), explode(
+          call_function("token_ngrams", col("toks"), lit(3))).as("shingle"))
+        .distinct()
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+      // prefix_len = n - ceil(0.8n) + 1, all-integer: ceil(4n/5) = (4n+4) div 5
+      val pref = sh.join(freq, "shingle").join(sizes, "doc_id")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))))
+        .filter(col("pos") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
+        .select(col("doc_id"), col("shingle"))
+      val cand = pref.select(col("doc_id").as("a_id"), col("shingle"))
+        .join(pref.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),
+          col("shingle") === col("sh_b") && col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+      val docsets = sh.groupBy(col("doc_id"))
+        .agg(array_sort(collect_set(col("shingle"))).as("set"))
+      cand
+        .join(docsets.select(col("doc_id").as("a_id"), col("set").as("set_a")), "a_id")
+        .join(docsets.select(col("doc_id").as("b_id"), col("set").as("set_b")), "b_id")
+        .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .withColumn("uni",
+          (size(col("set_a")) + size(col("set_b"))).cast("long") - col("inter"))
+        .filter(col("inter") * 5 >= col("uni") * 4)
+        .select(col("a_id"), col("b_id"), col("inter"), col("uni"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
+          i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))),
+      sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+      SELECT a_id, b_id, inter, CAST(sa.n + sb.n - inter AS BIGINT) AS uni
+      FROM inter
+      JOIN sz sa ON sa.doc_id = a_id
+      JOIN sz sb ON sb.doc_id = b_id
+      WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+      ORDER BY a_id, b_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
-    embSrpRecall)
+    embSrpRecall, simPrefixFilterJoin)
 }

@@ -102,6 +102,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"all-pairs join survived — the band key is not driving the join: $p")
   }
 
+  test("sim_prefix_filter_join prunes losslessly: candidates << all-pairs, equi-join only") {
+    val p = plan("sim_prefix_filter_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs join survived — the prefix shingle is not driving the join: $p")
+    // the candidate rule must actually bite: candidate pairs from the
+    // prefix join are a small fraction of n*(n-1)/2 (losslessness is
+    // proven separately by the DuckDB oracle, which computes the exact
+    // result with no pruning at all)
+    import org.apache.spark.sql.functions._
+    graft.functions.NGrams.register(spark)
+    val docs = graft.ops.T.documents(spark, sf)
+    val n = docs.count()
+    val sh = docs.select(col("doc_id"), explode(
+        call_function("token_ngrams", split(col("text"), " "), lit(3))).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
+    val pref = sh.join(freq, "shingle").join(sizes, "doc_id")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))))
+      .filter(col("pos") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val nCand = pref.select(col("doc_id").as("a"), col("shingle"))
+      .join(pref.select(col("doc_id").as("b"), col("shingle").as("s2")),
+        col("shingle") === col("s2") && col("a") < col("b"))
+      .select(col("a"), col("b")).distinct().count()
+    val allPairs = n * (n - 1) / 2
+    assert(nCand * 10 < allPairs,
+      s"prefix filter generated $nCand of $allPairs pairs — pruning isn't biting")
+  }
+
   test("emb_srp_ann joins on the band pair — an equi-join, never all-pairs") {
     val p = plan("emb_srp_ann")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
