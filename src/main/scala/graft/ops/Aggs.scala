@@ -548,7 +548,57 @@ object Aggs {
     """)
   )
 
+  /** Incremental aggregate-view maintenance (r3d) — the materialized-rollup
+    * refresh every warehouse runs nightly: generation 1 (history) is
+    * aggregated ONCE into a persisted partial-state table (count + decimal
+    * sum per key — both ALGEBRAIC: merging partials equals recomputing,
+    * exactly, because decimal addition is associative); when generation 2
+    * lands, only the NEW slice is aggregated and the two partial states
+    * merge by key (union + re-sum). The full history is never rescanned —
+    * at 100 TB that is the difference between touching one day and touching
+    * three years. Derived metrics (avg) come LAST, from the merged sums —
+    * deriving before the merge would make them non-mergeable. The oracle
+    * recomputes from the full table, which is exactly the equivalence the
+    * op claims (merge(partials) == recompute(all)).
+    */
+  val aggIncrementalRollup = Op(
+    "agg_incremental_rollup",
+    (s, d) => {
+      val state = T.scratch("rollup_state")
+      val ord = T.orders(s, d).select(
+        date_trunc("month", col("o_orderdate")).as("month"),
+        col("o_orderpriority").as("priority"),
+        col("o_totalprice"), col("o_orderdate"))
+      val cut = lit("1999-01-01").cast("timestamp")
+      def partial(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("month"), col("priority"))
+          .agg(count(lit(1)).as("cnt"), sum(Det.dec(col("o_totalprice"))).as("tot"))
+      partial(ord.filter(col("o_orderdate") < cut))
+        .write.mode("overwrite").parquet(state)
+      s.read.parquet(state)
+        .unionByName(partial(ord.filter(col("o_orderdate") >= cut)))
+        .groupBy(col("month"), col("priority"))
+        .agg(sum(col("cnt")).as("n_orders"), sum(col("tot")).as("t"))
+        .select(col("month"), col("priority"), col("n_orders"),
+          col("t").cast("double").as("total"),
+          round(col("t").cast("double") / col("n_orders"), 6).as("avg_price"))
+        .orderBy(col("month"), col("priority"))
+    },
+    Some("""
+      SELECT date_trunc('month', o_orderdate) AS month,
+             o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total,
+             ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_price
+      FROM orders
+      GROUP BY 1, 2
+      ORDER BY month, priority
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    aggIncrementalRollup,
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
     aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,

@@ -152,5 +152,68 @@ object Graph {
     """)
   )
 
-  val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount)
+  /** Bounded-hop BFS reachability (r3d) — "which vertices are within k hops
+    * of the seed set", the traversal primitive under blast-radius, fraud-
+    * ring, and lineage queries. Same bipartite customer↔supplier graph as
+    * graph_pagerank (suppliers offset by 1e6). Distributed form: frontier-
+    * free min-distance propagation — each round joins the CURRENT distance
+    * table to the edge list and keeps the per-vertex minimum, so a round is
+    * one key-partitioned join + one agg regardless of graph size (the same
+    * shape as dedup_cc_clusters' label propagation, and like it each round
+    * localCheckpoints to cut the growing lineage — the billion-edge OOM
+    * fix). k=3 rounds reaches dist <= 3. The oracle walks the same edges
+    * with a recursive CTE using UNION (not ALL) recursion, which bounds
+    * the per-level working set by |V| instead of path-counting — the
+    * pigeonhole that makes the oracle tractable on the dense graph.
+    */
+  val graphBfsReachability = Op(
+    "graph_bfs_reachability",
+    (s, d) => {
+      val e0 = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), (col("l_suppkey") + lit(1000000L)).as("supp"))
+        .distinct()
+      val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
+        .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
+        .localCheckpoint(true)
+      var dist = edges.select(col("src").as("v")).distinct()
+        .filter(col("v") < 1000000L && col("v") % 100 === 0)
+        .withColumn("dist", lit(0))
+      for (_ <- 1 to 3) {
+        val hop = edges.join(dist.select(col("v").as("src"), col("dist")), "src")
+          .select(col("dst").as("v"), (col("dist") + 1).as("dist"))
+        dist = dist.unionByName(hop)
+          .groupBy(col("v")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      dist.select(col("v").as("vertex_id"), col("dist"),
+          (col("v") >= 1000000L).as("is_supplier"))
+        .orderBy(col("dist"), col("vertex_id"))
+    },
+    Some("""
+      WITH RECURSIVE
+      e0 AS (
+        SELECT DISTINCT o_custkey AS cust, l_suppkey + 1000000 AS supp
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (
+        SELECT cust AS src, supp AS dst FROM e0
+        UNION ALL
+        SELECT supp AS src, cust AS dst FROM e0),
+      walk(v, dist) AS (
+        SELECT DISTINCT src AS v, 0 AS dist FROM e
+        WHERE src < 1000000 AND src % 100 = 0
+        UNION
+        SELECT e.dst, w.dist + 1 FROM walk w JOIN e ON e.src = w.v
+        WHERE w.dist < 3)
+      SELECT CAST(v AS BIGINT) AS vertex_id,
+             CAST(MIN(dist) AS INT) AS dist,
+             v >= 1000000 AS is_supplier
+      FROM walk GROUP BY v
+      ORDER BY dist, vertex_id
+    """)
+  )
+
+  val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount,
+    graphBfsReachability)
 }
