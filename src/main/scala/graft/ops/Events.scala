@@ -129,9 +129,11 @@ object Events {
 
   /** Typed Dataset surface: the first-3-event path per user via case-class
     * encoder + groupByKey/mapGroups, then the top-20 most common paths.
-    * mapGroups holds ONE user's events in memory (bounded by per-user
-    * activity, never by corpus size) and sorts them by the deterministic
-    * (ts_us, event_id) key. This is the imperative escape hatch for logic a
+    * mapGroups streams ONE user's events through a 3-slot insertion fold
+    * keyed by the deterministic (ts_us, event_id) order — O(3) state per
+    * group, never a full per-user buffer (an it.toSeq.sortBy would
+    * materialize a hot key's whole history in executor memory for a
+    * first-3 answer). This is the imperative escape hatch for logic a
     * Column can't express; everything downstream returns to DataFrame ops.
     * The limit-20 boundary is a strict total order (n_users desc, path asc;
     * path is the grouping key, hence unique).
@@ -144,10 +146,24 @@ object Events {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("event_type"))
         .as[(Long, Long, Long, String)]
+      val ordK = implicitly[Ordering[(Long, Long)]]
       val paths = ev.groupByKey(_._1)
         .mapGroups { (uid, it) =>
-          val first3 = it.toSeq.sortBy(e => (e._2, e._3)).take(3).map(_._4)
-          (uid, first3.mkString(">"))
+          // bounded insertion fold: keep the 3 smallest (ts_us, event_id)
+          // seen so far; each new row either displaces the current worst
+          // or is dropped on the spot — O(3) memory however hot the key
+          val best = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+          it.foreach { e =>
+            val c = (e._2, e._3, e._4)
+            if (best.size < 3) {
+              best += c
+              best.sortInPlaceBy(x => (x._1, x._2))(ordK)
+            } else if (ordK.lt((c._1, c._2), (best(2)._1, best(2)._2))) {
+              best(2) = c
+              best.sortInPlaceBy(x => (x._1, x._2))(ordK)
+            }
+          }
+          (uid, best.map(_._3).mkString(">"))
         }
         .toDF("user_id", "path")
       paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))

@@ -320,7 +320,11 @@ object Quality {
         df.agg(
           count(lit(1)).as("n_rows"),
           expr("bit_xor(rh)").as("xor_fp"),
-          expr("sum(rh % 1000000007L) % 1000000007L").as("sum_fp"))
+          // residue 2^31-1, not 1e9+7: each term stays < 2^31, so the
+          // non-ANSI BIGINT sum cannot wrap before ~4e9 rows — DuckDB
+          // promotes the same sum to HUGEINT, and a wrapped Spark sum
+          // would diverge exactly at the scale the op is documented for
+          expr("sum(rh % 2147483647L) % 2147483647L").as("sum_fp"))
           .withColumn("dataset", lit(name))
       digest("documents", docs)
         .unionAll(digest("cleaned", cleaned))
@@ -345,12 +349,12 @@ object Quality {
       SELECT dataset, n_rows, xor_fp, sum_fp FROM (
         SELECT 'documents' AS dataset, COUNT(*) AS n_rows,
                CAST(bit_xor(rh) AS BIGINT) AS xor_fp,
-               CAST(SUM(rh % 1000000007) % 1000000007 AS BIGINT) AS sum_fp
+               CAST(SUM(rh % 2147483647) % 2147483647 AS BIGINT) AS sum_fp
         FROM h
         UNION ALL
         SELECT 'cleaned', COUNT(*),
                CAST(bit_xor(rh) AS BIGINT),
-               CAST(SUM(rh % 1000000007) % 1000000007 AS BIGINT)
+               CAST(SUM(rh % 2147483647) % 2147483647 AS BIGINT)
         FROM hc)
       ORDER BY dataset
     """)

@@ -591,10 +591,15 @@ object Scans {
       def probe(layout: String, path: String): (String, Long, Long) = {
         val q = s.read.parquet(path)
           .filter(col("ts_us") >= lo && col("ts_us") < hi)
-        // collect() drives q's OWN queryExecution — count() would build a
-        // separate aggregate plan and leave these metrics untouched
-        val n = q.collect().length.toLong
-        val plan = q.queryExecution.executedPlan match {
+        // drive q's OWN physical plan row-free: executing the plan's RDD
+        // updates the very metric instances read below (a separate
+        // count() would build a different aggregate plan and leave them
+        // untouched), and the RDD-side count keeps every matching row on
+        // the executors — collect() shipped them all to the driver just
+        // to take .length
+        val plan0 = q.queryExecution.executedPlan
+        val n = plan0.execute().count()
+        val plan = plan0 match {
           case a: AdaptiveSparkPlanExec => a.executedPlan
           case p => p
         }

@@ -65,13 +65,16 @@ object SqlShapes {
     * subquery `l_quantity < 0.2 * (SELECT AVG(l_quantity) ... same part)`
     * decorrelated the way Catalyst (and every planner) wants it: pre-group
     * lineitem by partkey into a per-part threshold table, join it back on
-    * the SAME key, filter, sum. Scale shape: the threshold table is one
-    * map-side-combined agg over the fact (20k rows at sf0.1 — AQE
-    * broadcasts it; at 100 TB it shuffle-joins on l_partkey, the fact's own
-    * key, so the threshold join never adds a second fact shuffle). The
-    * per-part average routes its sum through DECIMAL and divides by the
-    * count as a double — bit-identical in both engines — and the final
-    * weekly-revenue scalar divides a decimal-exact sum by 7.0.
+    * the SAME key, filter, sum. The brand filter is pushed BELOW the
+    * threshold aggregate: a part's average quantity is a function of that
+    * part's rows alone, so semi-joining the fact to the ~1/25 brand part
+    * set FIRST is lossless — and it turns "aggregate all of lineitem
+    * across all ~20k parts, then discard 24/25 of the result" into one
+    * broadcast-pruned scan feeding BOTH the threshold aggregate and the
+    * probe side (at 100 TB the difference is a full wasted fact shuffle).
+    * The per-part average routes its sum through DECIMAL and divides by
+    * the count as a double — bit-identical in both engines — and the
+    * final weekly-revenue scalar divides a decimal-exact sum by 7.0.
     */
   val sqlQ17SmallQtyAvg = Op(
     "sql_q17_small_qty_avg",
@@ -81,11 +84,11 @@ object SqlShapes {
         .select(col("p_partkey"))
       val li = T.lineitem(s, d)
         .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"), "left_semi")
       val thresholds = li.groupBy(col("l_partkey"))
         .agg((sum(Det.dec(col("l_quantity"))).cast("double") / count(lit(1)) / lit(5))
           .as("qty_cut"))
-      li.join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
-        .join(thresholds, Seq("l_partkey"))
+      li.join(thresholds, Seq("l_partkey"))
         .filter(col("l_quantity") < col("qty_cut"))
         .agg((sum(Det.dec(col("l_extendedprice"))).cast("double") / lit(7.0))
           .as("avg_weekly"))
@@ -93,14 +96,15 @@ object SqlShapes {
     Some("""
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_weekly
       FROM lineitem
-      JOIN part ON p_partkey = l_partkey
+      JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
       JOIN (
         SELECT l_partkey AS t_partkey,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) / 5 AS qty_cut
-        FROM lineitem GROUP BY l_partkey) t
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey AND p_brand = 'Brand#23'
+        GROUP BY l_partkey) t
         ON t_partkey = l_partkey
-      WHERE p_brand = 'Brand#23'
-        AND l_quantity < qty_cut
+      WHERE l_quantity < qty_cut
     """)
   )
 

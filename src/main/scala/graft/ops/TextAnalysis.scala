@@ -450,7 +450,11 @@ object TextAnalysis {
         .groupBy(col("doc_id"))
         .agg(
           count(lit(1)).as("n_tok"),
-          round((sum(col("surprise")) / count(lit(1))).cast("double"), 6).as("avg_nll"))
+          // cast-then-divide, NOT divide-then-cast: the oracle casts the
+          // decimal sum to double and divides with IEEE double ops; doing
+          // decimal division first would agree only while no value lands
+          // within epsilon of a 0.5e-6 rounding boundary
+          round(sum(col("surprise")).cast("double") / count(lit(1)), 6).as("avg_nll"))
       scored
         .withColumn("quartile",
           ntile(4).over(Window.orderBy(col("avg_nll"), col("doc_id"))).cast("long"))

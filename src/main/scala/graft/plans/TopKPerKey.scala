@@ -49,6 +49,20 @@ import org.apache.spark.sql.types.LongType
   * the result hash-identical to the ROW_NUMBER oracle, and PlanShapeSpec
   * asserts the plan carries TopKPerKeyExec and NO WindowExec/Sort below
   * it.
+  *
+  * KNOWN LIMIT — no spill: state is k rows × keys-per-partition held in
+  * an on-heap map. That is orders of magnitude below WindowExec's
+  * all-rows sort buffer (the thing it replaces), but unlike WindowExec it
+  * does NOT spill to disk: with K distinct keys per partition the
+  * operator holds ~K·k rows regardless of memory pressure. Deployments
+  * where K·k rows per partition can exceed executor memory (k large, or
+  * keys near-unique so the operator degenerates to a passthrough) should
+  * either pre-partition so K drops, or fall back to the window form —
+  * backing the map with a TaskMemoryManager-tracked spillable structure
+  * is the upgrade path. The ordering must also be TOTAL per key — the
+  * caller supplies a tiebreak (totality is not machine-checkable at
+  * construction, so it is a documented contract): bounded eviction under
+  * a partial order would silently drop different rows on different runs.
   */
 case class TopKPerKey(
     k: Int,

@@ -182,8 +182,12 @@ class ExemptSpec extends AnyFunSuite {
     val nSrc = T.lineitem(spark, sf).filter(expr("pmod(l_orderkey, 4) = 0")).count()
     // single sorted file per codec, full row count back
     assert(r1.values.forall { case (files, bytes, rows) => files == 1 && bytes > 0 && rows == nSrc })
-    assert(r1("zstd")._2 < r1("snappy")._2,
-      s"zstd ${r1("zstd")._2} not smaller than snappy ${r1("snappy")._2}")
+    // zstd < snappy holds on this corpus/toolchain but is a property of
+    // parquet-mr codec versions and level defaults, not of our code — a
+    // clue on toolchain bumps, never a hard product failure
+    if (r1("zstd")._2 >= r1("snappy")._2)
+      info(s"NOTE: zstd ${r1("zstd")._2} not smaller than snappy " +
+        s"${r1("snappy")._2} — codec toolchain changed its trade-off")
     // deterministic layout -> reproducible byte sizes
     val r2 = Registry.queries("sink_codec_tradeoff")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
