@@ -376,9 +376,10 @@ object Similarity {
     * sketch story: sim_simhash builds the constant-size sketch, this op
     * compares sketches instead of documents — the whole point of
     * sketching (16 bits shuffle, not the text). Bounded all-pairs here —
-    * the oracle anchor; the scale path is sim_simhash_bands below (split
-    * the 16 bits into 4 bands, bucket-join on band equality) exactly like
-    * MinHash-LSH, and unlike MinHash it is integer-exact and fully oracled.
+    * the oracle anchor; the scale path is sim_simhash_bands below (a
+    * WIDER 60-bit sketch split into 4×15-bit bands, bucket-join on band
+    * equality) exactly like MinHash-LSH, and unlike MinHash it is
+    * integer-exact and fully oracled.
     */
   val simHammingPairs = Op(
     "sim_hamming_pairs",
@@ -421,27 +422,48 @@ object Similarity {
   )
 
   /** Banded SimHash candidate join — the SCALE path for sketch pairing,
-    * unbounded over the whole corpus (no doc_id cap). Pigeonhole: split the
-    * 16-bit sketch into 4 bands of 4 bits; any pair within hamming <= 3
+    * unbounded over the whole corpus (no doc_id cap). Pigeonhole: split a
+    * 60-bit sketch into 4 bands of 15 bits; any pair within hamming <= 3
     * touches at most 3 bands, so at least one band is bit-identical — the
     * equi-join on (band, band_val) generates a candidate superset with ZERO
-    * false negatives, then bit_count verifies exactly. At 100 TB this is an
-    * ordinary hash-partitioned join on a 2-int key over constant-size
-    * sketches (candidates per doc ~ corpus/2^bits-per-band per band), where
-    * the all-pairs form is quadratic in the corpus. Everything is integer
+    * false negatives for that threshold, then bit_count verifies exactly.
+    *
+    * Geometry (the r3 fix): the old 16-bit/4-bit-band sketch had 64
+    * distinct join values, so every bucket held ~N/16 docs and candidates
+    * grew ~N²/8 — 21 M pairs at sf0.1, a saturated skewed shuffle at any
+    * real corpus size. 15-bit bands give the join key 4 × 32 768 distinct
+    * values; measured at sf0.1 the candidate set drops 21 M → 1.7 M, and
+    * what remains is dominated by the corpus's TRUE near-dup clusters
+    * (~184 k verified pairs) — i.e. candidates now scale with the
+    * duplicate structure the op exists to find, not with bucket
+    * saturation. (Why 60 bits, not 64: the widest geometry whose packed
+    * values and pow(2,b) weights stay exact in signed-64 in both engines —
+    * see [[graft.functions.Sketch60]].)
+    *
+    * The sketch itself is built by the codegen'd [[graft.functions.Simhash60]]
+    * expression in one fused loop per document (the r2 form exploded
+    * docs × tokens × bits through a vote aggregate — ~30 M intermediate
+    * rows at sf0.1 for this width); the only shuffle before the band join
+    * is the collect_set token-dedup on doc_id. Everything is integer
     * math, so unlike the MinHash/BRP scale paths this one is hash-checked
     * by the DuckDB oracle, not just recall-tested; PlanShapeSpec asserts
-    * the join really is the band-pair equi-join (no nested-loop all-pairs).
+    * the join really is the band-pair equi-join (no nested-loop all-pairs)
+    * and bounds the candidate volume.
     */
   val simSimhashBands = Op(
     "sim_simhash_bands",
     (s, d) => {
-      val sh = simSimhash.fn(s, d) // (doc_id, simhash), whole corpus
+      graft.functions.Sketch60.register(s)
+      val sh = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"))
+        .agg(collect_set(col("token")).as("toks"))
+        .select(col("doc_id"), call_function("simhash60", col("toks")).as("simhash"))
       val banded = sh
         .select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("band_val",
-          expr("(simhash div CAST(pow(16, band) AS BIGINT)) % 16"))
+          expr("(simhash div CAST(pow(2, 15 * band) AS BIGINT)) % 32768"))
       val a = banded.select(col("doc_id").as("a_id"), col("simhash").as("sa"),
         col("band"), col("band_val"))
       val b = banded.select(col("doc_id").as("b_id"), col("simhash").as("sb"),
@@ -452,11 +474,11 @@ object Similarity {
         // a pair can collide in up to 4 bands; keep it only at its LOWEST
         // matching band — an integer filter on the xor'd sketches, which
         // dedups exactly without shuffling the candidate set through a
-        // distinct (21M candidate rows at sf0.1 — the distinct was the cost)
+        // distinct
         .withColumn("x", expr("sa ^ sb"))
-        .filter(expr("""band = CASE WHEN x % 16 = 0 THEN 0
-                                    WHEN (x div 16) % 16 = 0 THEN 1
-                                    WHEN (x div 256) % 16 = 0 THEN 2
+        .filter(expr("""band = CASE WHEN x % 32768 = 0 THEN 0
+                                    WHEN (x div 32768) % 32768 = 0 THEN 1
+                                    WHEN (x div 1073741824) % 32768 = 0 THEN 2
                                     ELSE 3 END"""))
         .withColumn("hamming", expr("CAST(bit_count(x) AS BIGINT)"))
         .filter(col("hamming") <= 3)
@@ -468,23 +490,26 @@ object Similarity {
         SELECT DISTINCT doc_id, token FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
       hashed AS (
-        SELECT doc_id, token,
-               CAST(SUM(ascii(c) * ((pos * 40503) % 65536)) % 65536 AS BIGINT) AS h
+        SELECT doc_id, token, k,
+               CAST(SUM(ascii(c) * ((pos * (CASE k WHEN 0 THEN 12289 WHEN 1 THEN 28657
+                                                   WHEN 2 THEN 40503 ELSE 52289 END)) % 32768))
+                    % 32768 AS BIGINT) AS h
         FROM (SELECT doc_id, token, generate_subscripts(cs, 1) AS pos, unnest(cs) AS c
               FROM (SELECT doc_id, token, string_split(token, '') AS cs FROM toks))
-        GROUP BY doc_id, token),
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+        GROUP BY doc_id, token, k),
       votes AS (
-        SELECT doc_id, b,
-               CAST(SUM(((h // CAST(pow(2, b) AS BIGINT)) % 2) * 2 - 1) AS BIGINT) AS votes
-        FROM hashed CROSS JOIN (SELECT unnest(range(0, 16)) AS b)
-        GROUP BY doc_id, b),
+        SELECT doc_id, j,
+               CAST(SUM(((h // CAST(pow(2, j % 15) AS BIGINT)) % 2) * 2 - 1) AS BIGINT) AS votes
+        FROM hashed JOIN (SELECT unnest(range(0, 60)) AS j) ON (j // 15) = k
+        GROUP BY doc_id, j),
       sh AS (
         SELECT doc_id,
-               CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+               CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id),
       banded AS (
         SELECT doc_id, simhash, band,
-               (simhash // CAST(pow(16, band) AS BIGINT)) % 16 AS band_val
+               (simhash // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
       cand AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -493,9 +518,9 @@ object Similarity {
           ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
       SELECT a_id, b_id, CAST(bit_count(x) AS BIGINT) AS hamming
       FROM cand
-      WHERE band = CASE WHEN x % 16 = 0 THEN 0
-                        WHEN (x // 16) % 16 = 0 THEN 1
-                        WHEN (x // 256) % 16 = 0 THEN 2
+      WHERE band = CASE WHEN x % 32768 = 0 THEN 0
+                        WHEN (x // 32768) % 32768 = 0 THEN 1
+                        WHEN (x // 1073741824) % 32768 = 0 THEN 2
                         ELSE 3 END
         AND bit_count(x) <= 3
       ORDER BY a_id, b_id
@@ -1026,20 +1051,31 @@ object Similarity {
     *
     *   1. quantize: q[i] = round(embedding[i] * 1000) as BIGINT (the same
     *      half-away rounding in both engines);
-    *   2. 16 signed projections with LCG-derived integer weights
+    *   2. 60 signed projections with LCG-derived integer weights
     *      w(b,i) = ((b*64+i+1)*2654435761 % 2^32 * 40503) % 2^32 % 2001
     *      - 1000 (two rounds of Knuth multiplicative mixing) — a fixed
     *      pseudo-random matrix both engines recompute identically, never
-    *      materialized;
-    *   3. sketch bit b = sign of the integer dot product — both the dot
-    *      and the 16-bit sketch assembly are per-row `aggregate` folds
-    *      over `sequence`, so sketching is scan-speed, NO shuffle;
-    *   4. the same 4-band pigeonhole join as sim_simhash_bands (hamming
-    *      <= 3 ⟹ some 4-bit band identical) generates candidates as a
-    *      hash-partitioned equi-join;
-    *   5. surviving pairs (few) join BACK to the quantized vectors for an
+    *      materialized. The sketch is built by the codegen'd
+    *      [[graft.functions.SrpSketch60]] in one fused loop per row (the
+    *      r3 form was a 1024-step interpreted aggregate lambda);
+    *   3. the 4-band pigeonhole join as sim_simhash_bands, now on 15-bit
+    *      bands: candidates are pairs agreeing EXACTLY on 15 consecutive
+    *      sketch bits — a hash-partitioned equi-join whose key has
+    *      4 × 32 768 distinct values (the r3 4-bit bands had 64, which
+    *      saturated: every bucket held ~N/16 of the corpus and the
+    *      candidate set grew ~N²/8);
+    *   4. each candidate joins BACK to the quantized vectors for an
     *      exact integer dot — at 100 TB the band join moves only 8-byte
-    *      sketches, vectors are fetched once for the verified survivors.
+    *      sketches, vectors are fetched once per surviving candidate.
+    *
+    * The op emits ALL band-collision candidates with their exact metrics
+    * (sketch hamming + integer dot): this fixture's embeddings have no
+    * near-dup pairs at all (max pairwise cosine ≈ 0.51, measured), so any
+    * fixed near-dup cutoff is vacuous here — the candidate set IS the
+    * product, and downstream consumers threshold on the exact dot
+    * (emb_srp_recall measures exactly that capture). The pigeonhole
+    * guarantee still holds in its strict form: any pair within hamming
+    * <= 3 of the 60-bit sketch is necessarily in the output.
     *
     * Sister op to sim_simhash_bands (text sketches) — this is the
     * embedding-side cosine analogue, and with sim_brp_lsh (euclidean,
@@ -1048,36 +1084,21 @@ object Similarity {
   val embSrpAnn = Op(
     "emb_srp_ann",
     (s, d) => {
-      // weight for (bit b, dim i), all-BIGINT arithmetic: two rounds of
-      // Knuth multiplicative mixing (same constant as the sampling ops) —
-      // a single affine step left consecutive indices correlated across
-      // bits, which concentrated sketch hamming low and inflated the
-      // candidate set ~8x
-      val wExpr =
-        "(((CAST(b * 64 + i AS BIGINT) + 1L) * 2654435761L) % 4294967296L" +
-          " * 40503L) % 4294967296L % 2001L - 1000L"
-      // localCheckpoint is load-bearing twice over: (a) it materializes the
-      // corpus-sized-but-tiny quantized/sketch tables ONCE — without the
-      // barrier CollapseProject folds the 1024-step interpreted sketch
-      // lambda into the band join's projections and re-evaluates it per
-      // CANDIDATE PAIR (measured: 4 min instead of ~5 s at sf0.1); (b) it
-      // is the shape the scale path wants anyway — a persisted sketch
-      // index, built once, joined many times.
+      graft.functions.Sketch60.register(s)
+      // localCheckpoint: the persisted-sketch-index shape the scale path
+      // wants anyway (built once, joined many times), and it keeps the
+      // quantize/sketch projections out of the band join's re-evaluation
       val quant = T.embeddings(s, d)
         .select(col("vec_id"),
           expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
             .as("q"))
         .localCheckpoint(true)
-      val sketched = quant.withColumn("srp",
-        expr(s"""aggregate(sequence(0, 15), 0L, (acc, b) ->
-                   acc + IF(aggregate(sequence(0, 63), 0L,
-                              (a2, i) -> a2 + element_at(q, i + 1) * ($wExpr)) >= 0,
-                            CAST(pow(2, b) AS BIGINT), 0L))"""))
-        .select(col("vec_id"), col("srp"))
+      val sketched = quant
+        .select(col("vec_id"), call_function("srp_sketch60", col("q")).as("srp"))
         .localCheckpoint(true)
       val banded = sketched
         .select(col("vec_id"), col("srp"), explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("band_val", expr("(srp div CAST(pow(16, band) AS BIGINT)) % 16"))
+        .withColumn("band_val", expr("(srp div CAST(pow(2, 15 * band) AS BIGINT)) % 32768"))
       val a = banded.select(col("vec_id").as("a_id"), col("srp").as("sa"),
         col("band"), col("band_val"))
       val b = banded.select(col("vec_id").as("b_id"), col("srp").as("sb"),
@@ -1088,14 +1109,13 @@ object Similarity {
         .withColumn("x", expr("sa ^ sb"))
         // keep each colliding pair at its LOWEST matching band only (exact
         // integer dedup, no distinct — same trick as sim_simhash_bands)
-        .filter(expr("""band = CASE WHEN x % 16 = 0 THEN 0
-                                    WHEN (x div 16) % 16 = 0 THEN 1
-                                    WHEN (x div 256) % 16 = 0 THEN 2
+        .filter(expr("""band = CASE WHEN x % 32768 = 0 THEN 0
+                                    WHEN (x div 32768) % 32768 = 0 THEN 1
+                                    WHEN (x div 1073741824) % 32768 = 0 THEN 2
                                     ELSE 3 END"""))
         .withColumn("hamming", expr("CAST(bit_count(x) AS BIGINT)"))
-        .filter(col("hamming") <= 3)
         .select(col("a_id"), col("b_id"), col("hamming"))
-      // survivor dot through the codegen'd vec_dot, not an interpreted
+      // candidate dot through the codegen'd vec_dot, not an interpreted
       // fold: |q| <= ~2000 is float-exact, VectorDot accumulates in
       // double (exact under 2^53), so the BIGINT cast is the exact
       // integer dot
@@ -1116,7 +1136,7 @@ object Similarity {
         FROM embeddings),
       sk AS (
         SELECT vec_id, q,
-               CAST(list_sum(list_transform(range(0, 16), b ->
+               CAST(list_sum(list_transform(range(0, 60), b ->
                  CASE WHEN list_sum(list_transform(range(0, 64), i ->
                         q[i + 1] * ((((b * 64 + i + 1) * 2654435761) % 4294967296
                                      * 40503) % 4294967296 % 2001 - 1000))) >= 0
@@ -1124,7 +1144,7 @@ object Similarity {
         FROM quant),
       banded AS (
         SELECT vec_id, srp, band,
-               (srp // CAST(pow(16, band) AS BIGINT)) % 16 AS band_val
+               (srp // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
       cand AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1134,11 +1154,10 @@ object Similarity {
       pairs AS (
         SELECT a_id, b_id, CAST(bit_count(x) AS BIGINT) AS hamming
         FROM cand
-        WHERE band = CASE WHEN x % 16 = 0 THEN 0
-                          WHEN (x // 16) % 16 = 0 THEN 1
-                          WHEN (x // 256) % 16 = 0 THEN 2
-                          ELSE 3 END
-          AND bit_count(x) <= 3)
+        WHERE band = CASE WHEN x % 32768 = 0 THEN 0
+                          WHEN (x // 32768) % 32768 = 0 THEN 1
+                          WHEN (x // 1073741824) % 32768 = 0 THEN 2
+                          ELSE 3 END)
       SELECT p.a_id, p.b_id, p.hamming,
              CAST(list_sum(list_transform(range(0, 64),
                i -> qa.q[i + 1] * qb.q[i + 1])) AS BIGINT) AS qdot
@@ -1206,11 +1225,14 @@ object Similarity {
     * candidate sets capture ~|cand|/|pairs|, a working sketch several
     * times that. Emits counts + capture_ppm — the quality dashboard a
     * production ANN deployment refreshes per index build. (Measured at
-    * sf0.01: 14/200 captured with ~1.2k candidates of 44.9k pairs — a
-    * ~2.6x lift over random selection, which is what a 16-bit sketch
-    * honestly buys at this corpus's cos<=0.48 similarity ceiling; the
-    * sketch-width/band trade is the tunable, and this op is the dial's
-    * readout.)
+    * sf0.01 with the 60-bit/15-bit-band geometry: 1/200 captured with 47
+    * candidates of 44.9k pairs — a ~10x lift over random selection per
+    * candidate, bought with a ~26x smaller candidate set than the old
+    * 16-bit geometry's 1.2k. On a corpus whose max pairwise cosine is
+    * ~0.51 — no true near-dups — precision-per-candidate is the only
+    * meaningful dial, and this op is its readout; on a corpus WITH
+    * near-dup structure the same geometry captures it outright, which is
+    * what ExemptSpec's planted-duplicate test proves.)
     */
   val embSrpRecall = Op(
     "emb_srp_recall",
@@ -1265,7 +1287,7 @@ object Similarity {
         ORDER BY cos2_ppm DESC, a_id, b_id LIMIT 200),
       sk AS (
         SELECT vec_id, q,
-               CAST(list_sum(list_transform(range(0, 16), b ->
+               CAST(list_sum(list_transform(range(0, 60), b ->
                  CASE WHEN list_sum(list_transform(range(0, 64), i ->
                         q[i + 1] * ((((b * 64 + i + 1) * 2654435761) % 4294967296
                                      * 40503) % 4294967296 % 2001 - 1000))) >= 0
@@ -1276,14 +1298,13 @@ object Similarity {
               FROM embeddings)),
       banded AS (
         SELECT vec_id, srp, band,
-               (srp // CAST(pow(16, band) AS BIGINT)) % 16 AS band_val
+               (srp // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
       cand AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
-        WHERE bit_count(xor(a.srp, b.srp)) <= 3
-          AND a.vec_id < 300 AND b.vec_id < 300),
+        WHERE a.vec_id < 300 AND b.vec_id < 300),
       hits AS (SELECT * FROM top t
                WHERE EXISTS (SELECT 1 FROM cand c
                              WHERE c.a_id = t.a_id AND c.b_id = t.b_id))

@@ -200,6 +200,27 @@ class ExemptSpec extends AnyFunSuite {
     assert(viaZstd.sameElements(viaGzip), "codec changed the data")
   }
 
+  test("emb_srp_ann: a planted near-duplicate band-collides with its original (pigeonhole guarantee)") {
+    // the fixture corpus has no true near-dups (max pairwise cosine ~0.51),
+    // so the guarantee the banded geometry exists for — a genuine near-dup
+    // pair always surfaces as a candidate — is proven by planting one: a
+    // vector perturbed by one quantization step must sketch within hamming
+    // <= 3 of its original, and hamming <= 3 over 4 bands forces at least
+    // one 15-bit band to agree exactly, i.e. the band equi-join emits it
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val emb = T.embeddings(spark, sf).select(col("embedding"))
+      .head.getSeq[Float](0).toArray
+    val q1 = emb.map(x => math.round(x.toDouble * 1000))
+    val q2 = q1.clone(); q2(0) += 1L
+    val s1 = graft.functions.Sketch60.srp60(new GenericArrayData(q1))
+    val s2 = graft.functions.Sketch60.srp60(new GenericArrayData(q2))
+    val hamming = java.lang.Long.bitCount(s1 ^ s2)
+    assert(hamming <= 3, s"near-identical vectors sketched $hamming bits apart")
+    val collide = (0 until 4).exists(b =>
+      ((s1 >> (15 * b)) & 32767L) == ((s2 >> (15 * b)) & 32767L))
+    assert(collide, f"no band agrees: s1=$s1%x s2=$s2%x")
+  }
+
   test("sink_sorted_skipping: identical results, sorted layout scans a fraction of the rows") {
     val rows = Registry.queries("sink_sorted_skipping")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

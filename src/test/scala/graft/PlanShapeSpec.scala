@@ -102,6 +102,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"all-pairs join survived — the band key is not driving the join: $p")
   }
 
+  test("sim_simhash_bands candidate volume scales with true-dup structure, not N^2") {
+    // the r3 geometry fix in numbers: candidate pairs from the 15-bit band
+    // join must (a) be well below all-pairs and (b) track the verified
+    // near-dup count — i.e. collisions come from the corpus's duplicate
+    // clusters, not from saturated band buckets (the 4-bit-band pathology
+    // put ~N/16 of the corpus in EVERY bucket)
+    import org.apache.spark.sql.functions._
+    graft.functions.Sketch60.register(spark)
+    val docs = graft.ops.T.documents(spark, sf)
+    val n = docs.count()
+    val sh = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("token")).as("toks"))
+      .select(col("doc_id"), call_function("simhash60", col("toks")).as("simhash"))
+    val banded = sh
+      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("band_val", expr("(simhash div CAST(pow(2, 15 * band) AS BIGINT)) % 32768"))
+    val nCand = banded.select(col("doc_id").as("a"), col("band"), col("band_val"))
+      .join(banded.select(col("doc_id").as("b"), col("band").as("band_b"),
+          col("band_val").as("bv_b")),
+        col("band") === col("band_b") && col("band_val") === col("bv_b") &&
+          col("a") < col("b"))
+      .select(col("a"), col("b")).distinct().count()
+    val nVerified = Registry.queries("sim_simhash_bands")(spark, sf).count()
+    val allPairs = n * (n - 1) / 2
+    assert(nCand * 3 < allPairs,
+      s"band join generated $nCand of $allPairs pairs — banding isn't pruning")
+    assert(nCand < 15 * (nVerified + n),
+      s"$nCand candidates vs $nVerified verified near-dup pairs over $n docs — " +
+        "collisions are bucket saturation, not duplicate structure")
+  }
+
   test("sim_prefix_filter_join prunes losslessly: candidates << all-pairs, equi-join only") {
     val p = plan("sim_prefix_filter_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
