@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns — images/audio/video as opaque BinaryType payloads
   * with typed metadata, per the LLM-data-pipeline north star.
   *
-  * No media codecs exist in this environment, so the DECODE step is a
+  * No media FIXTURES exist in this environment, so most ops use a
   * clearly-marked deterministic stub (byte histogram standing in for pixel
   * decode); everything around it — BinaryType schema, typed Dataset
   * encoders, mapPartitions batch shape, per-frame chunking, metadata
   * structs — is the real plumbing a production pipeline would keep, with
-  * the codec call swapped in where the stub is.
+  * the codec call swapped in where the stub is. mm_decode_real swaps it
+  * in: a genuine PNG encode/decode round-trip through the JDK's
+  * javax.imageio codec over synthesized images, exact-verified.
   *
   * The payload is synthesized deterministically (UTF-8 bytes of the ascii
   * document text), which lets DuckDB mirror every byte-level computation
@@ -169,6 +171,88 @@ object Multimodal {
     """)
   )
 
+  /** One decoded-image feature row (see mmDecodeReal). */
+  case class MmPixelStats(doc_id: Long, png_bytes: Long, width: Long,
+      height: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL image decode through `javax.imageio` — the one multimodal tier
+    * the stub histogram could not cover. No media fixtures exist in this
+    * environment, so the op synthesizes its own: per document a small RGB
+    * image whose pixels are integer formulas of (doc_id, x, y), PNG-encoded
+    * in the same task — from that point on the pipeline is exactly what a
+    * production image corpus runs: a BinaryType payload column, a
+    * mapPartitions pass that initializes ONE decoder per partition
+    * (ImageIO.setUseCache(false) — codecs are stateful and per-row init is
+    * the classic perf bug), ImageIO.read over each payload, and typed
+    * per-image feature rows out (dimensions + per-channel pixel sums).
+    * PNG is lossless, so the decoded stats are closed-form deterministic —
+    * ExemptSpec recomputes them from the pixel formulas and requires exact
+    * equality, which proves the codec round-trip end-to-end, not a stub.
+    * Oracle-exempt: DuckDB has no PNG codec. At 100 TB the shape is
+    * unchanged: payloads stay columnar binary, decode is partition-local
+    * scan work with zero shuffle; only the tiny feature rows aggregate.
+    */
+  val mmDecodeReal = Op(
+    "mm_decode_real",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          // per-partition codec init, not per row
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { docId =>
+            val w = (docId % 16 + 8).toInt
+            val h = (docId % 12 + 6).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val r = ((docId * 7 + x * 13 + y * 31) % 256).toInt
+                val g = ((docId * 11 + x * 17 + y * 3) % 256).toInt
+                val b = ((docId * 5 + x * 29 + y * 23) % 256).toInt
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            (docId, bos.toByteArray)
+          }
+        }
+        .toDF("doc_id", "payload")
+        .as[MmRow]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { r =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(r.payload))
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            MmPixelStats(r.doc_id, r.payload.length.toLong,
+              img.getWidth.toLong, img.getHeight.toLong, rs, gs, bs)
+          }
+        }
+        .toDF()
+        .orderBy(col("doc_id"))
+    },
+    None
+  )
+
   /** Raw-file ingest via the `binaryFile` source — THE entry point for
     * media/blob corpora that don't arrive as parquet: each file becomes one
     * row (path, length, content BinaryType) and all downstream processing is
@@ -208,5 +292,5 @@ object Multimodal {
 
   val ops: Vector[Op] = Vector(
     mmDecodeFeatures, mmResizeMeta, mmFrameSample, mmContentDedup,
-    scanBinaryFiles)
+    scanBinaryFiles, mmDecodeReal)
 }

@@ -636,6 +636,66 @@ object Similarity {
     None
   )
 
+  /** SemDeDup composition (Abbas et al. 2023, "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): k-means
+    * cluster the embedding corpus, then search for near-duplicates ONLY
+    * within each cluster, then keep one representative per duplicate pair
+    * group. The economics at 100 TB: the cluster assignment is one scan
+    * against broadcast centroids (reused verbatim from the _SUCCESS-gated
+    * [[ivfIndex]] — SemDeDup's clustering IS an IVF coarse quantizer),
+    * and the quadratic cosine work shrinks from N² to Σ|cluster|² — with
+    * k clusters of even size that is N²/k, and k scales with the corpus.
+    * The within-cluster join is an equi-join on list_id, so it
+    * hash-partitions like any other join; no pair across clusters is ever
+    * scored. Pruning is the greedy lowest-id-survives rule on duplicate
+    * pairs (cosine >= 0.35 — this corpus's vectors are near-orthogonal,
+    * the classic 0.95 would be vacuous; see sim_embed_dedup). Emits the
+    * per-cluster dedup ledger: members, scored pairs over threshold,
+    * pruned, survivors. Oracle-exempt (KMeans is not SQL-expressible);
+    * ExemptSpec proves the candidate restriction, cross-checks every
+    * within-cluster duplicate pair against the exact brute-force
+    * sim_embed_dedup on the bounded slice, and pins determinism.
+    */
+  val semDedupClusters = Op(
+    "sem_dedup_clusters",
+    (s, d) => {
+      graft.functions.VectorDot.register(s)
+      val (assigned, _) = ivfIndex(s, d, 16)
+      val e = assigned.select(col("vec_id"), col("list_id"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      val a = e.select(col("list_id"), col("vec_id").as("a_id"),
+        col("embedding").as("ea"), col("nrm").as("na"))
+      val b = e.select(col("list_id").as("lb"), col("vec_id").as("b_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"))
+      val dups = a.join(b,
+          col("list_id") === col("lb") && col("a_id") < col("b_id"))
+        .withColumn("cosine",
+          round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+        .filter(col("cosine") >= 0.35)
+        .select(col("list_id"), col("a_id"), col("b_id"))
+      val pruned = dups.select(col("list_id"), col("b_id").as("vec_id"))
+        .distinct()
+        .withColumn("is_pruned", lit(1L))
+      val pairCounts = dups.groupBy(col("list_id"))
+        .agg(count(lit(1)).as("n_dup_pairs"))
+      e.select(col("list_id"), col("vec_id"))
+        .join(pruned, Seq("list_id", "vec_id"), "left")
+        .groupBy(col("list_id"))
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          sum(coalesce(col("is_pruned"), lit(0L))).as("n_pruned"))
+        .join(pairCounts, Seq("list_id"), "left")
+        .select(
+          col("list_id"),
+          col("n_vecs"),
+          coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+          col("n_pruned"),
+          (col("n_vecs") - col("n_pruned")).as("n_survivors"))
+        .orderBy(col("list_id"))
+    },
+    None
+  )
+
   /** Edit-distance near-dup pairs: Levenshtein over a bounded prefix of
     * same-lang document pairs — the fuzzy-matching tier between exact
     * dedup (mm_content_dedup) and token-set similarity (Jaccard). Prefix
@@ -1392,5 +1452,5 @@ object Similarity {
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
-    embSrpRecall, simPrefixFilterJoin)
+    embSrpRecall, simPrefixFilterJoin, semDedupClusters)
 }

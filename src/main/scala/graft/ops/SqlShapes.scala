@@ -266,7 +266,114 @@ object SqlShapes {
     """)
   )
 
+  /** TPC-H Q7 shape (volume shipping): the TWO-ROLE dimension join — the
+    * same nation table joined under two roles (supplier's nation via
+    * lineitem, customer's nation via orders→customer), revenue bucketed by
+    * (supp_nation, cust_nation, ship year) for the chosen nation pair in
+    * both directions. The topology every analyst hits constantly: one
+    * dimension, two join paths, distinguished only by alias. Scale shape:
+    * the single fact-fact shuffle is lineitem⋈orders on l_orderkey; BOTH
+    * nation roles ride broadcasts (nation→supplier composes into a
+    * broadcast onto lineitem; nation→customer composes into a broadcast
+    * onto orders — customer is 1/10 of orders and the nation filter cuts
+    * it ~12x further), so adding the second role adds ZERO shuffles. The
+    * ship-date range and the two-nation IN filters are pushed into the
+    * scans; same-nation pairs drop before the fact join, not after.
+    * Revenue decimal-routed; year as BIGINT in both engines.
+    */
+  val sqlQ7VolumeShipping = Op(
+    "sql_q7_volume_shipping",
+    (s, d) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n1 = T.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = T.nation(s, d).filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val sup = T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = T.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1998-01-01")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).cast("long").as("l_year"),
+          Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("volume")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year
+    """)
+  )
+
+  /** TPC-H Q15 shape (top supplier): an aggregate-as-view (per-supplier
+    * quarterly revenue) gated by the view's own global MAX — the last
+    * distinct aggregate topology (agg view consumed twice: once as rows,
+    * once reduced to a scalar). The revenue comparison happens in DECIMAL
+    * on both sides — comparing re-derived DOUBLEs for equality is exactly
+    * the cross-engine trap the decimal routing exists to avoid; only the
+    * reported column casts to double at the end. Scale shape: revenue is
+    * ONE map-side-combined shuffle on l_suppkey over the date-pruned fact;
+    * the max is a 1-row broadcast gate over the TINY agg view (never the
+    * fact, never a driver collect), and supplier names ride a broadcast.
+    */
+  val sqlQ15TopSupplier = Op(
+    "sql_q15_top_supplier",
+    (s, d) => {
+      val rev = T.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("tr"))
+      val maxRev = rev.agg(max(col("tr")).as("max_tr"))
+      rev.join(broadcast(maxRev), col("tr") === col("max_tr"))
+        .join(broadcast(T.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("tr").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some("""
+      WITH revenue AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS tr
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(tr AS DOUBLE) AS total_revenue
+      FROM revenue JOIN supplier ON s_suppkey = l_suppkey
+      WHERE tr = (SELECT MAX(tr) FROM revenue)
+      ORDER BY s_suppkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     sqlQ13CustDistribution, sqlQ17SmallQtyAvg, sqlQ19DisjunctivePushdown,
-    sqlQ21WaitingSuppliers, sqlQ22GlobalAcctbal)
+    sqlQ21WaitingSuppliers, sqlQ22GlobalAcctbal, sqlQ7VolumeShipping,
+    sqlQ15TopSupplier)
 }

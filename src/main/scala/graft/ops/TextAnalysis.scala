@@ -251,6 +251,63 @@ object TextAnalysis {
     """)
   )
 
+  /** Substring-level (shifted-window) dedup — the every-position sibling of
+    * [[txtChunkDedup]], closing its fixed-boundary gap: 10-token chunks
+    * miss any duplicated span offset by fewer than 10 tokens, while an
+    * 8-token window hashed at EVERY position (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" recipe,
+    * with 8-token windows standing in for their 50-token substrings at
+    * fixture scale) catches a shared span wherever it starts. Windows come
+    * from the native codegen'd `token_ngrams` (one fused loop per doc — no
+    * interpreted slice lambdas), are md5'd immediately, and ONLY the
+    * 16-byte hashes ever shuffle — the narrow-before-aggregate shape that
+    * makes substring dedup affordable at 100 TB (text never moves; shuffle
+    * volume is windows × 16 bytes). Emits per-source window counts, the
+    * cross-doc duplicated-window count, the duplicated fraction, and how
+    * many docs contain at least one cross-doc duplicated span — the
+    * "which documents need substring surgery" readout a pipeline acts on.
+    */
+  val txtSubstringDedup = Op(
+    "txt_substring_dedup",
+    (s, d) => {
+      graft.functions.NGrams.register(s)
+      val win = T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(call_function("token_ngrams", split(col("text"), " "), lit(8)))
+            .as("w"))
+        .select(col("doc_id"), col("source"), md5(col("w")).as("h"))
+      val dup = win.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"), lit(1L).as("isdup"))
+      win.join(dup, Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_windows"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup_windows"),
+          countDistinct(when(col("isdup") === 1L, col("doc_id")))
+            .as("n_docs_with_dup_span"))
+        .withColumn("dup_frac", round(col("n_dup_windows") / col("n_windows"), 6))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH win AS (
+        SELECT doc_id, source,
+               md5(unnest(list_transform(range(1, len(arr) - 6),
+                 i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||
+                      arr[i+3] || ' ' || arr[i+4] || ' ' || arr[i+5] || ' ' ||
+                      arr[i+6] || ' ' || arr[i+7]))) AS h
+        FROM (SELECT doc_id, source, string_split(text, ' ') AS arr FROM documents)),
+      dup AS (SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT w.source, COUNT(*) AS n_windows,
+             CAST(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_windows,
+             COUNT(DISTINCT CASE WHEN d.h IS NOT NULL THEN w.doc_id END) AS n_docs_with_dup_span,
+             ROUND(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) / COUNT(*), 6) AS dup_frac
+      FROM win w LEFT JOIN dup d ON w.h = d.h
+      GROUP BY w.source ORDER BY w.source
+    """)
+  )
+
   /** PII redaction — the mandatory scrub pass of any training-data pipeline
     * (emails/phones masked before text ever reaches dedup or tokenize). The
     * fixture corpus is PII-free by construction, so the op first plants
@@ -491,5 +548,5 @@ object TextAnalysis {
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
-    txtUnigramLogprob)
+    txtUnigramLogprob, txtSubstringDedup)
 }

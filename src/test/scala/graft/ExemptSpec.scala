@@ -200,6 +200,57 @@ class ExemptSpec extends AnyFunSuite {
     assert(viaZstd.sameElements(viaGzip), "codec changed the data")
   }
 
+  test("sem_dedup_clusters: within-cluster only, agrees with brute-force dedup, deterministic") {
+    val r1 = Registry.queries("sem_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // ledger arithmetic: survivors + pruned = members per cluster, and the
+    // cluster membership sums to the whole corpus (nothing dropped/dup'd)
+    r1.values.foreach { case (n, _, pruned, surv) => assert(pruned + surv == n) }
+    assert(r1.values.map(_._1).sum == T.embeddings(spark, sf).count())
+    // agreement with the exact brute-force twin on the bounded slice:
+    // every sim_embed_dedup pair (cosine >= 0.35, ids < 300) that falls in
+    // ONE cluster must be counted by the op — and pairs the op scores are
+    // never cross-cluster, so clusters with a singleton member report 0
+    import graft.functions.VectorDot
+    VectorDot.register(spark)
+    val brutePairs = Registry.queries("sim_embed_dedup")(spark, sf)
+      .select(col("a_id"), col("b_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // recompute the op's cluster assignment via its own gated index
+    val assigned = spark.read.parquet(
+        T.scratchFor(sf, "ivf_index_16") + "/assigned")
+      .select(col("vec_id"), col("list_id")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val sameCluster = brutePairs.filter { case (a, b) => assigned(a) == assigned(b) }
+    val opPairTotal = r1.values.map(_._2).sum
+    assert(opPairTotal >= sameCluster.size,
+      s"op scored $opPairTotal duplicate pairs but the brute-force slice alone has ${sameCluster.size} same-cluster pairs")
+    val r2 = Registry.queries("sem_dedup_clusters")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(r1 == r2, "not deterministic across runs")
+  }
+
+  test("mm_decode_real: javax.imageio round-trip reproduces the closed-form pixel stats exactly") {
+    val rows = Registry.queries("mm_decode_real")(spark, sf).collect()
+    assert(rows.length == T.documents(spark, sf).filter(col("doc_id") < 100).count())
+    rows.foreach { r =>
+      val docId = r.getLong(0)
+      val (w, h) = ((docId % 16 + 8).toInt, (docId % 12 + 6).toInt)
+      assert(r.getLong(1) > 0, "empty PNG payload")
+      assert(r.getLong(2) == w && r.getLong(3) == h,
+        s"doc $docId decoded ${r.getLong(2)}x${r.getLong(3)}, expected ${w}x$h")
+      // closed-form channel sums: PNG is lossless, so the decoded image
+      // must reproduce the generator formulas bit-for-bit
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        rs += (docId * 7 + x * 13 + y * 31) % 256
+        gs += (docId * 11 + x * 17 + y * 3) % 256
+        bs += (docId * 5 + x * 29 + y * 23) % 256
+      }
+      assert(r.getLong(4) == rs && r.getLong(5) == gs && r.getLong(6) == bs,
+        s"doc $docId channel sums (${r.getLong(4)},${r.getLong(5)},${r.getLong(6)}) != ($rs,$gs,$bs) — codec round-trip not lossless")
+    }
+  }
+
   test("emb_srp_ann: a planted near-duplicate band-collides with its original (pigeonhole guarantee)") {
     // the fixture corpus has no true near-dups (max pairwise cosine ~0.51),
     // so the guarantee the banded geometry exists for — a genuine near-dup

@@ -167,6 +167,40 @@ class PlanShapeSpec extends AnyFunSuite {
       s"prefix filter generated $nCand of $allPairs pairs — pruning isn't biting")
   }
 
+  test("txt_substring_dedup hashes windows before any shuffle — text never moves") {
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // traverse the pre-AQE physical plan: every projection that computes
+    // the window md5 must sit directly on the scan side — zero shuffles
+    // below it, so the only bytes that ever cross the wire are 16-byte
+    // hashes, never document text
+    val p = Registry.queries("txt_substring_dedup")(spark, sf)
+      .queryExecution.sparkPlan
+    val md5Projects = p.collect {
+      case pr: ProjectExec
+        if pr.projectList.exists(_.toString.toLowerCase.contains("md5")) => pr
+    }
+    assert(md5Projects.nonEmpty, s"no md5 projection found: $p")
+    md5Projects.foreach { pr =>
+      assert(pr.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"shuffle below the window-hash projection — text is crossing the wire: $pr")
+    }
+  }
+
+  test("sql_q7_volume_shipping broadcasts both nation roles — one fact-fact shuffle only") {
+    val p = plan("sql_q7_volume_shipping")
+    // both dimension roles (nation→supplier onto lineitem, nation→customer
+    // →orders onto the order side) must ride broadcasts; the only
+    // shuffle-side join allowed is lineitem⋈orders on l_orderkey
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 2,
+      s"expected both dimension roles broadcast: $p")
+    val shuffleJoins =
+      p.sliding("SortMergeJoin".length).count(_ == "SortMergeJoin") +
+        p.sliding("ShuffledHashJoin".length).count(_ == "ShuffledHashJoin")
+    assert(shuffleJoins <= 1, s"more than one shuffle join ($shuffleJoins): $p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("emb_srp_ann joins on the band pair — an equi-join, never all-pairs") {
     val p = plan("emb_srp_ann")
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin") ||
