@@ -372,8 +372,209 @@ object SqlShapes {
     """)
   )
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure scan-side query —
+    * every predicate (date range, discount band, quantity cap) lands in
+    * `PushedFilters` on the parquet scan, two columns read, one global
+    * decimal agg out. The point at 100 TB: ZERO shuffle rows beyond the
+    * 32 partial-agg rows; the plan is a single WholeStageCodegen span over
+    * the pruned scan. The bench's floor — if this query is slow the scan
+    * path itself is misconfigured. Double literals (0.05/0.07/24) compare
+    * against the fixture's raw doubles with identical IEEE semantics in
+    * both engines; only the revenue SUM routes through DECIMAL(18,4).
+    */
+  val sqlQ6ForecastRevenue = Op(
+    "sql_q6_forecast_revenue",
+    (s, d) => {
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01"
+          && col("l_discount") >= 0.05 && col("l_discount") <= 0.07
+          && col("l_quantity") < 24.0)
+        .agg(sum(Det.dec(col("l_extendedprice") * col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+    Some("""
+      SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07
+        AND l_quantity < 24.0
+    """)
+  )
+
+  /** TPC-H Q4 shape (order priority checking): correlated EXISTS whose
+    * predicate crosses the correlation — a lineitem later than ITS order's
+    * date + 60 days (the fixture's lateness stand-in for commit<receipt,
+    * same adaptation as Q21) — counted per priority bucket. Topology: a
+    * left-semi join whose condition mixes both sides' columns, so it
+    * cannot collapse to a bloom/IN filter. Scale shape: the quarter filter
+    * prunes the orders scan; the semi-join shuffles on the orderkey both
+    * facts already carry; and the correlation bound is DERIVED onto the
+    * lineitem scan — any qualifying lineitem has l_shipdate > quarter_start
+    * + 60d, so that bound is pushed as a plain scan predicate (lossless,
+    * ~20x fewer probe rows at any scale; the oracle's pure-EXISTS form
+    * proves losslessness by hash equality).
+    */
+  val sqlQ4PriorityExists = Op(
+    "sql_q4_priority_exists",
+    (s, d) => {
+      val ord = T.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-07-01" && col("o_orderdate") < "1996-10-01")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = T.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp")
+          + expr("INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""
+      SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        AND o_orderdate <  TIMESTAMP '1996-10-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority
+    """)
+  )
+
+  /** TPC-H Q14 shape (promotion effect): conditional-aggregate ratio — the
+    * promo share of one month's revenue, where numerator and denominator
+    * come out of the SAME single pass (a CASE inside the sum, not two
+    * scans). Scale shape: month filter pushed to the fact scan, the 2k-row
+    * part dim broadcast, one global agg; the ratio divides the two DECIMAL
+    * sums only after casting each to double (both engines then do the one
+    * identical IEEE division) and rounds half-up via floor(x*1e6+0.5)
+    * (round() would be half-even vs half-up across engines).
+    */
+  val sqlQ14PromoRevenue = Op(
+    "sql_q14_promo_revenue",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+        .filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
+        .select(col("l_partkey"),
+          Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      li.join(broadcast(T.part(s, d).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(Det.dec(lit(0.0)))).cast("double").as("promo_revenue"),
+          sum(col("rev")).cast("double").as("total_revenue"))
+        .select(col("promo_revenue"), col("total_revenue"),
+          (floor(lit(100.0) * col("promo_revenue") / col("total_revenue") * 1e6
+            + 0.5) / 1e6).as("promo_pct"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev,
+               p_type
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate <  TIMESTAMP '1996-10-01'),
+      sums AS (
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev
+                             ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+               CAST(SUM(rev) AS DOUBLE) AS total_revenue
+        FROM j)
+      SELECT promo_revenue, total_revenue,
+             FLOOR(100.0 * promo_revenue / total_revenue * 1000000 + 0.5) / 1000000 AS promo_pct
+      FROM sums
+    """)
+  )
+
+  /** TPC-H Q8 shape (national market share): the share-of-total topology —
+    * one nation's fraction of a region's yearly market for one part type,
+    * where numerator and denominator are conditional sums of the SAME
+    * aggregated pass (the grouping carries every row; the CASE picks the
+    * numerator). Combines the two-role nation join (Q7's topology: customer
+    * nation restricted to a REGION via the region→nation chain, supplier
+    * nation kept as the share dimension) with the conditional-ratio
+    * pattern (Q14). Scale shape: part type prunes the fact ~6x through a
+    * broadcast; region→nation→customer composes into one broadcast onto
+    * orders; supplier⋈nation broadcasts onto lineitem; the ONLY shuffle is
+    * the lineitem⋈orders orderkey join, identical to Q7 — the whole extra
+    * topology rides broadcasts. Ratio math identical to Q14 (cast each
+    * decimal sum to double, one IEEE division, floor-half-up rounding).
+    */
+  val sqlQ8MarketShare = Op(
+    "sql_q8_market_share",
+    (s, d) => {
+      val amNations = T.nation(s, d)
+        .join(broadcast(T.region(s, d).filter(col("r_name") === "AMERICA")
+          .select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = T.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = T.orders(s, d)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_year"))
+      val supNation = T.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(T.nation(s, d)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          Det.dec(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+        .join(broadcast(T.part(s, d).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_1", col("volume"))
+            .otherwise(Det.dec(lit(0.0)))).cast("double").as("nation_volume"),
+          sum(col("volume")).cast("double").as("total_volume"))
+        .select(col("o_year"), col("nation_volume"), col("total_volume"),
+          (floor(col("nation_volume") / col("total_volume") * 1e6 + 0.5) / 1e6)
+            .as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    Some("""
+      WITH j AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey AND p_type = 'STANDARD'
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'),
+      sums AS (
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                             ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) AS nation_volume,
+               CAST(SUM(volume) AS DOUBLE) AS total_volume
+        FROM j GROUP BY o_year)
+      SELECT o_year, nation_volume, total_volume,
+             FLOOR(nation_volume / total_volume * 1000000 + 0.5) / 1000000 AS mkt_share
+      FROM sums ORDER BY o_year
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     sqlQ13CustDistribution, sqlQ17SmallQtyAvg, sqlQ19DisjunctivePushdown,
     sqlQ21WaitingSuppliers, sqlQ22GlobalAcctbal, sqlQ7VolumeShipping,
-    sqlQ15TopSupplier)
+    sqlQ15TopSupplier, sqlQ6ForecastRevenue, sqlQ4PriorityExists,
+    sqlQ14PromoRevenue, sqlQ8MarketShare)
 }

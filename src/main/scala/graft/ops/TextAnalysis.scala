@@ -545,8 +545,84 @@ object TextAnalysis {
     """)
   )
 
+  /** Repetition-ratio quality gate — the Gopher-rules repetition signals
+    * (Rae et al. 2021 §A1.1: duplicate-n-gram fraction and top-n-gram
+    * fraction) as a corpus screen: per document, the fraction of bigram
+    * occurrences that are repeats (1 - distinct/total) and the mass of the
+    * single most frequent bigram; rolled up per language as exact-integer
+    * sums so every ratio is ONE double division of exact BIGINTs (no
+    * summing of per-doc doubles — float sums are partial-order-dependent).
+    * The flag predicate is integer-exact too (10*distinct < 9*total ⇔
+    * dup_frac > 0.1), so flag counts can never straddle a float boundary.
+    * Scale shape: only (doc_id, lang, text) are read; bigrams come from
+    * the native codegen'd token_ngrams (one fused loop, no self-join); the
+    * one big shuffle is the (doc, bigram) count with map-side combine, and
+    * the per-doc → per-lang rollups collapse to ~|langs| rows. At 100 TB
+    * the bigram strings would shuffle as 16-byte md5 keys instead (the
+    * dedup_exact idiom) — identity, not content, is all counting needs.
+    */
+  val txtRepetitionRatio = Op(
+    "txt_repetition_ratio",
+    (s, d) => {
+      graft.functions.NGrams.register(s)
+      val perPair = T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(call_function("token_ngrams", split(col("text"), " "), lit(2)))
+            .as("bigram"))
+        .groupBy(col("doc_id"), col("lang"), col("bigram"))
+        .agg(count(lit(1)).as("cnt"))
+      val perDoc = perPair
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("cnt")).as("n_bg"),
+          count(lit(1)).as("n_dist"),
+          max(col("cnt")).as("max_c"))
+      perDoc
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bg")).as("total_bigrams"),
+          sum(col("n_dist")).as("distinct_bigrams"),
+          sum(col("max_c")).as("top_mass"),
+          sum(when(lit(10) * col("n_dist") < lit(9) * col("n_bg"), 1L)
+            .otherwise(0L)).as("n_flagged"))
+        .select(col("lang"), col("n_docs"), col("total_bigrams"),
+          col("distinct_bigrams"),
+          (floor((lit(1.0) - col("distinct_bigrams").cast("double")
+            / col("total_bigrams").cast("double")) * 1e6 + 0.5) / 1e6)
+            .as("dup_frac"),
+          (floor(col("top_mass").cast("double")
+            / col("total_bigrams").cast("double") * 1e6 + 0.5) / 1e6)
+            .as("top_frac"),
+          col("n_flagged"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT doc_id, lang, generate_subscripts(arr, 1) AS pos, unnest(arr) AS tok
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS arr FROM documents)),
+      bg AS (
+        SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS bigram
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+      pc AS (
+        SELECT doc_id, lang, bigram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2, 3),
+      pd AS (
+        SELECT doc_id, lang, SUM(cnt) AS n_bg, COUNT(*) AS n_dist, MAX(cnt) AS max_c
+        FROM pc GROUP BY 1, 2)
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_bg) AS BIGINT) AS total_bigrams,
+             CAST(SUM(n_dist) AS BIGINT) AS distinct_bigrams,
+             FLOOR((1.0 - CAST(SUM(n_dist) AS DOUBLE) / CAST(SUM(n_bg) AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS dup_frac,
+             FLOOR(CAST(SUM(max_c) AS DOUBLE) / CAST(SUM(n_bg) AS DOUBLE)
+                   * 1000000 + 0.5) / 1000000 AS top_frac,
+             CAST(SUM(CASE WHEN 10 * n_dist < 9 * n_bg THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      FROM pd GROUP BY lang ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
-    txtUnigramLogprob, txtSubstringDedup)
+    txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio)
 }

@@ -342,6 +342,43 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"regex scrub should not shuffle the corpus: $p")
   }
 
+  test("sql_q6_forecast_revenue: every predicate pushed, zero join, minimal exchanges") {
+    val p = plan("sql_q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date filter not pushed: $p")
+    assert(p.contains("LessThan(l_quantity"), s"quantity filter not pushed: $p")
+    assert(p.contains("GreaterThanOrEqual(l_discount"), s"discount filter not pushed: $p")
+    assert(!p.contains("Join"), s"Q6 must not join: $p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"Q6 is one partial+final agg, got $exchanges exchanges: $p")
+  }
+
+  test("sql_q4_priority_exists: derived lateness bound pushed to the lineitem scan") {
+    val p = plan("sql_q4_priority_exists")
+    assert(p.contains("GreaterThan(l_shipdate"), s"derived l_shipdate bound not pushed: $p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), s"quarter filter not pushed: $p")
+    assert(p.contains("LeftSemi"), s"EXISTS should plan a semi-join: $p")
+  }
+
+  test("sql_q8_market_share: dims all broadcast — the only shuffle join is lineitem⋈orders") {
+    val p = plan("sql_q8_market_share")
+    val bhj = p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin")
+    assert(bhj >= 3, s"part/supplier-nation/customer-region chains should broadcast (got $bhj): $p")
+    assert(p.contains("EqualTo(p_type,STANDARD)"), s"part type filter not pushed: $p")
+  }
+
+  test("sql_q14_promo_revenue: month filter pushed, part dim broadcast") {
+    val p = plan("sql_q14_promo_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"month filter not pushed: $p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast: $p")
+  }
+
+  test("txt_repetition_ratio: native token_ngrams, bigram count is map-side combined") {
+    val p = plan("txt_repetition_ratio")
+    assert(p.contains("token_ngrams"), s"should use the native codegen'd ngram expression: $p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"bigram count should partial-aggregate before the shuffle: $p")
+  }
+
   test("join_bucketed_colocated joins without shuffling either fact side") {
     def exchanges(p: String): Int =
       p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
