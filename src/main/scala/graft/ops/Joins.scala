@@ -148,9 +148,14 @@ object Joins {
   val joinDppPrune = Op(
     "join_dpp_prune",
     (s, d) => {
-      val tmp = T.scratch("orders_by_prio")
-      T.orders(s, d).write.mode("overwrite")
-        .partitionBy("o_orderpriority").parquet(tmp)
+      // _SUCCESS-gated build per sfDir (the IVF-index idiom): the
+      // partitioned layout is a write-once artifact; repeat sweep calls
+      // pay only the pruned read, not the re-write.
+      val tmp = T.scratchFor(d, "orders_by_prio")
+      if (!new java.io.File(tmp, "_SUCCESS").exists()) {
+        T.orders(s, d).write.mode("overwrite")
+          .partitionBy("o_orderpriority").parquet(tmp)
+      }
       val fact = s.read.parquet(tmp)
       val dim = T.orders(s, d).select(col("o_orderpriority").as("p")).distinct()
         .filter(col("p").startsWith("1"))

@@ -1446,11 +1446,117 @@ object Similarity {
     """)
   )
 
+  /** IVF-PQ (Jégou, Douze, Schmid 2011, "Product quantization for nearest
+    * neighbor search") — the compression tier of web-scale ANN, composed
+    * with the gated IVF coarse quantizer: the 64-dim float vector (256
+    * bytes) is split into M=4 16-dim subvectors, each quantized to one of
+    * 16 per-subspace KMeans codes, so a vector's search footprint drops to
+    * M·log2(k) = 2 BYTES (128× — at 100 TB of embeddings the codes fit in
+    * cluster RAM when raw vectors never could). Query = the classic
+    * asymmetric-distance pipeline: (1) per probe, a 4×16 lookup table of
+    * exact subspace distances (64 rows, a broadcast — computed once, not
+    * per candidate); (2) candidates restricted to the nProbe nearest
+    * coarse lists (IVF inheritance); (3) ADC score = SUM of 4 LUT hits
+    * per candidate — an equi-join + groupBy, no vector math on the scan
+    * side; (4) exact cosine re-rank of the top-50 ADC survivors only
+    * (the standard refine step: full vectors touched for 50 rows, not
+    * the corpus). Index artifacts (_SUCCESS-gated, per sfDir): exploded
+    * codes (vec_id, m, code, list_id) and the M×16 codebook. Oracle:
+    * none (two KMeans trainings); ExemptSpec pins output shape, code
+    * range/completeness, within-probed-list candidates via the ledger,
+    * refine-recall vs the exact brute force, and determinism.
+    */
+  val simIvfPq = Op(
+    "sim_ivf_pq",
+    (s, d) => {
+      graft.functions.VectorDot.register(s)
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val M = 4; val subDim = 16; val k = 16
+      val nList = 16; val nProbe = 6; val refine = 50
+      val (assigned, centroids) = ivfIndex(s, d, nList)
+      val idx = T.scratchFor(d, "ivfpq_index")
+      if (!new java.io.File(s"$idx/codes/_SUCCESS").exists()) {
+        // per-subspace codebooks: M seeded KMeans fits on the sliced dims.
+        // Training is the one non-declarative step; it runs once per sfDir
+        // and its input is each subspace's projection, never the full dim.
+        val books = (0 until M).map { m =>
+          val sub = assigned.select(col("vec_id"),
+            slice(col("embedding"), m * subDim + 1, subDim).as("sub"))
+            .withColumn("fvec", array_to_vector(col("sub")))
+          val model = new KMeans().setK(k).setSeed(7 + m).setMaxIter(10)
+            .setFeaturesCol("fvec").setPredictionCol("code").fit(sub)
+          import s.implicits._
+          val bookDf = model.clusterCenters.toSeq.zipWithIndex
+            .map { case (c, i) => (m, i, c.toArray.map(_.toFloat)) }
+            .toDF("m", "code", "sub_centroid")
+          val codesDf = model.transform(sub)
+            .select(col("vec_id"), lit(m).as("m"), col("code"))
+          (bookDf, codesDf)
+        }
+        books.map(_._1).reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$idx/codebook")
+        books.map(_._2).reduce(_ unionAll _)
+          .join(assigned.select(col("vec_id"), col("list_id")), "vec_id")
+          .write.mode("overwrite").parquet(s"$idx/codes")
+      }
+      val codebook = s.read.parquet(s"$idx/codebook")
+      val codes = s.read.parquet(s"$idx/codes")
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          norm(col("embedding")).as("pnorm"))
+      // nProbe nearest coarse lists per probe (the IVF tier)
+      val wList = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist2").asc, col("list_id"))
+      val probeLists = probes.crossJoin(broadcast(centroids))
+        .withColumn("dist2",
+          dot(col("pe"), col("pe")) + dot(col("centroid"), col("centroid"))
+            - lit(2.0) * dot(col("pe"), col("centroid")))
+        .withColumn("lrn", row_number().over(wList))
+        .filter(col("lrn") <= nProbe)
+        .select(col("probe_id"), col("pe"), col("pnorm"), col("list_id"))
+      // per-probe ADC lookup table: ||q_m - c_{m,code}||^2, 4x16 rows/probe
+      val lut = probes.crossJoin(broadcast(codebook))
+        .withColumn("qsub", slice(col("pe"), col("m") * subDim + 1, lit(subDim)))
+        .select(col("probe_id"), col("m"), col("code"),
+          (dot(col("qsub"), col("qsub"))
+            + dot(col("sub_centroid"), col("sub_centroid"))
+            - lit(2.0) * dot(col("qsub"), col("sub_centroid"))).as("sub_dist2"))
+      // ADC: candidates from probed lists only, scored by 4 LUT hits each
+      val wAdc = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc_dist2").asc, col("vec_id"))
+      val adcTop = codes
+        .join(broadcast(probeLists.select(col("probe_id"), col("list_id"))),
+          Seq("list_id"))
+        .filter(col("probe_id") =!= col("vec_id"))
+        .join(broadcast(lut), Seq("probe_id", "m", "code"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("sub_dist2")).as("adc_dist2"))
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= refine)
+      // refine: exact cosine on the top-20 ADC survivors only
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      adcTop
+        .join(assigned.select(col("vec_id"), col("embedding")), "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .withColumn("cosine",
+          round(dot(col("pe"), col("embedding"))
+            / (col("pnorm") * norm(col("embedding"))), 6))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn").cast("long").as("rn"),
+          col("vec_id"), col("cosine"), col("adc_rank").cast("long").as("adc_rank"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
-    embSrpRecall, simPrefixFilterJoin, semDedupClusters)
+    embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq)
 }

@@ -621,8 +621,67 @@ object TextAnalysis {
     """)
   )
 
+  /** Training-sequence packing — the concat-and-chunk stage every LLM
+    * pretraining pipeline runs between "cleaned corpus" and "batched
+    * tokens" (the GPT-style recipe: concatenate documents in a fixed
+    * deterministic order, cut every B tokens): each document's sequence is
+    * floor(tokens-before-it / B) within its (lang, source) stream, and the
+    * op emits the per-sequence manifest (doc span, doc count, token count
+    * — the padding-free packing plan a loader would execute). Everything
+    * is BIGINT arithmetic: token counts, prefix sums, floor division — no
+    * float anywhere, so the manifest hash-matches DuckDB exactly.
+    * Scale shape: the running total is a window over (lang, source)
+    * streams ordered by doc_id — packing is embarrassingly parallel
+    * across streams, and a 100 TB corpus packs per (source, shard) with
+    * thousands of independent streams (the fixture's 100 (lang, source)
+    * groups model exactly that); only (ids, counts) shuffle, never text.
+    * The rollup collapses output to ~n_tokens/B rows.
+    */
+  val txtSeqPack = Op(
+    "txt_seq_pack",
+    (s, d) => {
+      val budget = 512L
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val wStream = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(wStream), lit(0L)))
+        .withColumn("seq_id",
+          floor(col("cum_before") / lit(budget.toDouble)).cast("long"))
+        .groupBy(col("lang"), col("source"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("seq_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("source"), col("seq_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      p AS (
+        SELECT *,
+               COALESCE(SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM d)
+      SELECT lang, source,
+             CAST(FLOOR(cum_before / 512.0) AS BIGINT) AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS seq_tokens,
+             MIN(doc_id) AS first_doc,
+             MAX(doc_id) AS last_doc
+      FROM p GROUP BY lang, source, seq_id
+      ORDER BY lang, source, seq_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
-    txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio)
+    txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack)
 }

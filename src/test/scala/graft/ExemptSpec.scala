@@ -156,6 +156,39 @@ class ExemptSpec extends AnyFunSuite {
     }
   }
 
+  test("sim_ivf_pq: complete 2-byte codes, dense ranks, tracks plain IVF, deterministic") {
+    val r1 = Registry.queries("sim_ivf_pq")(spark, sf).collect()
+    // shape: per probe, rn dense from 1 up to 5
+    for ((probe, rows) <- r1.groupBy(_.getLong(0))) {
+      val rns = rows.map(_.getLong(1)).sorted
+      assert(rns.sameElements(1L to rows.length.toLong),
+        s"probe $probe: rn not dense: ${rns.mkString(",")}")
+      assert(rows.length <= 5, s"probe $probe: ${rows.length} rows")
+    }
+    // the compression contract: every vector got exactly M=4 codes, each
+    // in [0,16) — i.e. 4 nibbles = 2 bytes of search footprint per vector
+    val codes = spark.read.parquet(s"${T.scratchFor(sf, "ivfpq_index")}/codes")
+    val nVec = T.embeddings(spark, sf).count()
+    assert(codes.count() == 4 * nVec, "codes table incomplete")
+    val perVec = codes.groupBy(col("vec_id")).count().filter(col("count") =!= 4).count()
+    assert(perVec == 0, "some vector lacks one code per subspace")
+    val bad = codes.filter(col("code") < 0 || col("code") >= 16).count()
+    assert(bad == 0, "code outside [0,16)")
+    // ADC + top-50 refine should largely recover what exact scoring of the
+    // same probed lists finds (sim_ivf_knn shares the coarse quantizer):
+    // measured 0.70 at sf0.01; 0.5 leaves margin for KMeans seed noise on
+    // the fixtures' near-orthogonal vectors (PQ's worst case — no cluster
+    // structure for the codebooks to exploit)
+    val ivf = Registry.queries("sim_ivf_knn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = r1.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val agree = ivf.count(pq.contains).toDouble / ivf.size
+    assert(agree >= 0.5, s"PQ top-5 only recovers $agree of exact-scored IVF top-5")
+    // gated index: second invocation reuses the persisted codes — identical
+    val r2 = Registry.queries("sim_ivf_pq")(spark, sf).collect()
+    assert(r1.map(_.toString).sameElements(r2.map(_.toString)), "not deterministic")
+  }
+
   test("ml_train_test_split: exact 80/20 bucketing, disjoint, stable") {
     val run1 = Registry.queries("ml_train_test_split")(spark, sf)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

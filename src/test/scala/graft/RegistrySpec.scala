@@ -24,7 +24,7 @@ class RegistrySpec extends AnyFunSuite {
       "ml_feature_pipeline", "ml_logreg_intent", "ml_train_test_split",
       "ml_pca_features",
       "sink_codec_tradeoff", "sink_sorted_skipping",
-      "sim_brp_lsh", "sim_ivf_knn",
+      "sim_brp_lsh", "sim_ivf_knn", "sim_ivf_pq",
       "sem_dedup_clusters", "mm_decode_real")
     assert(exempt == expectedExempt, s"unexpected oracle-exempt set: $exempt")
   }
