@@ -1552,11 +1552,81 @@ object Similarity {
     None
   )
 
+  /** Blocked fuzzy matching — the record-linkage scale path that
+    * [[simEditDistance]]'s scaladoc defers to: multi-pass BLOCKING
+    * (Papadakis et al.'s survey shape; here two passes — lang+text-prefix
+    * and lang+text-suffix keys, so an edit anywhere in the middle still
+    * collides on at least one key) generates candidates as plain
+    * equi-joins on the block key, and the O(len²) edit-distance DP runs
+    * ONLY within blocks. Two scale guards the naive version lacks:
+    * (1) super-block suppression — blocks over 64 members are dropped
+    * before pairing (the standard defense: a degenerate hot key — think
+    * empty-string prefixes — otherwise re-introduces the quadratic blowup
+    * this op exists to avoid; at 100 TB the threshold is the knob trading
+    * recall for the worst block's |B|² cost); (2) candidate dedup BEFORE
+    * verification, so a pair colliding on both keys pays the DP once.
+    * Everything is equi-join + groupBy — no cross join anywhere
+    * (plan-guarded). Fully oracled: blocking, suppression, dedup, and
+    * the levenshtein verdicts all replay exactly in DuckDB.
+    */
+  val dedupBlockedFuzzy = Op(
+    "dedup_blocked_fuzzy",
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          substring(col("text"), 1, 12).as("k1"),
+          expr("right(text, 12)").as("k2"),
+          substring(col("text"), 1, 40).as("pre"))
+      val blocks = docs.select(
+          concat(col("lang"), lit("#P#"), col("k1")).as("bk"),
+          col("doc_id"), col("pre"))
+        .unionAll(docs.select(
+          concat(col("lang"), lit("#S#"), col("k2")).as("bk"),
+          col("doc_id"), col("pre")))
+      val ok = blocks.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
+        .filter(col("bn") >= 2 && col("bn") <= 64)
+        .select(col("bk"))
+      val pruned = blocks.join(ok, "bk")
+      val cand = pruned.select(col("bk"), col("doc_id").as("a_id"), col("pre").as("pa"))
+        .join(pruned.select(col("bk"), col("doc_id").as("b_id"), col("pre").as("pb")),
+          Seq("bk"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("pa"), col("pb"))
+        .distinct()
+      cand
+        .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+        .filter(col("edit_dist") <= 10)
+        .select(col("a_id"), col("b_id"), col("edit_dist"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, lang, left(text, 12) AS k1, right(text, 12) AS k2,
+               left(text, 40) AS pre
+        FROM documents),
+      blocks AS (
+        SELECT lang || '#P#' || k1 AS bk, doc_id, pre FROM d
+        UNION ALL
+        SELECT lang || '#S#' || k2 AS bk, doc_id, pre FROM d),
+      ok AS (
+        SELECT bk FROM blocks GROUP BY bk HAVING COUNT(*) BETWEEN 2 AND 64),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.pre AS pa, b.pre AS pb
+        FROM blocks a
+        JOIN blocks b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        JOIN ok ON ok.bk = a.bk)
+      SELECT a_id, b_id, CAST(levenshtein(pa, pb) AS BIGINT) AS edit_dist
+      FROM cand WHERE levenshtein(pa, pb) <= 10
+      ORDER BY a_id, b_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
-    embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq)
+    embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
+    dedupBlockedFuzzy)
 }

@@ -379,6 +379,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bigram count should partial-aggregate before the shuffle: $p")
   }
 
+  test("dedup_blocked_fuzzy pairs only within blocks — equi-joins, never a cross join") {
+    val p = plan("dedup_blocked_fuzzy")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking must keep pairing an equi-join: $p")
+    assert(p.contains("levenshtein"), p)
+  }
+
   test("join_bucketed_colocated joins without shuffling either fact side") {
     def exchanges(p: String): Int =
       p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
