@@ -360,7 +360,63 @@ object Quality {
     """)
   )
 
+  /** Robust outlier gate — median absolute deviation (Hampel's rule:
+    * flag |x − median| > k · 1.4826 · MAD) over the per-type daily volume
+    * series, the robust complement to evt_hourly_anomaly's trailing-mean
+    * ratio: mean/σ gates move WITH the outliers they're meant to catch
+    * (one bad backfill day inflates σ and masks the next one); the
+    * breakdown point of the median is 50%, so the gate holds even when a
+    * third of the series is corrupt. Both medians are EXACT (Spark's
+    * `percentile`, DuckDB's `median` — identical (a+b)/2 interpolation on
+    * integer counts, so every med/mad is an exact .0/.5 double and the
+    * Hampel product is the same IEEE multiply in both engines — no
+    * stddev, whose accumulation order differs across engines).
+    * Scale shape: the heavy step is the map-side-combined daily count;
+    * the medians run over the tiny (type × day) series — exact medians
+    * over the raw log would need the two-pass Det.median machinery, the
+    * aggregate-then-robust-stats shape never does.
+    */
+  val qcAnomalyMad = Op(
+    "qc_anomaly_mad",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val med = daily.groupBy(col("event_type").as("et"))
+        .agg(expr("percentile(n, 0.5D)").as("med"))
+      val mad = daily.join(med, col("event_type") === col("et"))
+        .withColumn("dev", abs(col("n") - col("med")))
+        .groupBy(col("et"), col("med"))
+        .agg(expr("percentile(dev, 0.5D)").as("mad"))
+      daily.join(mad, col("event_type") === col("et"))
+        .withColumn("dev", abs(col("n") - col("med")))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("dev") > lit(2.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L)).as("n_outliers"),
+          max(col("dev")).as("max_dev"))
+        .select(col("event_type"), col("n_days"), col("med"), col("mad"),
+          col("n_outliers"), col("max_dev"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2),
+      med AS (SELECT event_type AS et, median(n) AS med FROM daily GROUP BY 1),
+      mad AS (
+        SELECT et, med, median(abs(n - med)) AS mad
+        FROM daily JOIN med ON daily.event_type = med.et GROUP BY et, med)
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days, med, mad,
+             CAST(SUM(CASE WHEN abs(n - med) > 2 * 1.4826 * mad
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+             MAX(abs(n - med)) AS max_dev
+      FROM daily d JOIN mad s ON d.event_type = s.et
+      GROUP BY event_type, med, mad ORDER BY event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
-    qcExpectationSuite, qcDatasetFingerprint)
+    qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad)
 }
