@@ -290,7 +290,112 @@ object Multimodal {
     """)
   )
 
+  /** One perceptual hash row (see mmPhashDedup). */
+  case class MmPhash(doc_id: Long, phash: Long)
+
+  /** Perceptual-hash image dedup — the LAION-style near-duplicate stage
+    * for image corpora: decode (genuine javax.imageio PNG round-trip, the
+    * mm_decode_real path), average-hash (8×8 nearest-sample grayscale
+    * grid, bit = sample > grid mean → a 64-bit signature; Zauner 2010's
+    * aHash), then the SAME banded-sketch candidate topology the text tier
+    * uses (sim_simhash_bands geometry: 4×16-bit bands, equi-join on
+    * (band, value) — a near-dup within 8/64 bits must collide on ≥1 band
+    * by pigeonhole... with 9+ differing bits spread 3/band it can evade,
+    * so bands are the recall/cost knob exactly as documented there), and
+    * exact hamming (xor + bit_count, codegen'd) ≤ 8 as the verdict.
+    * The corpus plants its own ground truth: doc_ids 50-99 re-render
+    * doc_id−50's image with one perturbed pixel, so every planted pair
+    * must surface with a tiny hamming distance and nothing else may pair
+    * (independent renders differ in ~32 bits). Oracle: none (imageio);
+    * ExemptSpec pins exactly the 50 planted pairs, banded-candidate
+    * restriction, and determinism. At 100 TB: signatures are 8 bytes/image
+    * — the pair search never touches pixels again.
+    */
+  val mmPhashDedup = Op(
+    "mm_phash_dedup",
+    (s, d) => {
+      import s.implicits._
+      val sigs = T.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"))
+        .as[Long]
+        .mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.map { docId =>
+            // ids >= 50 re-render (docId-50)'s image with ONE pixel nudged:
+            // a planted near-duplicate with a known partner
+            val base = if (docId >= 50) docId - 50 else docId
+            val w = (base % 16 + 8).toInt
+            val h = (base % 12 + 6).toInt
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                var r = ((base * 7 + x * 13 + y * 31) % 256).toInt
+                val g = ((base * 11 + x * 17 + y * 3) % 256).toInt
+                val b = ((base * 5 + x * 29 + y * 23) % 256).toInt
+                if (docId >= 50 && x == 0 && y == 0) r = (r + 16) % 256
+                img.setRGB(x, y, (r << 16) | (g << 8) | b)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            // decode through the codec (round-trip, not the in-memory img)
+            val dec = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bos.toByteArray))
+            // aHash: 8x8 nearest-sample gray grid, bit = sample > mean
+            val g8 = new Array[Int](64)
+            var i = 0
+            while (i < 8) {
+              var j = 0
+              while (j < 8) {
+                val p = dec.getRGB(j * dec.getWidth / 8, i * dec.getHeight / 8)
+                g8(i * 8 + j) =
+                  (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3
+                j += 1
+              }
+              i += 1
+            }
+            val mean = g8.sum / 64
+            var sig = 0L
+            i = 0
+            while (i < 64) {
+              if (g8(i) > mean) sig |= (1L << i)
+              i += 1
+            }
+            MmPhash(docId, sig)
+          }
+        }
+        .toDF()
+      // banded candidates (sim_simhash_bands topology) + exact hamming
+      val banded = sigs.select(col("doc_id"), col("phash"),
+          explode(expr(
+            "transform(sequence(0, 3), b -> " +
+              "struct(b AS band, shiftright(phash, b * 16) & 65535 AS bv))"))
+            .as("bb"))
+        .select(col("doc_id"), col("phash"),
+          col("bb.band").as("band"), col("bb.bv").as("bv"))
+      val a = banded.select(col("band"), col("bv"),
+        col("doc_id").as("a_id"), col("phash").as("ha"))
+      val b = banded.select(col("band"), col("bv"),
+        col("doc_id").as("b_id"), col("phash").as("hb"))
+      a.join(b, Seq("band", "bv"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), col("ha"), col("hb"))
+        .distinct()
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+        .filter(col("hamming") <= 8)
+        .select(col("a_id"), col("b_id"), col("hamming"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     mmDecodeFeatures, mmResizeMeta, mmFrameSample, mmContentDedup,
-    scanBinaryFiles, mmDecodeReal)
+    scanBinaryFiles, mmDecodeReal, mmPhashDedup)
 }
