@@ -299,17 +299,23 @@ object Multimodal {
     * grid, bit = sample > grid mean → a 64-bit signature; Zauner 2010's
     * aHash), then the SAME banded-sketch candidate topology the text tier
     * uses (sim_simhash_bands geometry: 4×16-bit bands, equi-join on
-    * (band, value) — a near-dup within 8/64 bits must collide on ≥1 band
-    * by pigeonhole... with 9+ differing bits spread 3/band it can evade,
-    * so bands are the recall/cost knob exactly as documented there), and
-    * exact hamming (xor + bit_count, codegen'd) ≤ 8 as the verdict.
-    * The corpus plants its own ground truth: doc_ids 50-99 re-render
-    * doc_id−50's image with one perturbed pixel, so every planted pair
-    * must surface with a tiny hamming distance and nothing else may pair
-    * (independent renders differ in ~32 bits). Oracle: none (imageio);
-    * ExemptSpec pins exactly the 50 planted pairs, banded-candidate
-    * restriction, and determinism. At 100 TB: signatures are 8 bytes/image
-    * — the pair search never touches pixels again.
+    * (band, value)). Pigeonhole guarantee: a pair within hamming ≤ 3 must
+    * collide on ≥1 band (4 differing bits can already evade, one per
+    * band); the verdict filter accepts hamming ≤ 8, so 4-8 is BEST-EFFORT
+    * recall — wide bands keep band cardinality at 65 536 (no bucket
+    * saturation at corpus scale), the same recall/cost knob documented at
+    * sim_simhash_bands. Exact hamming (xor + bit_count, codegen'd) ≤ 8 is
+    * the verdict. The corpus plants its own ground truth: doc_ids 50-99
+    * re-render doc_id−50's image with one perturbed pixel. Closed-form
+    * analysis of the generator (ExemptSpec recomputes it): planted pairs
+    * land at hamming {0,1,2,7} — all 50 band-collide (the hamming-7 ones
+    * empirically, not by guarantee) — and exactly 4 non-planted pairs among
+    * the tiny-image docs {0,1,50,51} sit at hamming 6, so the full output
+    * is those 54 pairs. Oracle: none (imageio); ExemptSpec pins the exact
+    * 54-pair output, that all 50 planted pairs are present, agreement with
+    * the brute-force all-pairs ≤8 twin, and determinism. At 100 TB:
+    * signatures are 8 bytes/image — the pair search never touches pixels
+    * again.
     */
   val mmPhashDedup = Op(
     "mm_phash_dedup",

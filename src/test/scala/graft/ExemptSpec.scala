@@ -284,6 +284,50 @@ class ExemptSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_phash_dedup: exact 54-pair output — 50 planted pairs + the 4 known hamming-6 cross-pairs, == brute force, deterministic") {
+    // recompute the aHash signatures from the generator's closed form (the
+    // PNG round-trip is lossless for TYPE_INT_RGB, proven by mm_decode_real,
+    // so the decoded pixels ARE the formulas)
+    def sig(base: Long, perturbed: Boolean): Long = {
+      val w = (base % 16 + 8).toInt
+      val h = (base % 12 + 6).toInt
+      def gray(x: Int, y: Int): Int = {
+        var r = ((base * 7 + x * 13 + y * 31) % 256).toInt
+        val g = ((base * 11 + x * 17 + y * 3) % 256).toInt
+        val b = ((base * 5 + x * 29 + y * 23) % 256).toInt
+        if (perturbed && x == 0 && y == 0) r = (r + 16) % 256
+        (r + g + b) / 3
+      }
+      val g8 = Array.tabulate(64)(i => gray((i % 8) * w / 8, (i / 8) * h / 8))
+      val mean = g8.sum / 64
+      (0 until 64).foldLeft(0L)((s, i) => if (g8(i) > mean) s | (1L << i) else s)
+    }
+    val sigs = (0L until 100L).map(d => d -> sig(if (d >= 50) d - 50 else d, d >= 50)).toMap
+    // brute-force all-pairs twin: every pair within hamming <= 8
+    val brute = (for {
+      a <- 0L until 100L; b <- (a + 1) until 100L
+      hm = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+      if hm <= 8
+    } yield (a, b, hm.toLong)).toSet
+    val planted = (0L until 50L).map(d => (d, d + 50)).toSet
+    assert(planted.subsetOf(brute.map(t => (t._1, t._2))),
+      "a planted pair fell outside hamming <= 8 — generator drifted")
+    assert(brute.size == 54, s"expected 54 true pairs, closed form gives ${brute.size}")
+    val r1 = Registry.queries("mm_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the banded candidate step may only LOSE pairs vs brute force (it is a
+    // subset by construction); on this corpus it empirically loses none —
+    // pin exact equality so any recall regression is loud
+    assert(r1 == brute, s"op output diverges from brute force: missing=${brute -- r1}, extra=${r1 -- brute}")
+    // hamming-<=3 pairs are GUARANTEED candidates (4x16 bands, pigeonhole);
+    // verify the guarantee's precondition holds for the bulk of the plant
+    val guaranteed = brute.filter(_._3 <= 3)
+    assert(guaranteed.size >= 40 && guaranteed.subsetOf(r1))
+    val r2 = Registry.queries("mm_phash_dedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r1 == r2, "not deterministic across runs")
+  }
+
   test("emb_srp_ann: a planted near-duplicate band-collides with its original (pigeonhole guarantee)") {
     // the fixture corpus has no true near-dups (max pairwise cosine ~0.51),
     // so the guarantee the banded geometry exists for — a genuine near-dup

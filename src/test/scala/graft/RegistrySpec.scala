@@ -25,8 +25,36 @@ class RegistrySpec extends AnyFunSuite {
       "ml_pca_features",
       "sink_codec_tradeoff", "sink_sorted_skipping",
       "sim_brp_lsh", "sim_ivf_knn", "sim_ivf_pq",
-      "sem_dedup_clusters", "mm_decode_real")
+      "sem_dedup_clusters", "mm_decode_real", "mm_phash_dedup")
     assert(exempt == expectedExempt, s"unexpected oracle-exempt set: $exempt")
+  }
+
+  test("SURVEY.md §2 declares exactly the registered keys (ledger cannot drift)") {
+    // mechanical derivation: every registered key must appear as `key` inside
+    // SURVEY §2 (between the "## 2." and "## 3." headers), and §2 must not
+    // name a registry-shaped key that isn't registered. The count line must
+    // state the true totals.
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), java.nio.charset.StandardCharsets.UTF_8)
+    val s2 = survey.substring(survey.indexOf("\n## 2."), survey.indexOf("\n## 3."))
+    val registered = SparkEntry.queries.keySet
+    val undeclared = registered.filterNot(k => s2.contains(s"`$k`"))
+    assert(undeclared.isEmpty, s"registered but not declared in SURVEY §2: $undeclared")
+    // any §2 table row declaring a key that isn't registered = stale ledger
+    // (prose mentions of Spark builtins like `map_keys` are not rows)
+    val rowKeys = "(?m)^\\| `([a-z0-9_]+)` \\|".r
+      .findAllMatchIn(s2).map(_.group(1)).toSet
+      .filterNot(_ == "sink_parquet") // 0-LoC by contract: exercised by Verify's write path
+    val stale = rowKeys -- registered
+    assert(stale.isEmpty, s"declared in SURVEY §2 but not registered: $stale")
+    val countLine = "\\*\\*Count as built: (\\d+) declared keys, (\\d+) with DuckDB oracle, (\\d+) oracle-exempt\\*\\*".r
+    val m = countLine.findFirstMatchIn(s2)
+    assert(m.isDefined, "SURVEY §2 count line missing or reformatted")
+    assert(m.get.group(1).toInt == registered.size &&
+      m.get.group(2).toInt == SparkEntry.oracleSql.size &&
+      m.get.group(3).toInt == (registered -- SparkEntry.oracleSql.keySet).size,
+      s"SURVEY count line says ${m.get.group(1)}/${m.get.group(2)}/${m.get.group(3)} " +
+        s"but registry is ${registered.size}/${SparkEntry.oracleSql.size}/${(registered -- SparkEntry.oracleSql.keySet).size}")
   }
 
   test("entry returns rows on sf0.001 (t1 smoke)") {
