@@ -68,6 +68,29 @@ object Bench {
       .groupBy("w").count().orderBy("w").limit(5).collect()
     catch { case _: Throwable => () }
     var failed = List.empty[String]
+    // r5 sweep hygiene: re-benching the r4-regressed keys in isolation
+    // reproduced their r3 times (pagerank 3.8 s vs 10.5 s in-sweep,
+    // sim_brp_lsh 0.7 vs 5.7, txt_unicode_nfc 0.2 vs 1.8), so the 33%
+    // old-key regression was JVM-state pollution accumulating across the
+    // 224x2 sweep, not plan changes. Two mechanisms, both fixed here:
+    // (1) localCheckpoint blocks are invisible to Dataset.unpersist AND
+    //     catalog.clearCache (CacheManager never sees checkpoint RDDs), so
+    //     every iterative op leaked its state blocks for the rest of the
+    //     JVM -> block-manager memory pressure on later queries. Sweep
+    //     them via getPersistentRDDs between queries (nothing cross-query
+    //     references them; gated indexes live as parquet, not blocks).
+    // (2) shuffle files + broadcasts are reclaimed by the ContextCleaner
+    //     only when driver GC collects their references; with an 8 GB
+    //     driver heap GC is rare, so ~450 executions of shuffle state pile
+    //     up. A periodic System.gc() (outside the timed region) drives the
+    //     cleaner.
+    var sinceGc = 0
+    def sweepJvmState(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+      sinceGc += 1
+      if (sinceGc >= 24) { sinceGc = 0; System.gc() }
+    }
     // Each query is timed twice and the MIN is reported: the r2 bench ran on
     // a contended host and a handful of queries absorbed 10-50 s of neighbor
     // noise (the same binary re-measured 5-60x faster on a quiet box). min
@@ -102,6 +125,7 @@ object Bench {
             0.0
         }
       }
+      sweepJvmState() // outside the timed region; see note above
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

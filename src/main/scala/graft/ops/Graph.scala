@@ -36,8 +36,15 @@ object Graph {
       val edges = e0.select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
         .unionByName(e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
         .localCheckpoint(true)
+      // deg/verts are read every round: checkpoint ONCE so the 3-round DAG
+      // doesn't re-execute the degree groupBy / vertex distinct per round,
+      // and checkpoint each round's pr (unpersisting the superseded one) so
+      // lineage — and recompute cost — stays constant per iteration. Same
+      // idiom as graph_bfs_reachability / dedup_cc_clusters.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       val verts = edges.select(col("src").as("v")).distinct()
+        .localCheckpoint(true)
       var pr = verts.withColumn("pr", lit(1000000000L))
       for (_ <- 1 to 3) {
         val contrib = edges
@@ -45,9 +52,14 @@ object Graph {
           .join(deg, "src")
           .select(col("dst"), expr("pr div deg").as("share"))
           .groupBy(col("dst")).agg(sum(col("share")).as("c"))
-        pr = verts.join(contrib, col("v") === col("dst"), "left")
+        val next = verts.join(contrib, col("v") === col("dst"), "left")
           .select(col("v"),
             (lit(150000000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
+          .localCheckpoint(true)
+        // Dataset.unpersist is a no-op on checkpointed frames; free the
+        // superseded round's blocks through the LogicalRDD handle
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pr)
+        pr = next
       }
       pr.select(col("v").as("vertex_id"), col("pr").as("pr_scaled"),
           (col("v") >= 1000000L).as("is_supplier"))
@@ -183,9 +195,12 @@ object Graph {
       for (_ <- 1 to 3) {
         val hop = edges.join(dist.select(col("v").as("src"), col("dist")), "src")
           .select(col("dst").as("v"), (col("dist") + 1).as("dist"))
-        dist = dist.unionByName(hop)
+        val next = dist.unionByName(hop)
           .groupBy(col("v")).agg(min(col("dist")).as("dist"))
           .localCheckpoint(true)
+        // free the superseded round (Dataset.unpersist can't — see GraftBridge)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(dist)
+        dist = next
       }
       dist.select(col("v").as("vertex_id"), col("dist"),
           (col("v") >= 1000000L).as("is_supplier"))

@@ -762,7 +762,9 @@ object Similarity {
       changed = next
         .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
+      // Dataset.unpersist is a no-op on checkpointed frames (CacheManager
+      // never sees checkpoint RDDs) — free the round's blocks for real
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
       labels = next
     }
     labels
@@ -784,7 +786,7 @@ object Similarity {
       val edges = edgesOn("kpre").unionByName(edgesOn("ksuf")).distinct()
         .localCheckpoint(true)
       val labels = ccMinLabel(docs.select(col("doc_id")), edges)
-      edges.unpersist()
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
       labels.groupBy(col("lbl").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("doc_id")).as("max_member"))
         .orderBy(col("cluster_id"))
@@ -852,7 +854,7 @@ object Similarity {
         .localCheckpoint(true)
       // tier 3: transitive closure into dedup clusters
       val labels = ccMinLabel(surv.select(col("doc_id")), edges)
-      edges.unpersist()
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
       labels
         .join(surv.select(col("doc_id"), col("n_exact")), "doc_id")
         .groupBy(col("lbl").as("cluster_id"))
@@ -1398,11 +1400,16 @@ object Similarity {
     "sim_prefix_filter_join",
     (s, d) => {
       graft.functions.NGrams.register(s)
+      // sh feeds FOUR subtrees of one plan (sizes, freq, pref, docsets);
+      // uncheckpointed, each subtree re-runs read->tokenize->explode->
+      // distinct — 4 corpus scans instead of 1 (measured 3x the query time
+      // at sf0.1; at 100 TB it's 3 extra passes over the corpus)
       val sh = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(
           call_function("token_ngrams", col("toks"), lit(3))).as("shingle"))
         .distinct()
+        .localCheckpoint(true)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("f"))
       // prefix_len = n - ceil(0.8n) + 1, all-integer: ceil(4n/5) = (4n+4) div 5

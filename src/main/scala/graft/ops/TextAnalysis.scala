@@ -484,7 +484,13 @@ object TextAnalysis {
     * One token agg (the LM fits in a broadcast — vocabulary-sized), one
     * per-doc agg through DECIMAL for the cross-token sum, one tiny
     * quartile rollup. ln-over-count-ratios hash-parity per the
-    * txt_idf_tfidf precedent.
+    * txt_idf_tfidf precedent. Quartile assignment is the TwoPassRank
+    * kernel (range-partition + local row_number + broadcast offsets — the
+    * win_rank_distributed form, hash-identical to a global ntile because
+    * the (avg_nll, doc_id) order key is unique), NOT `ntile over a
+    * no-partition window`: that plan funnels every per-doc score through
+    * ONE partition — the exact scale failure win_rank_distributed exists
+    * to avoid. PlanShapeSpec asserts no SinglePartition exchange here.
     */
   val txtUnigramLogprob = Op(
     "txt_unigram_logprob",
@@ -512,9 +518,21 @@ object TextAnalysis {
           // decimal division first would agree only while no value lands
           // within epsilon of a 0.5e-6 rounding boundary
           round(sum(col("surprise")).cast("double") / count(lit(1)), 6).as("avg_nll"))
-      scored
-        .withColumn("quartile",
-          ntile(4).over(Window.orderBy(col("avg_nll"), col("doc_id"))).cast("long"))
+      val st = TwoPassRank.stage(scored, 8, Seq(col("avg_nll"), col("doc_id")))
+      val wLocal = Window.partitionBy(col("pid"))
+        .orderBy(col("avg_nll"), col("doc_id"))
+      import s.implicits._
+      val offDf = st.meta.map { case (pid, off, _) => (pid, off) }.toDF("pid", "off")
+      val n = st.n
+      val base4 = n / 4
+      val rem = n % 4
+      st.parts.withColumn("lrn", row_number().over(wLocal).cast("long"))
+        .join(broadcast(offDf), "pid")
+        .withColumn("grn", col("lrn") + col("off"))
+        // ntile(4) in closed form over the unique global rank
+        .withColumn("quartile", expr(
+          s"CAST(CASE WHEN grn <= ${rem * (base4 + 1)} THEN (grn - 1) div ${base4 + 1} " +
+          s"ELSE $rem + ((grn - 1) - ${rem * (base4 + 1)}) div $base4 END AS BIGINT) + 1"))
         .groupBy(col("quartile"))
         .agg(
           count(lit(1)).as("n_docs"),

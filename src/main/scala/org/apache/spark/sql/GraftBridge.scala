@@ -2,15 +2,30 @@ package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** The one `private[sql]` doorway graft needs: constructing a DataFrame
-  * from a hand-built [[LogicalPlan]] (for the custom TopKPerKey operator —
-  * graft/plans/TopKPerKey.scala). `Dataset.ofRows` is package-private to
-  * org.apache.spark.sql, so this bridge lives in that package — the same
-  * technique every Spark-extension library uses to expose a plan
-  * constructor; nothing else internal is touched, and the object contains
-  * no logic of its own.
+/** The `private[sql]` doorways graft needs, living in this package — the
+  * same technique every Spark-extension library uses; nothing else internal
+  * is touched, and the object contains no logic of its own.
+  *
+  *  - [[ofRows]]: constructing a DataFrame from a hand-built
+  *    [[LogicalPlan]] (for the custom TopKPerKey operator —
+  *    graft/plans/TopKPerKey.scala). `Dataset.ofRows` is package-private.
+  *  - [[unpersistCheckpoint]]: freeing the blocks of a
+  *    `localCheckpoint`ed Dataset. `Dataset.unpersist` only consults the
+  *    CacheManager, which never learns about checkpoint RDDs, so calling
+  *    it on a checkpointed frame is a silent no-op (verified on 4.1:
+  *    `getPersistentRDDs` unchanged after `unpersist(true)` AND after
+  *    `catalog.clearCache()`). Iterative ops (CC label propagation,
+  *    PageRank, BFS) checkpoint per round and MUST free the superseded
+  *    round, or a D-round run holds D copies of its state — the actual
+  *    handle is the RDD inside the checkpoint's LogicalRDD leaf.
   */
 object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def unpersistCheckpoint(df: Dataset[_]): Unit =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _                        => () // not a checkpointed frame: nothing to free
+    }
 }

@@ -229,6 +229,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global-window shuffle to one partition survived: $p")
   }
 
+  test("txt_unigram_logprob never collapses to a single partition (TwoPassRank quartiles)") {
+    val p = plan("txt_unigram_logprob")
+    assert(!p.contains("SinglePartition"),
+      s"global-window shuffle to one partition survived: $p")
+  }
+
   test("join_range_binned plans the interval join as an equi-join on the bin key") {
     val p = plan("join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
