@@ -159,6 +159,96 @@ object MLPipeline {
     """)
   )
 
+  /** Model-evaluation metrics (r5) — the evaluate step of the
+    * train→score→serve loop as an oracled query: confusion counts,
+    * per-class precision/recall/F1 and global accuracy. The model under
+    * evaluation must be deterministic and engine-portable for the DuckDB
+    * hash-compare, so it is the EARLY-TEXT approximation classifier (the
+    * intent rule applied to the first 200 chars) scored against the
+    * full-text rule labels (ml_intent_label's truth) — it genuinely errs
+    * where a keyword appears late (55/500 docs at sf0.01; all 3 classes
+    * predicted), so every cell of the metric kernel carries real mass.
+    * The same kernel evaluates any scored table (swap `pred` for a model
+    * output column). Shape: one corpus scan folds to a ≤|C|² confusion
+    * matrix (checkpointed once — it feeds 5 subtrees), everything after
+    * is |C|-row algebra. Ratios are exact BIGINT counts with ONE double
+    * division each (F1 as 2·tp/(n_pred+support), never 2pr/(p+r) — float
+    * composition would diverge across engines).
+    */
+  val mlEvalMetrics = Op(
+    "ml_eval_metrics",
+    (s, d) => {
+      import org.apache.spark.sql.Column
+      val ruleOn: Column => Column = t =>
+        when(instr(t, "customer") > 0, "transactional")
+          .when(instr(t, "scan") > 0, "navigational")
+          .otherwise("informational")
+      val t = T.documents(s, d).select(
+        ruleOn(col("text")).as("truth"),
+        ruleOn(substring(col("text"), 1, 200)).as("pred"))
+      val cm = t.groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val classes = cm.select(col("truth").as("cls"))
+        .unionByName(cm.select(col("pred").as("cls"))).distinct()
+      val sup = cm.groupBy(col("truth")).agg(sum(col("n")).as("support"))
+        .withColumnRenamed("truth", "cls")
+      val pt = cm.groupBy(col("pred")).agg(sum(col("n")).as("n_pred"))
+        .withColumnRenamed("pred", "cls")
+      val tp = cm.filter(col("truth") === col("pred"))
+        .select(col("truth").as("cls"), col("n").as("tp"))
+      val tot = cm.agg(sum(col("n")).as("total"),
+        sum(when(col("truth") === col("pred"), col("n")).otherwise(0L)).as("correct"))
+      classes
+        .join(sup, Seq("cls"), "left")
+        .join(pt, Seq("cls"), "left")
+        .join(tp, Seq("cls"), "left")
+        .crossJoin(tot)
+        .select(
+          col("cls"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          (coalesce(col("n_pred"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fp"),
+          (coalesce(col("support"), lit(0L)) - coalesce(col("tp"), lit(0L))).as("fn"),
+          coalesce(col("support"), lit(0L)).as("support"),
+          coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+          round(coalesce(col("tp"), lit(0L)) / col("n_pred"), 6).as("precision"),
+          round(coalesce(col("tp"), lit(0L)) / col("support"), 6).as("recall"),
+          round(lit(2) * coalesce(col("tp"), lit(0L)) / (col("n_pred") + col("support")), 6).as("f1"),
+          round(col("correct") / col("total"), 6).as("accuracy"))
+        .orderBy(col("cls"))
+    },
+    Some("""
+      WITH t AS (SELECT
+          CASE WHEN strpos(text,'customer') > 0 THEN 'transactional'
+               WHEN strpos(text,'scan') > 0 THEN 'navigational'
+               ELSE 'informational' END AS truth,
+          CASE WHEN strpos(substr(text,1,200),'customer') > 0 THEN 'transactional'
+               WHEN strpos(substr(text,1,200),'scan') > 0 THEN 'navigational'
+               ELSE 'informational' END AS pred
+        FROM documents),
+      cm AS (SELECT truth, pred, COUNT(*) AS n FROM t GROUP BY truth, pred),
+      classes AS (SELECT DISTINCT truth AS cls FROM t UNION SELECT DISTINCT pred FROM t),
+      sup AS (SELECT truth AS cls, CAST(SUM(n) AS BIGINT) AS support FROM cm GROUP BY truth),
+      pt AS (SELECT pred AS cls, CAST(SUM(n) AS BIGINT) AS n_pred FROM cm GROUP BY pred),
+      tpt AS (SELECT truth AS cls, n AS tp FROM cm WHERE truth = pred),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                     CAST(SUM(CASE WHEN truth = pred THEN n ELSE 0 END) AS BIGINT) AS correct FROM cm)
+      SELECT c.cls,
+        CAST(COALESCE(tp,0) AS BIGINT) AS tp,
+        CAST(COALESCE(n_pred,0) - COALESCE(tp,0) AS BIGINT) AS fp,
+        CAST(COALESCE(support,0) - COALESCE(tp,0) AS BIGINT) AS fn,
+        CAST(COALESCE(support,0) AS BIGINT) AS support,
+        CAST(COALESCE(n_pred,0) AS BIGINT) AS n_pred,
+        ROUND(COALESCE(tp,0) / n_pred, 6) AS precision,
+        ROUND(COALESCE(tp,0) / support, 6) AS recall,
+        ROUND(2 * COALESCE(tp,0) / (n_pred + support), 6) AS f1,
+        ROUND(correct / total, 6) AS accuracy
+      FROM classes c
+      LEFT JOIN sup USING (cls) LEFT JOIN pt USING (cls) LEFT JOIN tpt USING (cls)
+      CROSS JOIN tot
+      ORDER BY cls
+    """)
+  )
+
   /** Deterministic hash-bucket sampling — the REPRODUCIBLE corpus-sampling
     * pattern a training-data pipeline needs (rng-based sampling changes
     * under repartition; this never does): bucket = (doc_id * 2654435761)
@@ -291,5 +381,5 @@ object MLPipeline {
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
-    mlPcaFeatures)
+    mlPcaFeatures, mlEvalMetrics)
 }
