@@ -647,14 +647,23 @@ object Similarity {
     * k clusters of even size that is N²/k, and k scales with the corpus.
     * The within-cluster join is an equi-join on list_id, so it
     * hash-partitions like any other join; no pair across clusters is ever
-    * scored. Pruning is the greedy lowest-id-survives rule on duplicate
-    * pairs (cosine >= 0.35 — this corpus's vectors are near-orthogonal,
-    * the classic 0.95 would be vacuous; see sim_embed_dedup). Emits the
-    * per-cluster dedup ledger: members, scored pairs over threshold,
-    * pruned, survivors. Oracle-exempt (KMeans is not SQL-expressible);
-    * ExemptSpec proves the candidate restriction, cross-checks every
-    * within-cluster duplicate pair against the exact brute-force
-    * sim_embed_dedup on the bounded slice, and pins determinism.
+    * scored. Pruning is the TRUE greedy lowest-id-survives rule (SemDeDup's
+    * keep-one-representative semantics): iterate ids ascending, prune a
+    * vector only if it duplicates a SURVIVING lower id — so in a chain
+    * a<b<c with pairs (a,b),(b,c) only, b is pruned but c survives (its
+    * sole duplicate was itself pruned). Computed exactly by
+    * [[greedySurvivors]], a distributed decided-frontier iteration (a
+    * vertex decides once all lower neighbors are decided; rounds ≤ longest
+    * increasing path in the sparse duplicate graph — the same bounded-round
+    * shape as ccMinLabel, never a driver-side sort). Threshold cosine >=
+    * 0.35 — this corpus's vectors are near-orthogonal, the classic 0.95
+    * would be vacuous; see sim_embed_dedup. Emits the per-cluster dedup
+    * ledger: members, scored pairs over threshold, pruned, survivors.
+    * Oracle-exempt (KMeans is not SQL-expressible); ExemptSpec proves the
+    * candidate restriction, cross-checks within-cluster duplicate pairs
+    * against the exact brute-force sim_embed_dedup on the bounded slice,
+    * pins determinism, and a dedicated chain-graph test pins the greedy
+    * rule itself.
     */
   val semDedupClusters = Op(
     "sem_dedup_clusters",
@@ -673,17 +682,18 @@ object Similarity {
           round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
         .filter(col("cosine") >= 0.35)
         .select(col("list_id"), col("a_id"), col("b_id"))
-      val pruned = dups.select(col("list_id"), col("b_id").as("vec_id"))
-        .distinct()
-        .withColumn("is_pruned", lit(1L))
+        .localCheckpoint(true)
+      val status = greedySurvivors(
+        e.select(col("vec_id")),
+        dups.select(col("a_id").as("lo"), col("b_id").as("hi")))
       val pairCounts = dups.groupBy(col("list_id"))
         .agg(count(lit(1)).as("n_dup_pairs"))
       e.select(col("list_id"), col("vec_id"))
-        .join(pruned, Seq("list_id", "vec_id"), "left")
+        .join(status, "vec_id")
         .groupBy(col("list_id"))
         .agg(
           count(lit(1)).as("n_vecs"),
-          sum(coalesce(col("is_pruned"), lit(0L))).as("n_pruned"))
+          sum(when(col("st") === "p", 1L).otherwise(0L)).as("n_pruned"))
         .join(pairCounts, Seq("list_id"), "left")
         .select(
           col("list_id"),
@@ -695,6 +705,47 @@ object Similarity {
     },
     None
   )
+
+  /** Exact greedy lowest-id-survives over a duplicate graph, distributed.
+    * Semantics: processing vertex ids ascending, a vertex is pruned iff it
+    * has a SURVIVING lower-id neighbor (the lexicographically-first maximal
+    * independent set — SemDeDup's keep-one-representative rule; note this
+    * is NOT connected-components: in a chain a<b<c, c survives because its
+    * only duplicate b was pruned against a). Computed without any global
+    * sort by decided-frontier rounds: a vertex becomes SURV once every
+    * lower neighbor is decided and none survived, PRUNED as soon as any
+    * lower neighbor survives; round 1 decides all vertices with no lower
+    * neighbors, and each round is one edge join + one vertex agg (the
+    * ccMinLabel shape — per-round localCheckpoint, superseded rounds
+    * freed). Rounds ≤ longest increasing path in the duplicate graph —
+    * tiny on any sparse near-dup graph. Edges must satisfy lo < hi.
+    * Returns (vec_id, st) with st ∈ {"s", "p"}.
+    */
+  private[graft] def greedySurvivors(verts: DataFrame, edges: DataFrame): DataFrame = {
+    var status = verts.select(col("vec_id"), lit("u").as("st"))
+      .localCheckpoint(true)
+    var undecided = 1L
+    while (undecided > 0) {
+      val lower = edges
+        .join(status.select(col("vec_id").as("lo"), col("st").as("lo_st")), "lo")
+        .groupBy(col("hi"))
+        .agg(
+          max(when(col("lo_st") === "s", 1).otherwise(0)).as("any_surv"),
+          max(when(col("lo_st") === "u", 1).otherwise(0)).as("any_undec"))
+      val next = status
+        .join(lower, col("vec_id") === col("hi"), "left")
+        .select(col("vec_id"),
+          when(col("st") =!= "u", col("st"))
+            .when(coalesce(col("any_surv"), lit(0)) === 1, "p")
+            .when(coalesce(col("any_undec"), lit(0)) === 0, "s")
+            .otherwise("u").as("st"))
+        .localCheckpoint(true)
+      undecided = next.filter(col("st") === "u").count()
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(status)
+      status = next
+    }
+    status
+  }
 
   /** Edit-distance near-dup pairs: Levenshtein over a bounded prefix of
     * same-lang document pairs — the fuzzy-matching tier between exact
@@ -1461,8 +1512,9 @@ object Similarity {
     * M·log2(k) = 2 BYTES (128× — at 100 TB of embeddings the codes fit in
     * cluster RAM when raw vectors never could). Query = the classic
     * asymmetric-distance pipeline: (1) per probe, a 4×16 lookup table of
-    * exact subspace distances (64 rows, a broadcast — computed once, not
-    * per candidate); (2) candidates restricted to the nProbe nearest
+    * exact subspace distances (64 rows, a broadcast — rebuilt each run
+    * from the _SUCCESS-gated codebook, but never per candidate; only the
+    * codes/codebook artifacts are build-once); (2) candidates restricted to the nProbe nearest
     * coarse lists (IVF inheritance); (3) ADC score = SUM of 4 LUT hits
     * per candidate — an equi-join + groupBy, no vector math on the scan
     * side; (4) exact cosine re-rank of the top-50 ADC survivors only
@@ -1541,7 +1593,7 @@ object Similarity {
         .agg(sum(col("sub_dist2")).as("adc_dist2"))
         .withColumn("adc_rank", row_number().over(wAdc))
         .filter(col("adc_rank") <= refine)
-      // refine: exact cosine on the top-20 ADC survivors only
+      // refine: exact cosine on the top-`refine` (50) ADC survivors only
       val wTop = Window.partitionBy(col("probe_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       adcTop

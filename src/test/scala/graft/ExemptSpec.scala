@@ -233,6 +233,18 @@ class ExemptSpec extends AnyFunSuite {
     assert(viaZstd.sameElements(viaGzip), "codec changed the data")
   }
 
+  test("greedySurvivors: chain a<b<c prunes only b — true greedy, not connected-components") {
+    import spark.implicits._
+    // chain 1-2-3: 2 pruned against surviving 1, then 3 SURVIVES because
+    // its only duplicate (2) was pruned — CC-style min-label would wrongly
+    // prune 3. Star edge (1,4) prunes 4; 5 is isolated and survives.
+    val verts = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L)).toDF("lo", "hi")
+    val st = graft.ops.Similarity.greedySurvivors(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(1L -> "s", 2L -> "p", 3L -> "s", 4L -> "p", 5L -> "s"), st)
+  }
+
   test("sem_dedup_clusters: within-cluster only, agrees with brute-force dedup, deterministic") {
     val r1 = Registry.queries("sem_dedup_clusters")(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
