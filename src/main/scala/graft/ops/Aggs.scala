@@ -140,6 +140,46 @@ object Aggs {
     None
   )
 
+  /** Count-Min-Sketch frequency estimation (r5) — the FREQUENCY twin of the
+    * HLL cardinality tier (Cormode & Muthukrishnan 2005): a fixed
+    * depth×width counter grid answers "how often does value v occur?" with
+    * one-sided error (estimate ≥ true, overshoot ≤ eps·N w.p. confidence) —
+    * at 100 TB the heavy-hitter / frequency question without a per-value
+    * groupBy state. Built with the codegen'd count_min_sketch aggregate
+    * (eps 0.01, conf 0.99, fixed seed) two ways: one direct whole-table
+    * sketch, and per-day sketches merged on the driver — CMS counters are
+    * plain sums, so the merged grid is BIT-IDENTICAL to the direct one
+    * (the associativity that makes the sketch table incremental: each new
+    * day ships kilobytes). The driver handles only sketch bytes and the
+    * |event_types|-row answer, never row data. Oracle-exempt (sketch
+    * binary is engine-specific); ExemptSpec proves est ≥ exact,
+    * overshoot ≤ eps·N, merged == direct exactly, and determinism.
+    */
+  val aggCountminFreq = Op(
+    "agg_countmin_freq",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.util.sketch.CountMinSketch
+      def de(b: Array[Byte]): CountMinSketch =
+        CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+      val direct = de(
+        T.events(s, d)
+          .agg(count_min_sketch(col("event_type"), lit(0.01d), lit(0.99d), lit(42)).as("sk"))
+          .head.getAs[Array[Byte]](0))
+      val merged = T.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy(col("day"))
+        .agg(count_min_sketch(col("event_type"), lit(0.01d), lit(0.99d), lit(42)).as("sk"))
+        .select(col("sk")).collect().map(r => de(r.getAs[Array[Byte]](0)))
+        .reduce { (x, y) => x.mergeInPlace(y); x }
+      val types = T.events(s, d).select(col("event_type")).distinct()
+        .as[String].collect().sorted.toSeq
+      types.map(t => (t, direct.estimateCount(t), merged.estimateCount(t)))
+        .toDF("event_type", "est_direct", "est_merged")
+    },
+    None
+  )
+
   /** Sliding-window distinct counting from STORED sketches — "distinct
     * users in the trailing 24 h, every hour": exactly is infeasible at
     * scale (distinct doesn't decompose over overlapping windows; the naive
@@ -604,5 +644,5 @@ object Aggs {
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
     aggHistogramFixedBins, aggMedianByGroup, aggModePerGroup,
-    aggPercentileContDisc, winSlidingDistinctHll)
+    aggPercentileContDisc, winSlidingDistinctHll, aggCountminFreq)
 }

@@ -416,7 +416,124 @@ object Quality {
     """)
   )
 
+  /** Keyed snapshot diff (r5) — "what changed between two versions of this
+    * dataset, row by row?": the data-versioning audit behind every
+    * incremental-pipeline validation (did the backfill touch only what it
+    * should?). Two deterministic versions are derived from orders — OLD
+    * drops keys ≡1 (mod 97), NEW drops keys ≡2 (mod 97) and bumps
+    * o_totalprice by 1.0 on keys ≡0 (mod 13) — then ONE full-outer join on
+    * the key classifies every row: added (new only), removed (old only),
+    * changed (both, compared column differs), unchanged. The +1.0 on a
+    * DOUBLE is an exact IEEE op on identical parquet-sourced bits, so the
+    * equality compare is engine-portable with no decimal routing. Contrast
+    * qc_dataset_fingerprint (one commutative digest answers equal-or-not
+    * with no join); this op answers WHAT differs, at the cost of the
+    * key-partitioned shuffle — still one join at 100 TB, and with both
+    * versions bucketed by key it degrades to a zipper merge with no
+    * shuffle at all. Emits per-(status, verdict) counts.
+    */
+  val qcSnapshotDiff = Op(
+    "qc_snapshot_diff",
+    (s, d) => {
+      val o = T.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val vOld = o.filter(col("o_orderkey") % 97 =!= 1)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st_a"),
+          col("o_totalprice").as("p_a"))
+      val vNew = o.filter(col("o_orderkey") % 97 =!= 2)
+        .select(col("o_orderkey"), col("o_orderstatus").as("st_b"),
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") + lit(1.0))
+            .otherwise(col("o_totalprice")).as("p_b"))
+      vOld.join(vNew, Seq("o_orderkey"), "full")
+        .select(
+          coalesce(col("st_a"), col("st_b")).as("o_orderstatus"),
+          when(col("p_a").isNull, "added")
+            .when(col("p_b").isNull, "removed")
+            .when(col("p_a") =!= col("p_b"), "changed")
+            .otherwise("unchanged").as("verdict"))
+        .groupBy(col("o_orderstatus"), col("verdict"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy(col("o_orderstatus"), col("verdict"))
+    },
+    Some("""
+      WITH v_old AS (
+        SELECT o_orderkey, o_orderstatus AS st_a, o_totalprice AS p_a
+        FROM orders WHERE o_orderkey % 97 <> 1),
+      v_new AS (
+        SELECT o_orderkey, o_orderstatus AS st_b,
+               CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS p_b
+        FROM orders WHERE o_orderkey % 97 <> 2)
+      SELECT COALESCE(st_a, st_b) AS o_orderstatus,
+             CASE WHEN p_a IS NULL THEN 'added'
+                  WHEN p_b IS NULL THEN 'removed'
+                  WHEN p_a <> p_b THEN 'changed'
+                  ELSE 'unchanged' END AS verdict,
+             COUNT(*) AS n_rows
+      FROM v_old FULL JOIN v_new USING (o_orderkey)
+      GROUP BY 1, 2 ORDER BY o_orderstatus, verdict
+    """)
+  )
+
+  /** Embedding-distribution drift (r5) — qc_distribution_drift's twin for
+    * the vector tier: did the embedding space move between two corpus
+    * slices (re-embedded batch, new model version, new crawl)? Per
+    * DIMENSION, the centroid of the even-id half vs the odd-id half and
+    * the absolute delta — the coordinate-wise view that localizes drift to
+    * specific dimensions (a whole-space cosine hides which axes moved).
+    * Float values widen to double exactly in both engines, per-dim sums
+    * route through DECIMAL(18,12) (order-free addition; |value| ≤ O(1),
+    * corpus rows ≪ 10^6 per dim → no overflow), and each mean is ONE
+    * double division of the decimal sum (oracle-parity rules, SURVEY
+    * App. A). Shape: posexplode to (dim, value) rows — 64 rows per vector
+    * of 8 bytes each, narrower than the vector itself — then map-side
+    * combine onto 64 dim keys; one scan at any scale.
+    */
+  val qcEmbeddingDrift = Op(
+    "qc_embedding_drift",
+    (s, d) => {
+      T.embeddings(s, d)
+        .select((col("vec_id") % 2).as("half"), posexplode(col("embedding")))
+        .select(col("half"), (col("pos") + 1).as("dim"),
+          col("col").cast("double").cast("decimal(18,12)").as("v"))
+        .groupBy(col("dim"))
+        .agg(
+          count(when(col("half") === 0, 1)).as("n_a"),
+          sum(when(col("half") === 0, col("v"))).as("s_a"),
+          count(when(col("half") === 1, 1)).as("n_b"),
+          sum(when(col("half") === 1, col("v"))).as("s_b"))
+        .select(
+          col("dim"),
+          col("n_a"), col("n_b"),
+          round(col("s_a").cast("double") / col("n_a"), 6).as("mean_a"),
+          round(col("s_b").cast("double") / col("n_b"), 6).as("mean_b"),
+          round(abs(col("s_a").cast("double") / col("n_a")
+            - col("s_b").cast("double") / col("n_b")), 6).as("abs_delta"))
+        .orderBy(col("dim"))
+    },
+    Some("""
+      WITH e AS (
+        SELECT vec_id % 2 AS half,
+               generate_subscripts(embedding, 1) AS dim,
+               CAST(CAST(unnest(embedding) AS DOUBLE) AS DECIMAL(18,12)) AS v
+        FROM embeddings)
+      SELECT dim,
+             COUNT(CASE WHEN half = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN half = 1 THEN 1 END) AS n_b,
+             ROUND(CAST(SUM(CASE WHEN half = 0 THEN v END) AS DOUBLE)
+                   / COUNT(CASE WHEN half = 0 THEN 1 END), 6) AS mean_a,
+             ROUND(CAST(SUM(CASE WHEN half = 1 THEN v END) AS DOUBLE)
+                   / COUNT(CASE WHEN half = 1 THEN 1 END), 6) AS mean_b,
+             ROUND(ABS(CAST(SUM(CASE WHEN half = 0 THEN v END) AS DOUBLE)
+                       / COUNT(CASE WHEN half = 0 THEN 1 END)
+                     - CAST(SUM(CASE WHEN half = 1 THEN v END) AS DOUBLE)
+                       / COUNT(CASE WHEN half = 1 THEN 1 END)), 6) AS abs_delta
+      FROM e GROUP BY dim ORDER BY dim
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
-    qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad)
+    qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad, qcSnapshotDiff,
+    qcEmbeddingDrift)
 }

@@ -698,8 +698,56 @@ object TextAnalysis {
     """)
   )
 
+  /** Domain-mixture rebalance (r5) — the data-mixing step of LLM corpus
+    * curation (the DoReMi/Pile-style question "how hard do I up/down-sample
+    * each source to hit the target mix?") as one query: per-source document
+    * and token counts, the source's actual share of the corpus, and the
+    * sampling weight that equalizes shares — ALL in integer parts-per-
+    * million (the qc_distribution_drift micro-unit trick: `div` is exact
+    * and identical in both engines, no float shares to drift). weight_ppm =
+    * target_share_ppm · 1e6 div actual_share_ppm, so a source at twice its
+    * target share gets weight 0.5e6. Shape: one corpus scan with a
+    * codegen'd size(split()) (no explode — the token COUNT needs no token
+    * rows), map-side combine onto |sources| keys, one broadcast scalar for
+    * the totals. At 100 TB this is the cheapest full-corpus statistic
+    * there is.
+    */
+  val txtDomainMixBalance = Op(
+    "txt_domain_mix_balance",
+    (s, d) => {
+      val perSource = T.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val tot = perSource.agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      perSource.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n_tokens * 1000000 div total_tokens"))
+        .select(
+          col("source"), col("n_docs"), col("n_tokens"), col("share_ppm"),
+          expr("(1000000 div n_sources) * 1000000 div share_ppm").as("weight_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH per_source AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                     COUNT(*) AS n_sources FROM per_source)
+      SELECT source, n_docs, n_tokens,
+             n_tokens * 1000000 // total_tokens AS share_ppm,
+             (1000000 // n_sources) * 1000000 // (n_tokens * 1000000 // total_tokens) AS weight_ppm
+      FROM per_source CROSS JOIN tot
+      ORDER BY source
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
-    txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack)
+    txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
+    txtDomainMixBalance)
 }

@@ -233,6 +233,27 @@ class ExemptSpec extends AnyFunSuite {
     assert(viaZstd.sameElements(viaGzip), "codec changed the data")
   }
 
+  test("agg_countmin_freq: est >= exact within eps*N overshoot, merged == direct, deterministic") {
+    val r1 = Registry.queries("agg_countmin_freq")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = T.events(spark, sf).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    assert(r1.keySet == exact.keySet)
+    for ((k, (d1, m1)) <- r1) {
+      assert(d1 >= exact(k), s"$k: CMS underestimated (${d1} < ${exact(k)}) — impossible for a correct sketch")
+      assert(d1 - exact(k) <= (0.01 * n).toLong + 1,
+        s"$k: overshoot ${d1 - exact(k)} exceeds eps*N = ${(0.01 * n).toLong}")
+      // CMS counters are plain sums: merging per-day grids must reproduce
+      // the direct grid bit-for-bit, hence identical estimates
+      assert(d1 == m1, s"$k: merged estimate $m1 != direct $d1")
+    }
+    val r2 = Registry.queries("agg_countmin_freq")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r1 == r2, "not deterministic across runs")
+  }
+
   test("greedySurvivors: chain a<b<c prunes only b — true greedy, not connected-components") {
     import spark.implicits._
     // chain 1-2-3: 2 pruned against surviving 1, then 3 SURVIVES because

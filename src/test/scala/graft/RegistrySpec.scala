@@ -25,7 +25,8 @@ class RegistrySpec extends AnyFunSuite {
       "ml_pca_features",
       "sink_codec_tradeoff", "sink_sorted_skipping",
       "sim_brp_lsh", "sim_ivf_knn", "sim_ivf_pq",
-      "sem_dedup_clusters", "mm_decode_real", "mm_phash_dedup")
+      "sem_dedup_clusters", "mm_decode_real", "mm_phash_dedup",
+      "agg_countmin_freq")
     assert(exempt == expectedExempt, s"unexpected oracle-exempt set: $exempt")
   }
 
