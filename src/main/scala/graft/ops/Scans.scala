@@ -615,10 +615,112 @@ object Scans {
     None
   )
 
+  /** Z-order multi-column data skipping (r5) — the layout lever
+    * sink_sorted_skipping can't provide: a single-column sort prunes
+    * row groups for predicates on THAT column and nothing else, while a
+    * Z-order (Morton) layout interleaves the bits of two rank-normalized
+    * columns so every file covers a TILE of the (partkey, suppkey) plane —
+    * per-file min/max stats then prune for a selective predicate on
+    * EITHER column. Construction is pure Column math, fully distributed:
+    * each key scales to an 8-bit rank bucket (×256 div (max+1) — two
+    * scalar maxes to the driver, the TwoPassRank-metadata shape), a
+    * 16-bit Morton code interleaves them (static 8-step shift/or
+    * expression, codegen'd), files are hash-partitioned on the top-5-bit
+    * Z tile (deterministic, no sampled range boundaries) and sorted by Z
+    * within. Probes: a ~1/8 value band on suppkey alone, then on partkey
+    * alone, against (a) the Z layout and (b) a partkey-sorted layout,
+    * reporting each FileSourceScan's post-pruning rows via the
+    * sink_sorted_skipping row-free metric probe. Expected shape: the
+    * partkey-sorted layout scans ~everything for the suppkey band;
+    * Z-order prunes BOTH bands to a fraction (and gives up a constant
+    * factor vs the dedicated sort on its own column — the classic
+    * trade). At 100 TB: more files = more Z bits = finer tiles; the
+    * technique is exactly Delta/Iceberg OPTIMIZE ZORDER, built from
+    * public Spark primitives. Oracle-exempt (scan metrics are
+    * engine-internal); §5 asserts identical query results across layouts
+    * and the pruning inequalities.
+    */
+  val sinkZorderSkipping = Op(
+    "sink_zorder_skipping",
+    (s, d) => {
+      import org.apache.spark.sql.{Column, DataFrame}
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val li = T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"))
+      val (maxP, maxS) = {
+        val r = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+        (r.getLong(0), r.getLong(1))
+      }
+      // 8-bit rank buckets, then a 16-bit Morton interleave: partkey bit i
+      // lands at 2i, suppkey bit i at 2i+1 (static unroll -> one codegen'd
+      // expression)
+      def spread8(c: Column): Column =
+        (0 until 8).map(i =>
+          shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), 2 * i))
+          .reduce(_ bitwiseOR _)
+      val pbkt = col("l_partkey") * 256 / (maxP + 1)
+      val sbkt = col("l_suppkey") * 256 / (maxS + 1)
+      val z = spread8(pbkt.cast("long"))
+        .bitwiseOR(shiftleft(spread8(sbkt.cast("long")), 1))
+      val zPath = T.scratch("li_zorder")
+      val pPath = T.scratch("li_psort")
+      // one directory per tile/bucket (partitionBy is deterministic — no
+      // sampled range boundaries, no hash collisions merging unrelated
+      // tiles into one file and widening its min/max stats)
+      li.withColumn("z", z)
+        .withColumn("ztile", shiftright(col("z"), 11)) // top-5-bit Z tile
+        .repartition(32, col("ztile"))
+        .sortWithinPartitions(col("z"))
+        .drop("z")
+        .write.mode("overwrite").partitionBy("ztile").parquet(zPath)
+      li.withColumn("pbkt", (col("l_partkey") * 32 / (maxP + 1)).cast("long"))
+        .repartition(32, col("pbkt"))
+        .sortWithinPartitions(col("l_partkey"))
+        .write.mode("overwrite").partitionBy("pbkt").parquet(pPath)
+      // a 1/8 value band on each dimension, ALIGNED to rank-bucket
+      // boundaries (buckets [64, 96) — inside one 2-bit tile quarter): a
+      // band straddling a quarter boundary by even one value doubles the
+      // selected tiles and halves the measured pruning
+      def bandFor(maxV: Long): (Long, Long) = {
+        def valOf(b: Long) = (b * (maxV + 1) + 255) / 256 // ceil: first value in bucket b
+        (valOf(64), valOf(96))
+      }
+      val (sLo, sHi) = bandFor(maxS)
+      val (pLo, pHi) = bandFor(maxP)
+      def probe(layout: String, path: String, which: String,
+                pred: Column): (String, String, Long, Long) = {
+        val q = s.read.parquet(path).filter(pred)
+        val plan0 = q.queryExecution.executedPlan
+        val n = plan0.execute().count()
+        val plan = plan0 match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scanRows = plan.collectLeaves().collect {
+          case f: FileSourceScanExec => f.metrics("numOutputRows").value
+        }.sum
+        (layout, which, scanRows, n)
+      }
+      val suppPred = col("l_suppkey") >= sLo && col("l_suppkey") < sHi
+      val partPred = col("l_partkey") >= pLo && col("l_partkey") < pHi
+      val rows = Seq(
+        probe("psort", pPath, "part_band", partPred),
+        probe("psort", pPath, "supp_band", suppPred),
+        probe("zorder", zPath, "part_band", partPred),
+        probe("zorder", zPath, "supp_band", suppPred))
+      import s.implicits._
+      rows.toDF("layout", "probe", "scan_rows", "result_rows")
+        .orderBy(col("layout"), col("probe"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
     serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite,
-    sinkCodecTradeoff, sinkSortedSkipping)
+    sinkCodecTradeoff, sinkSortedSkipping, sinkZorderSkipping)
 }

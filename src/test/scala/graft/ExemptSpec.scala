@@ -233,6 +233,24 @@ class ExemptSpec extends AnyFunSuite {
     assert(viaZstd.sameElements(viaGzip), "codec changed the data")
   }
 
+  test("sink_zorder_skipping: identical results across layouts; Z-order prunes BOTH bands, single-sort only its own") {
+    val r = Registry.queries("sink_zorder_skipping")(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    // the layout must never change the answer
+    assert(r(("psort", "part_band"))._2 == r(("zorder", "part_band"))._2)
+    assert(r(("psort", "supp_band"))._2 == r(("zorder", "supp_band"))._2)
+    val total = T.lineitem(spark, sf).count()
+    // headline: the partkey-sorted layout cannot prune a suppkey band
+    // (every file spans the suppkey range), Z-order must — by at least 2x
+    val zSupp = r(("zorder", "supp_band"))._1
+    val pSupp = r(("psort", "supp_band"))._1
+    assert(zSupp * 2 <= pSupp,
+      s"Z-order scanned $zSupp rows for the suppkey band vs $pSupp on the partkey sort — tiles are not pruning")
+    // Z-order also prunes the partkey band well below a full scan
+    assert(r(("zorder", "part_band"))._1 * 2 <= total,
+      s"Z-order failed to prune the partkey band: ${r(("zorder", "part_band"))._1} of $total")
+  }
+
   test("agg_countmin_freq: est >= exact within eps*N overshoot, merged == direct, deterministic") {
     val r1 = Registry.queries("agg_countmin_freq")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
