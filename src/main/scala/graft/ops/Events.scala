@@ -499,8 +499,63 @@ object Events {
     """)
   )
 
+  /** Rolling active users — DAU / trailing-7-day WAU / trailing-30-day MAU
+    * per day (r5), the headline engagement metrics of every product
+    * analytics stack, computed EXACTLY with no range join and no
+    * re-scan-per-window: the raw log first collapses to distinct
+    * (day, user) pairs (the only big shuffle — map-side combine on a
+    * bounded key), then each pair EXPLODES to the trailing days it serves
+    * (7 rows for WAU, 30 for MAU — fanout of the collapsed pairs, never
+    * the log) and a distinct-count per target day finishes the job. This
+    * is the window-decomposition trick for non-decomposable DISTINCT:
+    * shuffle volume is |pairs|·37, independent of raw event volume — at
+    * 100 TB of events the pairs table is the ~GB-scale thing that moves.
+    * Early days report genuine partial trailing windows (standard
+    * semantics); the spine is restricted to observed days so the explode
+    * never manufactures days past the log's end. The approximate twin at
+    * extreme |pairs| is the stored-sketch path (win_sliding_distinct_hll);
+    * this op is the exact tier. All-integer → fully hash-oracled.
+    */
+  val evtActiveUsersRolling = Op(
+    "evt_active_users_rolling",
+    (s, d) => {
+      val pairs = T.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true) // feeds dau + two explodes: one scan, not three
+      val days = pairs.select(col("day")).distinct()
+      val dau = pairs.groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      def trailing(span: Int, name: String) = pairs
+        .select(explode(sequence(col("day"), date_add(col("day"), span - 1)))
+          .as("day"), col("user_id"))
+        .join(days, "day") // drop targets past the observed range
+        .groupBy(col("day"))
+        .agg(countDistinct(col("user_id")).as(name))
+      dau
+        .join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      days AS (SELECT DISTINCT day FROM pairs),
+      dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM pairs GROUP BY day),
+      wau AS (SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+              FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+              GROUP BY d.day),
+      mau AS (SELECT d.day, COUNT(DISTINCT p.user_id) AS mau
+              FROM days d JOIN pairs p ON p.day BETWEEN d.day - 29 AND d.day
+              GROUP BY d.day)
+      SELECT day, dau, wau, mau
+      FROM dau JOIN wau USING (day) JOIN mau USING (day)
+      ORDER BY day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
-    evtAttributionU)
+    evtAttributionU, evtActiveUsersRolling)
 }

@@ -745,9 +745,51 @@ object TextAnalysis {
     """)
   )
 
+  /** Overlapping sliding-window chunking (r5) — the RAG/embedding-prep
+    * chunker: window 32 tokens, stride 16 (50% overlap so no retrieval
+    * boundary loses context — the standard passage-embedding recipe),
+    * emitting (doc_id, chunk_idx, n_tok, chunk_md5). Contrast txt_seq_pack
+    * (disjoint packing for TRAINING batches) and txt_chunk_dedup (disjoint
+    * chunks for dedup stats) — overlap is what retrieval wants and they
+    * don't provide. Fully narrow: split → explode the stride starts
+    * (sequence(0, n-1, 16) — fanout n/16 per doc of token-array
+    * references, resolved to 16-byte hashes in the same projection), no
+    * shuffle until the final order; downstream (embed, index, chunk-level
+    * dedup) consumes hashes + ids, never re-reads text. At 100 TB this is
+    * scan-speed; the md5 doubles as the chunk's content address.
+    */
+  val txtChunkOverlap = Op(
+    "txt_chunk_overlap",
+    (s, d) => {
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .withColumn("n", size(col("toks")))
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0), col("n") - 1, lit(16))).as("start"))
+        .select(
+          col("doc_id"),
+          expr("start div 16").cast("long").as("chunk_idx"),
+          least(lit(32), col("n") - col("start")).cast("long").as("n_tok"),
+          md5(array_join(slice(col("toks"), col("start") + 1, lit(32)), " "))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS n
+                 FROM documents),
+      c AS (SELECT doc_id, toks, n, unnest(range(0, n, 16)) AS start FROM t)
+      SELECT doc_id,
+             CAST(start // 16 AS BIGINT) AS chunk_idx,
+             CAST(least(32, n - start) AS BIGINT) AS n_tok,
+             md5(array_to_string(toks[start+1 : start+32], ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
-    txtDomainMixBalance)
+    txtDomainMixBalance, txtChunkOverlap)
 }
