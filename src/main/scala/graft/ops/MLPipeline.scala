@@ -249,6 +249,55 @@ object MLPipeline {
     """)
   )
 
+  /** Calibration / reliability bins (r5) — ml_eval_metrics' companion: for
+    * a score in [0,1], does predicted probability match observed frequency
+    * per score decile? The scored pair must be engine-portable, so the
+    * score is an order's lineitem count normalized by the corpus max (a
+    * deliberately WEAK real signal) and the outcome is "order contains a
+    * returned item" — the bins carry a genuine, non-degenerate reliability
+    * curve. Everything is integer ppm (score_ppm = n·1e6 div max, decile =
+    * score_ppm·10 div 1e6 capped at 9, mean score and positive rate as
+    * exact BIGINT divisions) so the table hash-matches bit-for-bit — float
+    * calibration curves never can. Shape: one lineitem groupBy (map-side
+    * combine on the order key), a broadcast max scalar, a 10-row rollup.
+    * The same kernel calibrates any model's scored table at 100 TB.
+    */
+  val mlCalibrationBins = Op(
+    "ml_calibration_bins",
+    (s, d) => {
+      val per = T.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          max(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"))
+      val mx = per.agg(max(col("n_items")).as("max_items"))
+      per.crossJoin(broadcast(mx))
+        .withColumn("score_ppm", expr("n_items * 1000000 div max_items"))
+        .withColumn("bin", least(lit(9L), expr("score_ppm * 10 div 1000000")))
+        .groupBy(col("bin"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          expr("sum(score_ppm) div count(1)").as("mean_score_ppm"),
+          expr("sum(returned) * 1000000 div count(1)").as("positive_ppm"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT l_orderkey, COUNT(*) AS n_items,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS returned
+        FROM lineitem GROUP BY l_orderkey),
+      mx AS (SELECT MAX(n_items) AS max_items FROM per),
+      scored AS (
+        SELECT n_items * 1000000 // max_items AS score_ppm, returned
+        FROM per CROSS JOIN mx)
+      SELECT LEAST(9, score_ppm * 10 // 1000000) AS bin,
+             COUNT(*) AS n_orders,
+             CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+             CAST(SUM(returned) * 1000000 // COUNT(*) AS BIGINT) AS positive_ppm
+      FROM scored
+      GROUP BY 1 ORDER BY bin
+    """)
+  )
+
   /** Deterministic hash-bucket sampling — the REPRODUCIBLE corpus-sampling
     * pattern a training-data pipeline needs (rng-based sampling changes
     * under repartition; this never does): bucket = (doc_id * 2654435761)
@@ -381,5 +430,5 @@ object MLPipeline {
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
-    mlPcaFeatures, mlEvalMetrics)
+    mlPcaFeatures, mlEvalMetrics, mlCalibrationBins)
 }
