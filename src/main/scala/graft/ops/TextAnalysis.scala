@@ -715,11 +715,15 @@ object TextAnalysis {
   val txtDomainMixBalance = Op(
     "txt_domain_mix_balance",
     (s, d) => {
+      // checkpoint the |sources|-row aggregate: it feeds BOTH the output
+      // and the totals scalar — uncheckpointed, the totals subtree re-scans
+      // the whole corpus (PlanShapeSpec pins the single scan)
       val perSource = T.documents(s, d)
         .select(col("source"),
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .localCheckpoint(true)
       val tot = perSource.agg(
         sum(col("n_tokens")).as("total_tokens"),
         count(lit(1)).as("n_sources"))

@@ -235,6 +235,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"global-window shuffle to one partition survived: $p")
   }
 
+  test("evt_active_users_rolling: explode-decomposition, never a cartesian/range join") {
+    val p = plan("evt_active_users_rolling")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"trailing-window distinct fell back to an unbounded join: $p")
+  }
+
+  test("txt_domain_mix_balance reads the corpus at most once (checkpointed aggregate feeds both subtrees)") {
+    // the corpus scan happens ONCE, at the per-source aggregate's
+    // checkpoint; the final plan must not re-scan it for the totals
+    val p = plan("txt_domain_mix_balance")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 1, s"totals subtree re-scans the corpus ($scans scans):\n$p")
+  }
+
   test("join_range_binned plans the interval join as an equi-join on the bin key") {
     val p = plan("join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
