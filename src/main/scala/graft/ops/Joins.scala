@@ -689,6 +689,72 @@ object Joins {
     """)
   )
 
+  /** Nearest-as-of join, EITHER direction (r5) — the sensor-fusion /
+    * log-alignment variant the backward-only asof twins can't express:
+    * each purchase pairs with its temporally NEAREST click, before or
+    * after, with ties broken toward backward (the causal side). Same
+    * linear kernel as join_asof_last_event — union-tag the two sides,
+    * ONE shuffle on user_id, then TWO running windows over the same sorted
+    * partition: a backward running max (last click at-or-before) and a
+    * forward running min over the reversed order (first click strictly
+    * after; a click at the exact purchase instant counts as backward with
+    * Δ=0, not both). Never a per-key candidate join, never a range join —
+    * at 100 TB this is one sort-shuffle regardless of per-user event
+    * counts. Distances in exact integer microseconds.
+    */
+  val joinAsofNearest = Op(
+    "join_asof_nearest",
+    (s, d) => {
+      val e = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+          when(col("event_type") === "click", unix_micros(col("ts"))).as("click_us"))
+      val wBack = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("tag"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wFwd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("tag").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val back = unix_micros(col("ts")) - max(col("click_us")).over(wBack)
+      val fwd = min(col("click_us")).over(wFwd) - unix_micros(col("ts"))
+      e.withColumn("back_us", back)
+        .withColumn("fwd_us", fwd)
+        .filter(col("tag") === 1)
+        .select(
+          col("event_id").as("purchase_id"), col("user_id"),
+          when(col("back_us").isNotNull &&
+              (col("fwd_us").isNull || col("back_us") <= col("fwd_us")), "backward")
+            .when(col("fwd_us").isNotNull, "forward").as("direction"),
+          when(col("back_us").isNotNull &&
+              (col("fwd_us").isNull || col("back_us") <= col("fwd_us")), col("back_us"))
+            .when(col("fwd_us").isNotNull, col("fwd_us")).as("nearest_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""
+      SELECT p.event_id AS purchase_id, p.user_id,
+             CASE WHEN b.last_us IS NOT NULL AND (f.first_us IS NULL OR
+                       epoch_us(p.ts) - b.last_us <= f.first_us - epoch_us(p.ts))
+                  THEN 'backward'
+                  WHEN f.first_us IS NOT NULL THEN 'forward' END AS direction,
+             CASE WHEN b.last_us IS NOT NULL AND (f.first_us IS NULL OR
+                       epoch_us(p.ts) - b.last_us <= f.first_us - epoch_us(p.ts))
+                  THEN epoch_us(p.ts) - b.last_us
+                  WHEN f.first_us IS NOT NULL THEN f.first_us - epoch_us(p.ts)
+             END AS nearest_us
+      FROM events p
+      LEFT JOIN LATERAL (
+        SELECT MAX(epoch_us(c.ts)) AS last_us FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) b ON TRUE
+      LEFT JOIN LATERAL (
+        SELECT MIN(epoch_us(c.ts)) AS first_us FROM events c
+        WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts > p.ts) f ON TRUE
+      WHERE p.event_type = 'purchase'
+      ORDER BY purchase_id
+    """)
+  )
+
   /** Composite flagship: the TPC-H Q5 shape (local-supplier revenue) — the
     * hardest join topology in the TPC-H core because the supplier edge is a
     * DOUBLE condition: lineitem joins supplier on l_suppkey AND the
@@ -843,6 +909,6 @@ object Joins {
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,
     joinAsofLastEvent, joinIntervalOverlap, joinRangeBinned, joinSkewSalted,
     joinBloomReduce, sqlQ3ShippingPriority, joinBroadcastNestedLoop,
-    joinAsofTolerance, sqlQ5LocalSupplier, sqlQ10ReturnedItems,
+    joinAsofTolerance, joinAsofNearest, sqlQ5LocalSupplier, sqlQ10ReturnedItems,
     sqlQ18LargeOrders)
 }
