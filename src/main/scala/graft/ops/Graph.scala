@@ -229,6 +229,55 @@ object Graph {
     """)
   )
 
+  /** Log-binned degree distribution (r5) — the first diagnostic run on any
+    * production graph (is it power-law? where does the skew live? which
+    * side needs salting?): per vertex side (customer/supplier), histogram
+    * of degrees in power-of-two bins. The bin is INTEGER-exact floor-log2
+    * via `length(bin(deg)) - 1` — a float LOG2 can land at 2.9999996 on an
+    * exact power and misbucket, and that engine divergence is precisely
+    * what the hash-oracle would catch; the string trick is identical in
+    * both engines. One edge groupBy (map-side combine on the vertex key) +
+    * a ≤2·64-row rollup: scan-speed at any scale, and the output is the
+    * evidence for choosing the skew strategy (join_skew_salted) before a
+    * big graph job.
+    */
+  val graphDegreeDistribution = Op(
+    "graph_degree_distribution",
+    (s, d) => {
+      val e0 = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val edges = e0.select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
+        .unionByName(e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
+      edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(
+          (col("src") >= 1000000L).as("is_supplier"),
+          (length(bin(col("deg"))) - 1).cast("long").as("log2_bin"),
+          col("deg"))
+        .groupBy(col("is_supplier"), col("log2_bin"))
+        .agg(
+          count(lit(1)).as("n_vertices"),
+          min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+        .orderBy(col("is_supplier"), col("log2_bin"))
+    },
+    Some("""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT cust AS src FROM e0
+                UNION ALL SELECT supp + 1000000 FROM e0),
+      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+      SELECT src >= 1000000 AS is_supplier,
+             CAST(length(bin(deg)) - 1 AS BIGINT) AS log2_bin,
+             COUNT(*) AS n_vertices,
+             MIN(deg) AS min_deg, MAX(deg) AS max_deg
+      FROM deg
+      GROUP BY 1, 2 ORDER BY is_supplier, log2_bin
+    """)
+  )
+
   val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount,
-    graphBfsReachability)
+    graphBfsReachability, graphDegreeDistribution)
 }

@@ -371,6 +371,51 @@ object MLPipeline {
     """)
   )
 
+  /** Deterministic per-group sample (r5) — "show me k reproducible example
+    * rows per category", the eyeball-sample every dataset card and debug
+    * session needs: the k=5 rows per event_type with the SMALLEST portable
+    * multiplicative hash of their id (Knuth, the sample_hash_bucket
+    * formula) — a uniform-ish draw that is stable across runs, engines,
+    * and partitionings, unlike TABLESAMPLE/rand(). Executed through the
+    * custom TopKPerKey whole-operator (bounded per-key heaps, no full
+    * partition sort — the second op composing it, proving the extension is
+    * a reusable primitive, not a one-off): at 100 TB the heap state is
+    * k rows per group, while the window form sorts every group's millions
+    * of rows. Hash-oracled against the ROW_NUMBER twin.
+    */
+  val samplePerGroup = Op(
+    "sample_per_group",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+      if (!s.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.TopKStrategy
+      val ev = T.events(s, d)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+        .withColumn("h", pmod(col("event_id") * lit(2654435761L), lit(4294967296L)))
+      val lp = ev.queryExecution.analyzed
+      def attr(n: String) = lp.output.find(_.name == n).get
+      val topk = graft.plans.TopKPerKey(
+        5,
+        Seq(attr("event_type")),
+        Seq(SortOrder(attr("h"), Ascending), SortOrder(attr("event_id"), Ascending)),
+        lp)
+      org.apache.spark.sql.GraftBridge.ofRows(s, topk)
+        .select(col("event_type"), col("rn").as("pick"),
+          col("event_id"), col("user_id"))
+        .orderBy(col("event_type"), col("pick"))
+    },
+    Some("""
+      SELECT event_type, rn AS pick, event_id, user_id FROM (
+        SELECT event_type, event_id, user_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                 ORDER BY (event_id * 2654435761) % 4294967296, event_id) AS rn
+        FROM events)
+      WHERE rn <= 5
+      ORDER BY event_type, pick
+    """)
+  )
+
   /** Deterministic k-fold cross-validation assignment — fold id from the
     * same engine-stable multiplicative hash as sample_hash_bucket (mod k),
     * so folds are reproducible under any partitioning, disjoint and
@@ -430,5 +475,5 @@ object MLPipeline {
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
-    mlPcaFeatures, mlEvalMetrics, mlCalibrationBins)
+    mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup)
 }
