@@ -717,10 +717,78 @@ object Scans {
     None
   )
 
+  /** Parquet bloom-filter point-lookup skipping (r5) — the third leg of the
+    * layout trilogy: sorted min/max (sink_sorted_skipping) needs order,
+    * Z-order tiles (sink_zorder_skipping) need dimensions, but a POINT
+    * LOOKUP on a sparse id over an UNSORTED table defeats both — every row
+    * group's min/max straddles any in-range key. Parquet's per-row-group
+    * split-block bloom filters answer exactly this: written via
+    * `parquet.bloom.filter.enabled#col`, and this Spark build's reader
+    * genuinely consults them — measured at sf0.01: an absent-in-range key
+    * scans 0 rows with blooms vs all 15 000 without (and a PRESENT key
+    * loses nothing — blooms have no false negatives). The probe key space
+    * is a derived sparse id (orderkey·7+3, the stand-in for real-world
+    * sparse ids, where absent-but-in-range lookups are the common case —
+    * this fixture's natural keys are dense, which is precisely the regime
+    * where blooms do nothing). At 100 TB: the serve_point_lookup pattern
+    * without maintaining any sort order on the write path. Oracle-exempt
+    * (scan metrics engine-internal); §5 asserts equal results across
+    * layouts, zero scanned rows for the bloom absent probe, full scan
+    * without.
+    */
+  val sinkBloomSkipping = Op(
+    "sink_bloom_skipping",
+    (s, d) => {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val o = T.orders(s, d)
+        .select((col("o_orderkey") * 7 + 3).as("k"),
+          col("o_custkey"), col("o_totalprice"))
+      val bloomPath = T.scratch("orders_bloom")
+      val plainPath = T.scratch("orders_nobloom")
+      // both layouts deliberately SCRAMBLED so min/max stats cannot help:
+      // the probe isolates the bloom filter's contribution
+      def scrambled = o.repartition(8, pmod(hash(col("o_custkey")), lit(8)))
+      scrambled.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#k", "true")
+        .option("parquet.bloom.filter.expected.ndv#k", "20000")
+        .parquet(bloomPath)
+      scrambled.write.mode("overwrite").parquet(plainPath)
+      // absent probe: 7777 % 7 != 3 -> never a key, but inside [3, 7n+3]
+      // at every sf; present probe: orderkey 100's key exists at every sf
+      val absentK = 7777L
+      val presentK = 100L * 7 + 3
+      def probe(layout: String, path: String, which: String,
+                key: Long): (String, String, Long, Long) = {
+        val q = s.read.parquet(path).filter(col("k") === key)
+        val plan0 = q.queryExecution.executedPlan
+        val n = plan0.execute().count()
+        val plan = plan0 match {
+          case a: AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val scanRows = plan.collectLeaves().collect {
+          case f: FileSourceScanExec => f.metrics("numOutputRows").value
+        }.sum
+        (layout, which, scanRows, n)
+      }
+      val rows = Seq(
+        probe("bloom", bloomPath, "absent", absentK),
+        probe("bloom", bloomPath, "present", presentK),
+        probe("plain", plainPath, "absent", absentK),
+        probe("plain", plainPath, "present", presentK))
+      import s.implicits._
+      rows.toDF("layout", "probe", "scan_rows", "result_rows")
+        .orderBy(col("layout"), col("probe"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
     serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite,
-    sinkCodecTradeoff, sinkSortedSkipping, sinkZorderSkipping)
+    sinkCodecTradeoff, sinkSortedSkipping, sinkZorderSkipping,
+    sinkBloomSkipping)
 }

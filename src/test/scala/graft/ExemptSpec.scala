@@ -251,6 +251,22 @@ class ExemptSpec extends AnyFunSuite {
       s"Z-order failed to prune the partkey band: ${r(("zorder", "part_band"))._1} of $total")
   }
 
+  test("sink_bloom_skipping: blooms prune an absent in-range point lookup to zero; no false negatives") {
+    val r = Registry.queries("sink_bloom_skipping")(spark, sf).collect()
+      .map(x => (x.getString(0), x.getString(1)) -> (x.getLong(2), x.getLong(3))).toMap
+    // result equality across layouts (and a present key finds its row)
+    assert(r(("bloom", "present"))._2 == r(("plain", "present"))._2)
+    assert(r(("bloom", "present"))._2 == 1L, "present key must match exactly one row")
+    assert(r(("bloom", "absent"))._2 == 0L && r(("plain", "absent"))._2 == 0L)
+    val total = T.orders(spark, sf).count()
+    // headline: blooms skip every row group for the absent key; min/max
+    // alone (scrambled layout) skips nothing
+    assert(r(("bloom", "absent"))._1 == 0L,
+      s"bloom layout scanned ${r(("bloom", "absent"))._1} rows for an absent key")
+    assert(r(("plain", "absent"))._1 == total,
+      s"plain layout scanned ${r(("plain", "absent"))._1} of $total — min/max unexpectedly pruned the scrambled layout")
+  }
+
   test("agg_countmin_freq: est >= exact within eps*N overshoot, merged == direct, deterministic") {
     val r1 = Registry.queries("agg_countmin_freq")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

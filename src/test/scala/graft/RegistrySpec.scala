@@ -24,6 +24,7 @@ class RegistrySpec extends AnyFunSuite {
       "ml_feature_pipeline", "ml_logreg_intent", "ml_train_test_split",
       "ml_pca_features",
       "sink_codec_tradeoff", "sink_sorted_skipping", "sink_zorder_skipping",
+      "sink_bloom_skipping",
       "sim_brp_lsh", "sim_ivf_knn", "sim_ivf_pq",
       "sem_dedup_clusters", "mm_decode_real", "mm_phash_dedup",
       "agg_countmin_freq")
