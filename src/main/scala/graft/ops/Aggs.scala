@@ -162,18 +162,21 @@ object Aggs {
       import org.apache.spark.util.sketch.CountMinSketch
       def de(b: Array[Byte]): CountMinSketch =
         CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
-      val direct = de(
-        T.events(s, d)
-          .agg(count_min_sketch(col("event_type"), lit(0.01d), lit(0.99d), lit(42)).as("sk"))
-          .head.getAs[Array[Byte]](0))
+      // the distinct-type list rides the SAME aggregation as the direct
+      // sketch — two scans total (direct+types, per-day), never a third
+      val head = T.events(s, d)
+        .agg(
+          count_min_sketch(col("event_type"), lit(0.01d), lit(0.99d), lit(42)).as("sk"),
+          sort_array(collect_set(col("event_type"))).as("types"))
+        .head
+      val direct = de(head.getAs[Array[Byte]](0))
+      val types = head.getSeq[String](1)
       val merged = T.events(s, d)
         .select(to_date(col("ts")).as("day"), col("event_type"))
         .groupBy(col("day"))
         .agg(count_min_sketch(col("event_type"), lit(0.01d), lit(0.99d), lit(42)).as("sk"))
         .select(col("sk")).collect().map(r => de(r.getAs[Array[Byte]](0)))
         .reduce { (x, y) => x.mergeInPlace(y); x }
-      val types = T.events(s, d).select(col("event_type")).distinct()
-        .as[String].collect().sorted.toSeq
       types.map(t => (t, direct.estimateCount(t), merged.estimateCount(t)))
         .toDF("event_type", "est_direct", "est_merged")
     },

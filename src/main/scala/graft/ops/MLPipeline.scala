@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object MLPipeline {
 
+  /** THE canonical intent rule — the single ground-truth labeler every op
+    * in this tier shares (ml_intent_label, ml_logreg_intent's training
+    * labels, ml_predictions_sink's scores, ml_eval_metrics' truth AND its
+    * early-text approximation). One definition makes the coupling the
+    * evaluator's docstring claims real: change the keywords here and every
+    * dependent op — and every inline SQL twin, greppable by the keyword
+    * strings — moves together or the oracle gate fails loudly.
+    */
+  private def intentRule(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(instr(t, "customer") > 0, "transactional")
+      .when(instr(t, "scan") > 0, "navigational")
+      .otherwise("informational")
+
   /** Deterministic keyword-rule intent labeling (the standard search-intent
     * taxonomy: transactional / navigational / informational). Pure CASE
     * chain — the rule-label generator for the classifier below.
@@ -17,10 +30,7 @@ object MLPipeline {
     "ml_intent_label",
     (s, d) =>
       T.documents(s, d)
-        .withColumn("intent",
-          when(instr(col("text"), "customer") > 0, "transactional")
-            .when(instr(col("text"), "scan") > 0, "navigational")
-            .otherwise("informational"))
+        .withColumn("intent", intentRule(col("text")))
         .groupBy(col("lang"), col("intent"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("lang"), col("intent")),
@@ -75,10 +85,7 @@ object MLPipeline {
       import org.apache.spark.ml.classification.LogisticRegression
       import org.apache.spark.ml.feature.{HashingTF, StringIndexer, Tokenizer}
       val labeled = T.documents(s, d)
-        .withColumn("intent",
-          when(instr(col("text"), "customer") > 0, "transactional")
-            .when(instr(col("text"), "scan") > 0, "navigational")
-            .otherwise("informational"))
+        .withColumn("intent", intentRule(col("text")))
       val featurize = new Pipeline().setStages(Array(
         new Tokenizer().setInputCol("text").setOutputCol("toks"),
         new HashingTF().setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 10),
@@ -137,10 +144,7 @@ object MLPipeline {
     (s, d) => {
       val tmp = T.scratch("intent_predictions")
       T.documents(s, d)
-        .withColumn("intent",
-          when(instr(col("text"), "customer") > 0, "transactional")
-            .when(instr(col("text"), "scan") > 0, "navigational")
-            .otherwise("informational"))
+        .withColumn("intent", intentRule(col("text")))
         .select(col("doc_id"), col("lang"), col("intent"))
         .write.mode("overwrite").parquet(tmp)
       s.read.parquet(tmp)
@@ -178,14 +182,9 @@ object MLPipeline {
   val mlEvalMetrics = Op(
     "ml_eval_metrics",
     (s, d) => {
-      import org.apache.spark.sql.Column
-      val ruleOn: Column => Column = t =>
-        when(instr(t, "customer") > 0, "transactional")
-          .when(instr(t, "scan") > 0, "navigational")
-          .otherwise("informational")
       val t = T.documents(s, d).select(
-        ruleOn(col("text")).as("truth"),
-        ruleOn(substring(col("text"), 1, 200)).as("pred"))
+        intentRule(col("text")).as("truth"),
+        intentRule(substring(col("text"), 1, 200)).as("pred"))
       val cm = t.groupBy(col("truth"), col("pred")).agg(count(lit(1)).as("n"))
         .localCheckpoint(true)
       val classes = cm.select(col("truth").as("cls"))

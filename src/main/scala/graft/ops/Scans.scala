@@ -571,11 +571,33 @@ object Scans {
     * engine-internal); §5 asserts identical query results and a >=4x
     * scan reduction on the sorted layout.
     */
+  /** Shared scan-metric probe for the layout trilogy (sorted / Z-order /
+    * bloom): drive q's OWN physical plan row-free — executing the plan's
+    * RDD updates the very metric instances read below (a separate count()
+    * would build a different aggregate plan and leave them untouched), and
+    * the RDD-side count keeps every matching row on the executors
+    * (collect() would ship them to the driver just to take .length).
+    * Returns (rows emitted by the FileSourceScans post-pruning, result
+    * rows).
+    */
+  private def scanProbe(q: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan0 = q.queryExecution.executedPlan
+    val n = plan0.execute().count()
+    val plan = plan0 match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scanRows = plan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.metrics("numOutputRows").value
+    }.sum
+    (scanRows, n)
+  }
+
   val sinkSortedSkipping = Op(
     "sink_sorted_skipping",
     (s, d) => {
-      import org.apache.spark.sql.execution.FileSourceScanExec
-      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
       val ev = T.events(s, d)
         .select(col("event_id"), expr("unix_micros(ts)").as("ts_us"), col("value"))
       val sortedPath = T.scratch("events_sorted")
@@ -589,23 +611,8 @@ object Scans {
       val lo = 1704844800000000L // 2024-01-10T00:00Z in epoch micros
       val hi = lo + 86400L * 1000000L
       def probe(layout: String, path: String): (String, Long, Long) = {
-        val q = s.read.parquet(path)
-          .filter(col("ts_us") >= lo && col("ts_us") < hi)
-        // drive q's OWN physical plan row-free: executing the plan's RDD
-        // updates the very metric instances read below (a separate
-        // count() would build a different aggregate plan and leave them
-        // untouched), and the RDD-side count keeps every matching row on
-        // the executors — collect() shipped them all to the driver just
-        // to take .length
-        val plan0 = q.queryExecution.executedPlan
-        val n = plan0.execute().count()
-        val plan = plan0 match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        }
-        val scanRows = plan.collectLeaves().collect {
-          case f: FileSourceScanExec => f.metrics("numOutputRows").value
-        }.sum
+        val (scanRows, n) = scanProbe(s.read.parquet(path)
+          .filter(col("ts_us") >= lo && col("ts_us") < hi))
         (layout, scanRows, n)
       }
       val rows = Seq(probe("sorted", sortedPath), probe("shuffled", shuffledPath))
@@ -691,16 +698,7 @@ object Scans {
       val (pLo, pHi) = bandFor(maxP)
       def probe(layout: String, path: String, which: String,
                 pred: Column): (String, String, Long, Long) = {
-        val q = s.read.parquet(path).filter(pred)
-        val plan0 = q.queryExecution.executedPlan
-        val n = plan0.execute().count()
-        val plan = plan0 match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        }
-        val scanRows = plan.collectLeaves().collect {
-          case f: FileSourceScanExec => f.metrics("numOutputRows").value
-        }.sum
+        val (scanRows, n) = scanProbe(s.read.parquet(path).filter(pred))
         (layout, which, scanRows, n)
       }
       val suppPred = col("l_suppkey") >= sLo && col("l_suppkey") < sHi
@@ -760,16 +758,7 @@ object Scans {
       val presentK = 100L * 7 + 3
       def probe(layout: String, path: String, which: String,
                 key: Long): (String, String, Long, Long) = {
-        val q = s.read.parquet(path).filter(col("k") === key)
-        val plan0 = q.queryExecution.executedPlan
-        val n = plan0.execute().count()
-        val plan = plan0 match {
-          case a: AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
-        }
-        val scanRows = plan.collectLeaves().collect {
-          case f: FileSourceScanExec => f.metrics("numOutputRows").value
-        }.sum
+        val (scanRows, n) = scanProbe(s.read.parquet(path).filter(col("k") === key))
         (layout, which, scanRows, n)
       }
       val rows = Seq(

@@ -721,7 +721,11 @@ object Similarity {
     * tiny on any sparse near-dup graph. Edges must satisfy lo < hi.
     * Returns (vec_id, st) with st ∈ {"s", "p"}.
     */
-  private[graft] def greedySurvivors(verts: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def greedySurvivors(verts: DataFrame, edges0: DataFrame): DataFrame = {
+    // enforce the lo < hi contract defensively: a self-pair or reversed
+    // edge would leave its vertex waiting on an undecidable lower neighbor
+    // and spin the round loop forever — drop such edges instead of hanging
+    val edges = edges0.filter(col("lo") < col("hi"))
     var status = verts.select(col("vec_id"), lit("u").as("st"))
       .localCheckpoint(true)
     var undecided = 1L

@@ -731,7 +731,13 @@ object TextAnalysis {
         .withColumn("share_ppm", expr("n_tokens * 1000000 div total_tokens"))
         .select(
           col("source"), col("n_docs"), col("n_tokens"), col("share_ppm"),
-          expr("(1000000 div n_sources) * 1000000 div share_ppm").as("weight_ppm"))
+          // a sub-ppm source floors to share 0: emit NULL (weight would be
+          // "unbounded") IDENTICALLY in both engines — Spark's non-ANSI
+          // `div 0` nulls silently but DuckDB's `// 0` errors, so the
+          // guard is what keeps the oracle runnable on any data
+          expr("CASE WHEN share_ppm = 0 THEN NULL " +
+            "ELSE (1000000 div n_sources) * 1000000 div share_ppm END")
+            .as("weight_ppm"))
         .orderBy(col("source"))
     },
     Some("""
@@ -743,7 +749,9 @@ object TextAnalysis {
                      COUNT(*) AS n_sources FROM per_source)
       SELECT source, n_docs, n_tokens,
              n_tokens * 1000000 // total_tokens AS share_ppm,
-             (1000000 // n_sources) * 1000000 // (n_tokens * 1000000 // total_tokens) AS weight_ppm
+             CASE WHEN n_tokens * 1000000 // total_tokens = 0 THEN NULL
+                  ELSE (1000000 // n_sources) * 1000000
+                       // (n_tokens * 1000000 // total_tokens) END AS weight_ppm
       FROM per_source CROSS JOIN tot
       ORDER BY source
     """)

@@ -36,10 +36,14 @@ def main():
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
 
+    # old == 0.0 means the key FAILED in the old sweep (Bench records 0.0
+    # and lists it under "failures") — a now-working key is a fix, not a
+    # regression, and n/o would divide by zero
+    fixed = [k for k in shared if old[k] == 0.0 and new[k] > 0.0]
     regressed = [
         (k, old[k], new[k])
         for k in shared
-        if new[k] >= args.factor * old[k] and new[k] >= args.floor
+        if old[k] > 0.0 and new[k] >= args.factor * old[k] and new[k] >= args.floor
     ]
     improved = [
         (k, old[k], new[k])
@@ -56,6 +60,8 @@ def main():
               f"[+{sum(new[k] for k in added):.1f}s]")
     if removed:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
+    if fixed:
+        print(f"previously failed, now measured ({len(fixed)}): {', '.join(fixed)}")
     if improved:
         print(f"\nimproved >= {args.factor}x ({len(improved)}):")
         for k, o, n in sorted(improved, key=lambda t: t[1] - t[2]):
