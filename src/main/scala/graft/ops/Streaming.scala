@@ -405,6 +405,49 @@ object Streaming {
     None
   )
 
+  /** Trending top-k per time window (r5) — the live-dashboard staple
+    * ("what's hot this hour"): tumbling-hour counts per (window,
+    * event_type, user-decile segment), then the top-3 segments per window
+    * by count with a deterministic tie-break. Batch form is the semantics
+    * contract (tier-1, fully oracled); in production the windowed count
+    * runs as the streaming aggregation (stream_tumbling_1h's exact shape)
+    * and the small per-window rank lives in foreachBatch over the
+    * ≤|windows|·|segments| aggregate — ranking state never touches raw
+    * events. The rank partitions by window (bounded rows per window), so
+    * no global sort anywhere.
+    */
+  val streamTrendingTopk = Op(
+    "stream_trending_topk",
+    (s, d) => {
+      val seg = concat(col("event_type"), lit("#"), (col("user_id") % 10).cast("string"))
+      val counts = T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), seg.as("segment"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("wstart"), col("segment"), col("n_events"))
+      counts
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("wstart"))
+            .orderBy(col("n_events").desc, col("segment"))))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("wstart"), col("rnk"))
+    },
+    Some("""
+      WITH c AS (
+        SELECT date_trunc('hour', ts) AS wstart,
+               event_type || '#' || CAST(user_id % 10 AS VARCHAR) AS segment,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+      r AS (
+        SELECT wstart, segment, n_events,
+               ROW_NUMBER() OVER (PARTITION BY wstart
+                                  ORDER BY n_events DESC, segment) AS rnk
+        FROM c)
+      SELECT wstart, segment, n_events, CAST(rnk AS INTEGER) AS rnk
+      FROM r WHERE rnk <= 3
+      ORDER BY wstart, rnk
+    """)
+  )
+
   /** Custom keyed state via flatMapGroupsWithState — the escape hatch for
     * state machines no built-in stateful operator expresses (here: running
     * per-user event/purchase counters, emitted in Update mode on every
@@ -611,5 +654,5 @@ object Streaming {
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
     streamSessionWindow, streamForeachBatchSink, streamStreamJoin,
     streamStreamOuterJoin, streamCustomState, streamStaticEnrich,
-    streamIncrementalIngest, streamCdcUpsert)
+    streamIncrementalIngest, streamCdcUpsert, streamTrendingTopk)
 }
