@@ -1684,6 +1684,77 @@ object Similarity {
     """)
   )
 
+  /** Broder containment C(A→B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    * — the asymmetric twin of Jaccard. A 60-token quote embedded in a
+    * 6000-token page has Jaccard ≈ 0.01 (invisible to `sim_shingle_jaccard`)
+    * but containment ≈ 1.0 from the quote's side; this is the standard
+    * measure for subset/quote/boilerplate detection in web-dedup (Broder,
+    * "On the resemblance and containment of documents", 1997). Candidate
+    * generation is the same inverted-index equi-join on 3-gram shingles —
+    * never all-pairs — plus a document-frequency cap (df ≤ 20) that drops
+    * stopword-shingles before the join: at corpus scale a shingle appearing
+    * in millions of docs would explode the self-join quadratically, and
+    * dropping it costs no recall at a 0.5 containment threshold (a pair
+    * sharing half its shingles shares plenty of rare ones). Sizes are
+    * counted over the kept shingles so both sides of the ratio see the same
+    * universe. Ratios are emitted as integer ppm (floor division) — exact
+    * long arithmetic on both engines, no float rounding to diverge.
+    */
+  private val simContainmentPairs = Op(
+    "sim_containment_pairs",
+    (s, d) => {
+      graft.functions.NGrams.register(s)
+      val sh0 = T.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          explode(call_function("token_ngrams", col("toks"), lit(3))).as("shingle"))
+        .distinct()
+      val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 20)
+        .select(col("shingle"))
+      val sh = sh0.join(kept, Seq("shingle"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),
+          col("shingle") === col("sh_b") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("common"))
+      inter
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("n_a")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("n_b")), "b_id")
+        .withColumn("cont_a_ppm", expr("common * 1000000 div n_a"))
+        .withColumn("cont_b_ppm", expr("common * 1000000 div n_b"))
+        .filter(greatest(col("cont_a_ppm"), col("cont_b_ppm")) >= 500000)
+        .select(col("a_id"), col("b_id"), col("common"), col("n_a"),
+          col("n_b"), col("cont_a_ppm"), col("cont_b_ppm"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS a
+                 FROM documents WHERE doc_id < 300),
+      sh0 AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(a) - 1),
+                  i -> a[i] || ' ' || a[i + 1] || ' ' || a[i + 2])) AS shingle
+              FROM d),
+      kept AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 20),
+      sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN kept USING (shingle)),
+      sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT a_id, b_id, common, sa.n AS n_a, sb.n AS n_b,
+             common * 1000000 // sa.n AS cont_a_ppm,
+             common * 1000000 // sb.n AS cont_b_ppm
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = a_id
+      JOIN sizes sb ON sb.doc_id = b_id
+      WHERE greatest(common * 1000000 // sa.n, common * 1000000 // sb.n) >= 500000
+      ORDER BY a_id, b_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
@@ -1691,5 +1762,5 @@ object Similarity {
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
-    dedupBlockedFuzzy)
+    dedupBlockedFuzzy, simContainmentPairs)
 }

@@ -135,6 +135,13 @@ class PlanShapeSpec extends AnyFunSuite {
         "collisions are bucket saturation, not duplicate structure")
   }
 
+  test("sim_containment_pairs: shingle equi-join only, no all-pairs fallback") {
+    val p = plan("sim_containment_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"containment candidates must come from the shingle inverted-index " +
+        s"equi-join, never an all-pairs product: $p")
+  }
+
   test("sim_prefix_filter_join prunes losslessly: candidates << all-pairs, equi-join only") {
     val p = plan("sim_prefix_filter_join")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
