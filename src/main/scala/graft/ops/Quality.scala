@@ -532,8 +532,60 @@ object Quality {
     """)
   )
 
+  /** Benford first-digit audit (r5) — the classic fabricated-/synthetic-data
+    * detector: naturally occurring multi-scale amounts follow
+    * P(d) = log10(1 + 1/d); uniform or generated values don't, and a large
+    * per-digit deviation flags the column for review. The expected ppm
+    * values are precomputed integer constants (floor(log10(1+1/d)·1e6)),
+    * observed shares are integer-ppm floor division against a windowed
+    * total over the 9-row aggregate — the whole op is exact long math, no
+    * float log anywhere, so it hash-oracles. One corpus scan, map-side
+    * combine onto 9 digit keys, then a broadcast join against the 9-row
+    * constant table: at 100 TB the only full-width cost is the scan itself.
+    */
+  private val qcBenfordCheck = Op(
+    "qc_benford_check",
+    (s, d) => {
+      import s.implicits._
+      val exp = Seq(1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L,
+        5 -> 79181L, 6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+        .toDF("digit", "exp_ppm")
+      val obs = T.orders(s, d)
+        .select(expr(
+          "cast(substring(cast(cast(floor(o_totalprice) as bigint) as string), 1, 1) as int)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .withColumn("obs_ppm", expr("n * 1000000 div sum(n) over ()"))
+      obs.join(broadcast(exp), Seq("digit"))
+        .withColumn("dev_ppm", abs(col("obs_ppm") - col("exp_ppm")))
+        .select(col("digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+          col("dev_ppm"))
+        .orderBy(col("digit"))
+    },
+    Some("""
+      WITH obs AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS INT) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1),
+      o2 AS (SELECT digit, n,
+                    n * 1000000 // CAST(SUM(n) OVER () AS BIGINT) AS obs_ppm
+             FROM obs),
+      exp AS (SELECT * FROM (VALUES
+        (1, CAST(301029 AS BIGINT)), (2, CAST(176091 AS BIGINT)),
+        (3, CAST(124938 AS BIGINT)), (4, CAST(96910 AS BIGINT)),
+        (5, CAST(79181 AS BIGINT)), (6, CAST(66946 AS BIGINT)),
+        (7, CAST(57991 AS BIGINT)), (8, CAST(51152 AS BIGINT)),
+        (9, CAST(45757 AS BIGINT))) AS t(digit, exp_ppm))
+      SELECT o2.digit, n, obs_ppm, exp_ppm,
+             abs(obs_ppm - exp_ppm) AS dev_ppm
+      FROM o2 JOIN exp ON o2.digit = exp.digit
+      ORDER BY o2.digit
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
     qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad, qcSnapshotDiff,
-    qcEmbeddingDrift)
+    qcEmbeddingDrift, qcBenfordCheck)
 }
