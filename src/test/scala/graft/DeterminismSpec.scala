@@ -33,7 +33,9 @@ class DeterminismSpec extends AnyFunSuite {
     "qc_column_profile",         // multi-distinct Expand + stack
     "emb_srp_ann",               // integer SRP sketches + band join
     "win_rolling_slope",         // exact windowed sums -> IEEE slope
-    "txt_bm25_rank")             // decimal-summed ln-derived scores
+    "txt_bm25_rank",             // decimal-summed ln-derived scores
+    "sim_containment_pairs",     // df-capped shingle join + integer ppm
+    "qc_benford_check")          // windowed total + integer ppm
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
