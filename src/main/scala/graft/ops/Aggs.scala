@@ -640,6 +640,54 @@ object Aggs {
     """)
   )
 
+  /** Exact weighted median (r5) — the weight-aware quantile the unweighted
+    * `agg_median_by_group` can't express: "the price below which half the
+    * QUANTITY sits", the shape of every revenue/traffic-weighted SLA or
+    * price-point question. Computed the scale-correct way: first collapse
+    * the corpus to a per-(group, value) weight HISTOGRAM (map-side combine;
+    * cardinality bounded by distinct values, not rows), then a cumulative
+    * sum over the value-sorted histogram picks the lowest value whose
+    * cumulative weight reaches half the total. The per-group window runs
+    * over histogram rows, not raw rows — at 100 TB the raw 10^12 lineitems
+    * collapse to |distinct prices| rows per group before anything sorts;
+    * for groups whose distinct-value count itself explodes, the two-pass
+    * `win_rank_distributed` kernel is the documented unbounded twin. All
+    * weights are exact longs (quantities are integer-valued; the fixture
+    * has zero fractional quantities), the median is a PICKED value, never
+    * arithmetic on doubles — fully hash-oracled.
+    */
+  private val aggWeightedMedian = Op(
+    "agg_weighted_median",
+    (s, d) => {
+      val h = T.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"), col("l_extendedprice").as("v"))
+        .agg(sum(col("l_quantity").cast("long")).as("w"))
+      val byV = Window.partitionBy(col("flag")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(col("flag"))
+      h.withColumn("cw", sum(col("w")).over(byV))
+        .withColumn("tw", sum(col("w")).over(all))
+        .filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("flag"), col("tw"))
+        .agg(min(col("v")).as("w_median"))
+        .select(col("flag"), col("tw").as("total_w"), col("w_median"))
+        .orderBy(col("flag"))
+    },
+    Some("""
+      WITH h AS (SELECT l_returnflag AS flag, l_extendedprice AS v,
+                        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+                 FROM lineitem GROUP BY 1, 2),
+      c AS (SELECT flag, v, w,
+                   CAST(SUM(w) OVER (PARTITION BY flag ORDER BY v
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+                   CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+            FROM h)
+      SELECT flag, tw AS total_w, MIN(v) AS w_median
+      FROM c WHERE cw * 2 >= tw
+      GROUP BY flag, tw ORDER BY flag
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     aggIncrementalRollup,
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
@@ -647,5 +695,6 @@ object Aggs {
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
     aggHistogramFixedBins, aggMedianByGroup, aggModePerGroup,
-    aggPercentileContDisc, winSlidingDistinctHll, aggCountminFreq)
+    aggPercentileContDisc, winSlidingDistinctHll, aggCountminFreq,
+    aggWeightedMedian)
 }
