@@ -471,8 +471,72 @@ object MLPipeline {
     None
   )
 
+  /** Exact ROC AUC (r5) — the ranking metric that completes the evaluation
+    * tier (`ml_eval_metrics` grades hard predictions, `ml_calibration_bins`
+    * grades probabilities; AUC grades the SCORE ORDERING). Computed as the
+    * tie-corrected Mann-Whitney rank sum: collapse docs to a per-score
+    * histogram (map-side combine; cardinality = distinct scores, not docs),
+    * cumulative count before each score group gives every tied doc its
+    * average rank — kept integer by tracking 2·ranksum = Σ nPos_g·(2·C_g +
+    * n_g + 1) — then AUC = (2R⁺ − nPos(nPos+1)) / (2·nPos·nNeg) emitted as
+    * ppm floor division. The cumsum window is global but runs over the
+    * score HISTOGRAM (bounded by |distinct scores|, ~dozens here), not the
+    * corpus. Long math holds to ~3e9 docs per evaluation slice (2R ~ n²);
+    * past that, widen the rank sums to DECIMAL(38,0) — eval sets are
+    * sampled well below that in practice. Score deliberately excludes the
+    * label keyword ('customer'), so the AUC is a real discrimination
+    * measure (~0.64), not a degenerate 1.0.
+    */
+  private val mlRocAuc = Op(
+    "ml_roc_auc",
+    (s, d) => {
+      val scored = T.documents(s, d).select(
+        when(instr(col("text"), "customer") > 0, 1).otherwise(0).as("y"),
+        expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+              + (length(text) - length(replace(text, 'pack', ''))) div 4
+              + (length(text) - length(replace(text, 'ship', ''))) div 4
+              as bigint)""").as("s"))
+      val h = scored.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+      val before = org.apache.spark.sql.expressions.Window.orderBy(col("s"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      h.withColumn("cum_before", coalesce(sum(col("n")).over(before), lit(0L)))
+        .agg(
+          sum(col("npos") * (lit(2) * col("cum_before") + col("n") + lit(1)))
+            .cast("long").as("two_r_pos"),
+          sum(col("npos")).cast("long").as("n_pos"),
+          sum(col("n") - col("npos")).cast("long").as("n_neg"))
+        .withColumn("auc_ppm",
+          expr("(two_r_pos - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"))
+        .select(col("n_pos"), col("n_neg"), col("two_r_pos"), col("auc_ppm"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s
+        FROM documents),
+      h AS (SELECT s, COUNT(*) AS n, SUM(y) AS npos FROM d GROUP BY s),
+      c AS (SELECT s, n, npos,
+                   CAST(COALESCE(SUM(n) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM h),
+      agg AS (SELECT CAST(SUM(npos * (2 * cum_before + n + 1)) AS BIGINT) AS two_r_pos,
+                     CAST(SUM(npos) AS BIGINT) AS n_pos,
+                     CAST(SUM(n - npos) AS BIGINT) AS n_neg
+              FROM c)
+      SELECT n_pos, n_neg, two_r_pos,
+             (two_r_pos - n_pos * (n_pos + 1)) * 500000 // (n_pos * n_neg) AS auc_ppm
+      FROM agg
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
-    mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup)
+    mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
+    mlRocAuc)
 }
