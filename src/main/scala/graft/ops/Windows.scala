@@ -508,9 +508,48 @@ object Windows {
     """)
   )
 
+  /** Rolling MEDIAN (r5) — the robust smoother the moving AVERAGE
+    * (`win_moving_rows`) can't be: one outlier drags a mean for the whole
+    * frame but moves a median at most one order statistic, which is why
+    * monitoring pipelines smooth with medians (cf. the Hampel gate in
+    * `qc_anomaly_mad`). Exact per-row 7-row centered median per supplier
+    * over a TOTAL frame order (shipdate, orderkey, linenumber — ties
+    * impossible, so every frame is reproducible). Inputs are cast to long;
+    * even-count frames interpolate to an exact .5 half — both engines
+    * average the two middle longs in double, bit-identical. Partitioned by
+    * supplier: frames never cross partition bounds, so the window
+    * parallelizes across the key like every other per-group window here.
+    */
+  private val winMedianSliding = Op(
+    "win_median_sliding",
+    (s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(-3, 3)
+      T.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"), col("l_shipdate"))
+        .withColumn("med7", expr("percentile(qty, 0.5D)").over(w))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"), col("med7"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""
+      SELECT l_suppkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             median(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med7
+      FROM lineitem
+      ORDER BY l_suppkey, l_orderkey, l_linenumber
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
     winCumulative, winRankDistributed, winGapIslands, winFillForward,
-    winNthCume, winRollingSlope, winEwmaTrailing, winTopkHeap)
+    winNthCume, winRollingSlope, winEwmaTrailing, winTopkHeap,
+    winMedianSliding)
 }
