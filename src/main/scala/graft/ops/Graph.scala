@@ -278,6 +278,85 @@ object Graph {
     """)
   )
 
+  /** Synchronous label propagation (r5) — community detection (Raghavan et
+    * al. 2007), the clustering complement to `dedup_cc_clusters`' pure
+    * connectivity: each round every vertex adopts its neighbors'
+    * most-frequent label, so DENSE regions converge to one label while CC
+    * would merge anything merely touching. Made fully deterministic (and
+    * hence hash-oracle-able, which vanilla LPA is not) by synchronous
+    * rounds, a fixed iteration count, and the (count DESC, label ASC)
+    * tie-break; on a bipartite graph synchronous LPA can oscillate, which
+    * the fixed 3 rounds turn into a well-defined spec rather than a
+    * convergence question. Per round: one shuffle join on src + a
+    * map-side-combined (v, label) count + a map-side-combinable
+    * max(struct(c, -lab)) argmax per vertex (sort-free, unlike the
+    * equivalent row_number window) — the Pregel shape again, labels
+    * checkpointed per round with the superseded round's blocks freed
+    * through GraftBridge.
+    */
+  private val graphLabelPropagation = Op(
+    "graph_label_propagation",
+    (s, d) => {
+      val e0 = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+      val edges = e0
+        .select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
+        .unionByName(
+          e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("v")).distinct()
+        .withColumn("lab", col("v")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        // argmax by (count DESC, label ASC) as max(struct(c, -lab)) — a
+        // map-side-combinable aggregation, unlike the equivalent
+        // row_number window which sorts every vertex partition (measured
+        // 5.1 s -> window vs agg on the sf0.1 graph)
+        val next = edges
+          .join(labels.select(col("v").as("src"), col("lab")), "src")
+          .groupBy(col("dst").as("v"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy(col("v"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("v"), (-col("m.nl")).as("lab"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
+        labels = next
+      }
+      labels.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_vertex"))
+        .orderBy(col("community"))
+    },
+    Some("""
+      WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      edges AS (SELECT cust AS src, supp + 1000000 AS dst FROM e0
+                UNION ALL SELECT supp + 1000000, cust FROM e0),
+      l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
+      n1 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+             FROM edges e JOIN l0 l ON l.v = e.src GROUP BY e.dst, l.lab),
+      l1 AS (SELECT v, lab FROM (
+               SELECT v, lab, ROW_NUMBER() OVER (
+                 PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n1)
+             WHERE rn = 1),
+      n2 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+             FROM edges e JOIN l1 l ON l.v = e.src GROUP BY e.dst, l.lab),
+      l2 AS (SELECT v, lab FROM (
+               SELECT v, lab, ROW_NUMBER() OVER (
+                 PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n2)
+             WHERE rn = 1),
+      n3 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+             FROM edges e JOIN l2 l ON l.v = e.src GROUP BY e.dst, l.lab),
+      l3 AS (SELECT v, lab FROM (
+               SELECT v, lab, ROW_NUMBER() OVER (
+                 PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n3)
+             WHERE rn = 1)
+      SELECT lab AS community, COUNT(*) AS n_members, MIN(v) AS min_vertex
+      FROM l3 GROUP BY lab ORDER BY community
+    """)
+  )
+
   val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount,
-    graphBfsReachability, graphDegreeDistribution)
+    graphBfsReachability, graphDegreeDistribution, graphLabelPropagation)
 }

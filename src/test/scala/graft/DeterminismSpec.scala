@@ -36,7 +36,8 @@ class DeterminismSpec extends AnyFunSuite {
     "txt_bm25_rank",             // decimal-summed ln-derived scores
     "sim_containment_pairs",     // df-capped shingle join + integer ppm
     "qc_benford_check",          // windowed total + integer ppm
-    "agg_weighted_median")       // histogram cumsum over exact longs
+    "agg_weighted_median",       // histogram cumsum over exact longs
+    "graph_label_propagation")   // iterative mode with explicit tie-break
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
