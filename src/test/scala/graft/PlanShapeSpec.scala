@@ -135,6 +135,33 @@ class PlanShapeSpec extends AnyFunSuite {
         "collisions are bucket saturation, not duplicate structure")
   }
 
+  test("qc_benford_check broadcasts the 9-row constant table") {
+    val p = plan("qc_benford_check")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the Benford expected-ppm lookup must broadcast, not shuffle: $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("agg_weighted_median aggregates to a histogram before any window") {
+    val p = plan("agg_weighted_median")
+    // plans print top-down, so "below the window" = printed AFTER it: the
+    // bottom-most HashAggregate (the value histogram) must sit under the
+    // cumsum window — the window may never consume raw lineitem rows
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"window must consume the histogram aggregate, not raw rows: $p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ml_roc_auc never sorts the corpus — only the score histogram") {
+    val p = plan("ml_roc_auc")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"rank-sum window must consume the score histogram, not raw docs: $p")
+  }
+
   test("sim_containment_pairs: shingle equi-join only, no all-pairs fallback") {
     val p = plan("sim_containment_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
