@@ -554,8 +554,58 @@ object Events {
     """)
   )
 
+  /** Time-to-conversion distribution (r5) — the "how long does converting
+    * take?" companion to `evt_funnel_conversion`'s "how many convert?":
+    * per user, the lag from first view to the first purchase after it,
+    * rolled into an hour-bucket histogram with cumulative counts and
+    * integer-ppm cumulative share (the CDF a growth team reads "p50 of
+    * converters convert within N hours" off of). Lag math is µs-exact on
+    * both engines (unix_micros ↔ epoch_us, floor-divided to hours); the
+    * cumsum window runs over the HISTOGRAM (|distinct lag hours| rows),
+    * never raw events — the same scale shape as `agg_weighted_median`.
+    */
+  private val evtTimeToConvert = Op(
+    "evt_time_to_convert",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tp"), min(col("t1")).as("t1"))
+      val h = p
+        .select(expr("(unix_micros(tp) - unix_micros(t1)) div 3600000000L").as("lag_hours"))
+        .groupBy(col("lag_hours")).agg(count(lit(1)).as("n_users"))
+      val cum = Window.orderBy(col("lag_hours"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum_users", sum(col("n_users")).over(cum))
+        .withColumn("cum_ppm",
+          expr("cum_users * 1000000 div sum(n_users) over ()"))
+        .select(col("lag_hours"), col("n_users"), col("cum_users"), col("cum_ppm"))
+        .orderBy(col("lag_hours"))
+    },
+    Some("""
+      WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                 WHERE event_type = 'view' GROUP BY 1),
+      p AS (SELECT e.user_id, MIN(e.ts) AS tp
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > v.t1 GROUP BY 1),
+      lag AS (SELECT (epoch_us(tp) - epoch_us(t1)) // 3600000000 AS lag_hours
+              FROM p JOIN v ON p.user_id = v.user_id),
+      h AS (SELECT lag_hours, COUNT(*) AS n_users FROM lag GROUP BY 1),
+      c AS (SELECT lag_hours, n_users,
+                   CAST(SUM(n_users) OVER (ORDER BY lag_hours
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users,
+                   CAST(SUM(n_users) OVER () AS BIGINT) AS total
+            FROM h)
+      SELECT lag_hours, n_users, cum_users,
+             cum_users * 1000000 // total AS cum_ppm
+      FROM c ORDER BY lag_hours
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
-    evtAttributionU, evtActiveUsersRolling)
+    evtAttributionU, evtActiveUsersRolling, evtTimeToConvert)
 }
