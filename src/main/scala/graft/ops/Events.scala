@@ -604,8 +604,62 @@ object Events {
     """)
   )
 
+  /** Cohort LTV curve (r5) — cumulative revenue per signup cohort by weeks
+    * since signup: where `evt_retention_cohorts` counts who comes back,
+    * this sums what they SPEND — the lifetime-value read that decides
+    * acquisition budgets. Money routes through DECIMAL(18,4) (App. A: never
+    * sum doubles), the cumulative sum is a decimal window over the tiny
+    * (cohort, week) aggregate — order-independent because decimal addition
+    * is exact — and only the final presentation casts to double. Cohort
+    * weeks via date_trunc('week') and calendar-day diffs, identical on both
+    * engines (Monday-start weeks, exact integer day arithmetic).
+    */
+  private val evtCohortLtv = Op(
+    "evt_cohort_ltv",
+    (s, d) => {
+      val ev = T.events(s, d)
+      val s0 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+      val wk = ev.filter(col("event_type") === "purchase")
+        .join(s0, "user_id").filter(col("ts") >= col("t0"))
+        .select(
+          to_date(date_trunc("week", to_date(col("t0")))).as("cohort_week"),
+          expr("cast(datediff(to_date(ts), to_date(t0)) div 7 as bigint)")
+            .as("weeks_since"),
+          col("value").cast("decimal(18,4)").as("v"))
+      val agg = wk.groupBy(col("cohort_week"), col("weeks_since"))
+        .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("rev"))
+      val cum = Window.partitionBy(col("cohort_week")).orderBy(col("weeks_since"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      agg
+        .withColumn("cum_rev",
+          sum(col("rev")).over(cum).cast("decimal(18,4)").cast("double"))
+        .select(col("cohort_week"), col("weeks_since"), col("n_purchases"),
+          col("rev").cast("double").as("rev"), col("cum_rev"))
+        .orderBy(col("cohort_week"), col("weeks_since"))
+    },
+    Some("""
+      WITH s0 AS (SELECT user_id, MIN(ts) AS t0 FROM events
+                  WHERE event_type = 'signup' GROUP BY 1),
+      wk AS (SELECT date_trunc('week', CAST(s0.t0 AS DATE)) AS cohort_week,
+                    date_diff('day', CAST(s0.t0 AS DATE), CAST(e.ts AS DATE)) // 7
+                      AS weeks_since,
+                    CAST(e.value AS DECIMAL(18,4)) AS v
+             FROM events e JOIN s0 ON s0.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts >= s0.t0),
+      agg AS (SELECT cohort_week, weeks_since, COUNT(*) AS n_purchases,
+                     SUM(v) AS rev FROM wk GROUP BY 1, 2)
+      SELECT cohort_week, weeks_since, n_purchases,
+             CAST(rev AS DOUBLE) AS rev,
+             CAST(CAST(SUM(rev) OVER (PARTITION BY cohort_week
+                  ORDER BY weeks_since ROWS UNBOUNDED PRECEDING)
+                AS DECIMAL(18,4)) AS DOUBLE) AS cum_rev
+      FROM agg ORDER BY cohort_week, weeks_since
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
-    evtAttributionU, evtActiveUsersRolling, evtTimeToConvert)
+    evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv)
 }
