@@ -147,12 +147,15 @@ object Aggs {
     * at 100 TB the heavy-hitter / frequency question without a per-value
     * groupBy state. Built with the codegen'd count_min_sketch aggregate
     * (eps 0.01, conf 0.99, fixed seed) two ways: one direct whole-table
-    * sketch, and per-day sketches merged on the driver — CMS counters are
-    * plain sums, so the merged grid is BIT-IDENTICAL to the direct one
-    * (the associativity that makes the sketch table incremental: each new
-    * day ships kilobytes). The driver handles only sketch bytes and the
-    * |event_types|-row answer, never row data. Oracle-exempt (sketch
-    * binary is engine-specific); ExemptSpec proves est ≥ exact,
+    * sketch, and per-day sketches merged DISTRIBUTED via treeAggregate —
+    * CMS counters are plain sums, so the merged grid is BIT-IDENTICAL to
+    * the direct one (the associativity that makes the sketch table
+    * incremental: each new day ships kilobytes). The executors pairwise-
+    * merge the KB-sized grids up a 2-level tree; the driver receives ONE
+    * merged sketch and the |event_types|-row answer, never row data and
+    * never the per-day sketch set — at a decade of daily partitions
+    * (~3650 sketches) nothing accumulates driver-side. Oracle-exempt
+    * (sketch binary is engine-specific); ExemptSpec proves est ≥ exact,
     * overshoot ≤ eps·N, merged == direct exactly, and determinism.
     */
   val aggCountminFreq = Op(
@@ -171,12 +174,18 @@ object Aggs {
         .head
       val direct = de(head.getAs[Array[Byte]](0))
       val types = head.getSeq[String](1)
+      // distributed sketch merge: executors pairwise-merge per-day grids,
+      // the driver receives exactly one sketch (never the per-day set)
+      val empty = CountMinSketch.create(0.01d, 0.99d, 42)
       val merged = T.events(s, d)
         .select(to_date(col("ts")).as("day"), col("event_type"))
         .groupBy(col("day"))
         .agg(count_min_sketch(col("event_type"), lit(0.01d), lit(0.99d), lit(42)).as("sk"))
-        .select(col("sk")).collect().map(r => de(r.getAs[Array[Byte]](0)))
-        .reduce { (x, y) => x.mergeInPlace(y); x }
+        .select(col("sk")).as[Array[Byte]].rdd
+        .treeAggregate(empty)(
+          (acc, b) => { acc.mergeInPlace(de(b)); acc },
+          (x, y) => { x.mergeInPlace(y); x },
+          depth = 2)
       types.map(t => (t, direct.estimateCount(t), merged.estimateCount(t)))
         .toDF("event_type", "est_direct", "est_merged")
     },

@@ -1704,16 +1704,25 @@ object Similarity {
     "sim_containment_pairs",
     (s, d) => {
       graft.functions.NGrams.register(s)
+      // sh0 feeds both the df-cap aggregate and the probe side; sh feeds
+      // FOUR subtrees (sizes + both sides of the self-join + the ratio
+      // joins). Uncheckpointed, each consumer re-ran read->tokenize->
+      // explode->distinct — the same multi-scan wart fixed in
+      // sim_prefix_filter_join. Checkpoint sh0 (one corpus scan), derive
+      // sh from blocks, checkpoint it too, then free sh0 — per-op block
+      // footprint is one shingle relation, not two.
       val sh0 = T.documents(s, d)
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"),
           explode(call_function("token_ngrams", col("toks"), lit(3))).as("shingle"))
         .distinct()
+        .localCheckpoint(true)
       val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20)
         .select(col("shingle"))
-      val sh = sh0.join(kept, Seq("shingle"))
+      val sh = sh0.join(kept, Seq("shingle")).localCheckpoint(true)
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(sh0)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
         .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),

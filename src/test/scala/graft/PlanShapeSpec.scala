@@ -283,6 +283,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans <= 1, s"totals subtree re-scans the corpus ($scans scans):\n$p")
   }
 
+  test("sim_containment_pairs never re-scans the corpus (checkpointed shingle relation)") {
+    // the corpus is read exactly once, inside the sh0 checkpoint job; the
+    // final plan's four shingle consumers must all read blocks, never parquet
+    val p = plan("sim_containment_pairs")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0, s"shingle subtree re-scans the corpus ($scans scans):\n$p")
+  }
+
   test("join_range_binned plans the interval join as an equi-join on the bin key") {
     val p = plan("join_range_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
