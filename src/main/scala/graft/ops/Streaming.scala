@@ -18,24 +18,25 @@ import org.apache.spark.sql.types._
   */
 object Streaming {
 
-  /** Schema for streaming reads of events.parquet (file source requires an
-    * explicit schema; ts arrives as nanos-long exactly as the batch reader
-    * sees it with nanosAsLong).
+  /** Streaming reads of events.parquet: the file source requires an explicit
+    * schema, and ts has shipped as nanos-long (legacy NANOS fixtures, read
+    * with nanosAsLong), native TIMESTAMP(MICROS), and naive-µs NTZ (cast
+    * to LTZ under the pinned UTC session tz — see T.eventsRaw). Take the
+    * schema from a driver-side batch footer peek (cheap — one footer read,
+    * no scan) so the stream sees exactly what the batch reader sees, and
+    * normalize ts to TimestampType the same way the batch reader does.
     */
-  private val eventsRawSchema = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   private def readEventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsRawSchema)
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    val raw = s.readStream.schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    batchSchema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
 
   /** Stateful operators create one state-store instance per shuffle

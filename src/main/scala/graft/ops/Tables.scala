@@ -10,16 +10,29 @@ object T {
   def read(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses outright
-    * (PARQUET_TYPE_ILLEGAL). Read nanos as long (legacy conf, session-level)
-    * and floor-divide to µs — the exact truncation DuckDB applies reading the
-    * same file, so oracle parity holds (FIXTURES.md: all ts are epoch-positive,
-    * where integer division == truncation-toward-past).
+  /** events.ts has shipped in three parquet encodings across fixture
+    * generations: TIMESTAMP(NANOS) (Spark 4 refuses it outright —
+    * PARQUET_TYPE_ILLEGAL — unless read as long via the legacy session
+    * conf, then floor-divided to µs, the exact truncation DuckDB applies
+    * on the same file), TIMESTAMP(MICROS) adjusted-to-UTC (native
+    * TimestampType), and TIMESTAMP(MICROS) naive (TimestampNTZType).
+    * Branch on the footer schema and normalize all three to TimestampType
+    * carrying the same µs-since-epoch: every session here pins
+    * spark.sql.session.timeZone=UTC, so the NTZ→LTZ cast reinterprets the
+    * naive wall-clock as UTC — bit-identical to what the nanos path
+    * produced, and the same wall-clock DuckDB's naive TIMESTAMP shows, so
+    * oracle parity holds across generations.
     */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
 
   /** Fixed per-op scratch dir (ops overwrite it on each run) — a fresh

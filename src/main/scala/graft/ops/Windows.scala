@@ -512,9 +512,13 @@ object Windows {
     * (`win_moving_rows`) can't be: one outlier drags a mean for the whole
     * frame but moves a median at most one order statistic, which is why
     * monitoring pipelines smooth with medians (cf. the Hampel gate in
-    * `qc_anomaly_mad`). Exact per-row 7-row centered median per supplier
-    * over a TOTAL frame order (shipdate, orderkey, linenumber — ties
-    * impossible, so every frame is reproducible). Inputs are cast to long;
+    * `qc_anomaly_mad`). Exact per-row 7-row centered median per supplier.
+    * The frame order is (shipdate, orderkey, linenumber, qty):
+    * (l_orderkey, l_linenumber) is NOT unique in the fixtures (see
+    * scan_parquet_pushdown's note), so qty joins the sort — rows still
+    * tied after all four keys are identical in every column this op
+    * reads, making any engine's permutation of them produce the same
+    * frame MULTISET and therefore the same median. Inputs are cast to long;
     * even-count frames interpolate to an exact .5 half — both engines
     * average the two middle longs in double, bit-identical. Partitioned by
     * supplier: frames never cross partition bounds, so the window
@@ -524,7 +528,8 @@ object Windows {
     "win_median_sliding",
     (s, d) => {
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"))
         .rowsBetween(-3, 3)
       T.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -532,17 +537,22 @@ object Windows {
         .withColumn("med7", expr("percentile(qty, 0.5D)").over(w))
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           col("qty"), col("med7"))
-        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        // med7 joins the output sort: duplicate (okey, ln, qty) rows can
+        // legitimately carry different medians (different frame centers),
+        // and without it the two engines could emit them in either order
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("qty"), col("med7"))
     },
     Some("""
       SELECT l_suppkey, l_orderkey, l_linenumber,
              CAST(l_quantity AS BIGINT) AS qty,
              median(CAST(l_quantity AS BIGINT)) OVER (
                PARTITION BY l_suppkey
-               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        CAST(l_quantity AS BIGINT)
                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS med7
       FROM lineitem
-      ORDER BY l_suppkey, l_orderkey, l_linenumber
+      ORDER BY l_suppkey, l_orderkey, l_linenumber, qty, med7
     """)
   )
 
