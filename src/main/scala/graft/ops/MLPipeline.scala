@@ -534,9 +534,79 @@ object MLPipeline {
     """)
   )
 
+  /** Precision/recall/F1 vs threshold (r7) — the PR curve that completes
+    * the evaluation tier alongside `ml_roc_auc` (same scored corpus, same
+    * per-score histogram; ROC grades the ordering globally, PR grades each
+    * operating point you could deploy at). One row per distinct score s:
+    * predict positive when score ≥ s. The descending cumsum over the score
+    * HISTOGRAM (cardinality = |distinct scores|, ~dozens — never the corpus)
+    * yields tp and predicted-positive counts; fp/fn follow by subtraction
+    * against the histogram totals (an unbounded frame over the same tiny
+    * histogram, not a second scan). Every metric is exact integer ppm floor
+    * division — precision = tp·1e6 div pp, recall = tp·1e6 div P, and F1
+    * uses the identity 2tp + fp + fn = pp + P so it too is one exact
+    * division — making the whole table bit-stable where float PR curves
+    * are not. Long math holds to ~9e12 docs (tp·1e6 < 2^63).
+    */
+  private val mlPrAuc = Op(
+    "ml_pr_auc",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = T.documents(s, d).select(
+        when(instr(col("text"), "customer") > 0, 1).otherwise(0).as("y"),
+        expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+              + (length(text) - length(replace(text, 'pack', ''))) div 4
+              + (length(text) - length(replace(text, 'ship', ''))) div 4
+              as bigint)""").as("s"))
+      val h = scored.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+      val desc = Window.orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      h.withColumn("tp", sum(col("npos")).over(desc).cast("long"))
+        .withColumn("pp", sum(col("n")).over(desc).cast("long"))
+        .withColumn("p_tot", sum(col("npos")).over(all).cast("long"))
+        .select(
+          col("s").as("thr"), col("tp"),
+          (col("pp") - col("tp")).as("fp"),
+          (col("p_tot") - col("tp")).as("fn"),
+          expr("tp * 1000000 div pp").as("precision_ppm"),
+          expr("tp * 1000000 div p_tot").as("recall_ppm"),
+          expr("2 * tp * 1000000 div (pp + p_tot)").as("f1_ppm"))
+        .orderBy(col("thr").desc)
+    },
+    Some("""
+      WITH d AS (
+        SELECT CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s
+        FROM documents),
+      h AS (SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+            FROM d GROUP BY s),
+      c AS (SELECT s,
+                   CAST(SUM(npos) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS tp,
+                   CAST(SUM(n) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS pp,
+                   CAST(SUM(npos) OVER () AS BIGINT) AS p_tot
+            FROM h)
+      SELECT s AS thr, tp, pp - tp AS fp, p_tot - tp AS fn,
+             tp * 1000000 // pp AS precision_ppm,
+             tp * 1000000 // p_tot AS recall_ppm,
+             2 * tp * 1000000 // (pp + p_tot) AS f1_ppm
+      FROM c
+      ORDER BY thr DESC
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
-    mlRocAuc)
+    mlRocAuc, mlPrAuc)
 }
