@@ -386,9 +386,7 @@ object MLPipeline {
     "sample_per_group",
     (s, d) => {
       import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
-      if (!s.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ graft.plans.TopKStrategy
+      graft.plans.TopKStrategy.ensureRegistered(s)
       val ev = T.events(s, d)
         .select(col("event_type"), col("event_id"), col("user_id"))
         .withColumn("h", pmod(col("event_id") * lit(2654435761L), lit(4294967296L)))

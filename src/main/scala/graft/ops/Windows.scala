@@ -479,9 +479,7 @@ object Windows {
     "win_topk_heap",
     (s, d) => {
       import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
-      if (!s.experimental.extraStrategies.contains(graft.plans.TopKStrategy))
-        s.experimental.extraStrategies =
-          s.experimental.extraStrategies :+ graft.plans.TopKStrategy
+      graft.plans.TopKStrategy.ensureRegistered(s)
       val orders = T.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       val lp = orders.queryExecution.analyzed

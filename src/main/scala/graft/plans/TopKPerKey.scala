@@ -90,6 +90,21 @@ object TopKStrategy extends SparkStrategy {
       TopKPerKeyExec(t.k, t.keys, t.order, t.rnAttr, planLater(t.child)) :: Nil
     case _ => Nil
   }
+
+  /** Idempotent, race-free session registration — the one home for the
+    * `experimental.extraStrategies` mutation (mirrors `NGrams.register`).
+    * The bare check-then-append the ops used to inline is a read-modify-
+    * write on a plain var: two threads registering concurrently (a future
+    * parallel bench) could double-append or lose an unrelated strategy.
+    * Serialized on the session object; sessions built with
+    * `GraftExtensions` already carry the strategy via
+    * injectPlannerStrategy and skip the append.
+    */
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
+    s.synchronized {
+      if (!s.experimental.extraStrategies.contains(this))
+        s.experimental.extraStrategies = s.experimental.extraStrategies :+ this
+    }
 }
 
 case class TopKPerKeyExec(
