@@ -151,10 +151,11 @@ object Aggs {
     * CMS counters are plain sums, so the merged grid is BIT-IDENTICAL to
     * the direct one (the associativity that makes the sketch table
     * incremental: each new day ships kilobytes). The executors pairwise-
-    * merge the KB-sized grids up a 2-level tree; the driver receives ONE
-    * merged sketch and the |event_types|-row answer, never row data and
-    * never the per-day sketch set — at a decade of daily partitions
-    * (~3650 sketches) nothing accumulates driver-side. Oracle-exempt
+    * merge the KB-sized grids up a 2-level tree; the driver merges only a
+    * handful of tree-reduced partials (~ceil(sqrt(P)) post-tree
+    * partitions), never row data and never the per-day sketch set — at a
+    * decade of daily partitions (~3650 sketches) nothing per-day
+    * accumulates driver-side. Oracle-exempt
     * (sketch binary is engine-specific); ExemptSpec proves est ≥ exact,
     * overshoot ≤ eps·N, merged == direct exactly, and determinism.
     */
@@ -174,8 +175,8 @@ object Aggs {
         .head
       val direct = de(head.getAs[Array[Byte]](0))
       val types = head.getSeq[String](1)
-      // distributed sketch merge: executors pairwise-merge per-day grids,
-      // the driver receives exactly one sketch (never the per-day set)
+      // distributed sketch merge: executors pairwise-merge per-day grids
+      // up the tree; the driver folds only the few post-tree partials
       val empty = CountMinSketch.create(0.01d, 0.99d, 42)
       val merged = T.events(s, d)
         .select(to_date(col("ts")).as("day"), col("event_type"))

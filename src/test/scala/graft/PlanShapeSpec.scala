@@ -11,6 +11,13 @@ import graft.ops.Registry
 class PlanShapeSpec extends AnyFunSuite {
   import TestSession._
 
+  /** Executed-plan string for an op. NOT side-effect-free for every op:
+    * ops that localCheckpoint mid-build (txt_domain_mix_balance,
+    * sim_containment_pairs) run those eager Spark jobs during plan
+    * construction and may leave checkpoint blocks persisted for the
+    * session — acceptable in a test JVM; Verify/Bench free them via
+    * GraftBridge/sweepJvmState.
+    */
   private def plan(name: String): String =
     Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
