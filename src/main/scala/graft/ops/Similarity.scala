@@ -669,7 +669,14 @@ object Similarity {
     "sem_dedup_clusters",
     (s, d) => {
       graft.functions.VectorDot.register(s)
-      val (assigned, _) = ivfIndex(s, d, 16)
+      // k scales with the corpus (SemDeDup's own economics: N²/k is linear
+      // only if k ∝ N) — target ~125 vectors/cluster so within-cluster
+      // pair work stays ~125·N at any scale. Floor 16 keeps every fixture
+      // scale ≤ sf0.1 (N ≤ 2000) on the same index as before; the sf1
+      // measurement that motivated this: fixed k=16 ran 12× at 10× data.
+      val nVecs = T.embeddings(s, d).count()
+      val k = math.max(16, (nVecs / 125).toInt)
+      val (assigned, _) = ivfIndex(s, d, k)
       val e = assigned.select(col("vec_id"), col("list_id"), col("embedding"),
         norm(col("embedding")).as("nrm"))
       val a = e.select(col("list_id"), col("vec_id").as("a_id"),
