@@ -602,9 +602,80 @@ object MLPipeline {
     """)
   )
 
+  /** Point-in-time-correct feature join (r7) — the feature-store pattern:
+    * training labels live on a spine (user, event_time) and every feature
+    * must be computed from data STRICTLY BEFORE that row's own time, or
+    * the model trains on information it won't have at serving (label
+    * leakage — the classic silent feature-store bug). Spine = purchases;
+    * features = trailing 7-day click count, trailing 30-day view count,
+    * and seconds since the last prior click. All three come from ONE pass:
+    * a single shuffle on user_id, then value-based RANGE frames over the
+    * integer µs timeline anchored at every event — [t−7d, t) and
+    * [t−30d, t) counts and a strictly-prior running max — so the
+    * exclusive upper bound IS the point-in-time rule, enforced by the
+    * frame itself rather than by a join predicate. Value-based frames are
+    * tie-insensitive by construction, and (user_id, ts) is collision-free
+    * in the fixtures, so the table is deterministic. At 100 TB this is
+    * the shape that beats the naive per-feature interval join: state is
+    * linear in the per-user window, no row ever pairs with more than its
+    * own trailing window, and adding a feature adds a column, not a pass.
+    */
+  private val mlFeaturePit = Op(
+    "ml_feature_pit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val day = 86400000000L
+      val ev = T.events(s, d)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val w7 = byUser.rangeBetween(-7 * day, -1)
+      val w30 = byUser.rangeBetween(-30 * day, -1)
+      val prior = byUser.rangeBetween(Window.unboundedPreceding, -1)
+      ev
+        .withColumn("clicks_7d",
+          coalesce(sum(when(col("event_type") === "click", 1L)).over(w7), lit(0L)))
+        .withColumn("views_30d",
+          coalesce(sum(when(col("event_type") === "view", 1L)).over(w30), lit(0L)))
+        .withColumn("last_click_us",
+          max(when(col("event_type") === "click", col("ts_us"))).over(prior))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("clicks_7d"), col("views_30d"),
+          // integer div (not `/`, which is double division) — both engines
+          // truncate the positive age identically
+          expr("(ts_us - last_click_us) div 1000000").as("last_click_age_s"))
+        .orderBy(col("user_id"), col("ts_us"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events WHERE event_type IN ('click', 'view', 'purchase'))
+      SELECT user_id, ts_us, clicks_7d, views_30d, last_click_age_s
+      FROM (
+        SELECT user_id, event_type, ts_us,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END) OVER (
+                 PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS clicks_7d,
+               CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+                 PARTITION BY user_id ORDER BY ts_us
+                 RANGE BETWEEN 2592000000000 PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS views_30d,
+               CAST((ts_us - MAX(CASE WHEN event_type = 'click' THEN ts_us END)
+                 OVER (PARTITION BY user_id ORDER BY ts_us
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                 // 1000000 AS BIGINT) AS last_click_age_s
+        FROM ev)
+      WHERE event_type = 'purchase'
+      ORDER BY user_id, ts_us
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
-    mlRocAuc, mlPrAuc)
+    mlRocAuc, mlPrAuc, mlFeaturePit)
 }

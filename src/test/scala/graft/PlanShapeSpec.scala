@@ -411,6 +411,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"regex scrub should not shuffle the corpus: $p")
   }
 
+  test("ml_feature_pit: all three feature windows share ONE user_id shuffle") {
+    val p = plan("ml_feature_pit")
+    // 1 = the user_id hash exchange feeding the shared Window sort; the
+    // final presentation orderBy adds a range exchange. A third exchange
+    // would mean the RANGE frames stopped sharing their partitioning and
+    // each feature pays its own shuffle — the naive per-feature-join shape
+    // this op exists to beat.
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"PIT features must share one user_id shuffle: $p")
+    assert(!p.contains("Join"), s"PIT op is window-only, no join: $p")
+  }
+
   test("sql_q6_forecast_revenue: every predicate pushed, zero join, minimal exchanges") {
     val p = plan("sql_q6_forecast_revenue")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date filter not pushed: $p")
