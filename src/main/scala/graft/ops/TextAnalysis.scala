@@ -799,9 +799,73 @@ object TextAnalysis {
     """)
   )
 
+  /** Zipf-law slope of the vocabulary (r7) — the corpus-authenticity check
+    * qc_benford_check runs for amounts, applied to text: natural-language
+    * token frequencies follow freq ∝ rank^(−s) with s ≈ 1, so the log-log
+    * slope is ≈ −1; machine-generated / template / uniform-vocabulary text
+    * flattens toward 0 (this fixture's 31-word uniform soup measures ≈ 0 —
+    * the check genuinely fires). Kept FULLY integer so it hash-oracles:
+    * ranks from the frequency histogram (deterministic tie-break on
+    * token), both axes bucketed by floor(log2(·)) (exact — the
+    * graph_degree_distribution idiom; log2 of a positive long is
+    * knife-edge only at exact powers of two, where IEEE log2 is exact),
+    * and the OLS slope computed in exact long arithmetic emitted as ppm
+    * floor division: slope_ppm = (n·Σxy − ΣxΣy)·1e6 div (n·Σxx − Σx²).
+    * Everything after the token histogram (map-side combined, cardinality
+    * = |vocab| not corpus) is |vocab|-row algebra — one scan at any scale.
+    */
+  private val txtZipfSlope = Op(
+    "txt_zipf_slope",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val freq = T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      val ranked = freq.withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+      val pts = ranked.select(
+        floor(log2(col("rank"))).cast("long").as("x"),
+        floor(log2(col("cnt"))).cast("long").as("y"),
+        col("cnt"))
+      pts.agg(
+          count(lit(1)).as("n_vocab"),
+          sum(col("cnt")).as("n_tokens"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(
+          col("n_vocab"), col("n_tokens"),
+          expr("(n_vocab * sxy - sx * sy) * 1000000 div (n_vocab * sxx - sx * sx)")
+            .as("zipf_slope_ppm"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE len(token) > 0 GROUP BY token),
+      r AS (SELECT cnt,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS rank
+            FROM f),
+      p AS (SELECT CAST(FLOOR(LOG2(rank)) AS BIGINT) AS x,
+                   CAST(FLOOR(LOG2(cnt)) AS BIGINT) AS y, cnt
+            FROM r),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM p)
+      SELECT n_vocab, n_tokens,
+             (n_vocab * sxy - sx * sy) * 1000000 // (n_vocab * sxx - sx * sx)
+               AS zipf_slope_ppm
+      FROM a
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
-    txtDomainMixBalance, txtChunkOverlap)
+    txtDomainMixBalance, txtChunkOverlap, txtZipfSlope)
 }
