@@ -1771,6 +1771,111 @@ object Similarity {
     """)
   )
 
+  /** Matryoshka truncation quality (r7; Kusupati et al. 2022 — MRL trains
+    * embeddings so any PREFIX of the vector is itself a usable embedding):
+    * before serving a 4× cheaper 16-dim prefix index, measure how much of
+    * each probe's full-64-dim top-10 cosine neighborhood the prefix
+    * preserves. Integer-exact end to end so it hash-oracles (the
+    * emb_srp_recall recipe): milli-quantized integer coordinates, ONE
+    * bounded candidate join computing BOTH dots per pair (the prefix score
+    * costs a second lambda, not a second join), signed-cos²-ppm ranking
+    * (qdot·|qdot| keeps the sign a plain square loses — anti-correlated
+    * neighbors must not rank high), identical IEEE op order in both
+    * engines, (score, b_id) total-order tie-break, two ROW_NUMBER windows
+    * over the same pair set, overlap histogram out. On THIS corpus
+    * (random unit vectors, no MRL training) the prefix preserves little —
+    * the measurement genuinely discriminates; on MRL-trained vectors the
+    * same query reads near 10/10. At 100 TB the probe set is a sample and
+    * the candidate range an ANN candidate list; the single-join two-score
+    * shape is what keeps the audit one pass.
+    */
+  private val embMatryoshkaTrunc = Op(
+    "emb_matryoshka_trunc",
+    (s, d) => {
+      graft.functions.VectorDot.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val q = T.embeddings(s, d)
+        .filter(col("vec_id") < 300)
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS FLOAT))")
+            .as("q"))
+        .withColumn("q16", slice(col("q"), 1, 16))
+        .withColumn("qq", dot(col("q"), col("q")).cast("bigint"))
+        .withColumn("qq16", greatest(dot(col("q16"), col("q16")).cast("bigint"), lit(1L)))
+        .localCheckpoint(true)
+      val a = q.select(col("vec_id").as("a_id"), col("q").as("qa"),
+        col("q16").as("qa16"), col("qq").as("qaa"), col("qq16").as("qaa16"))
+      val b = q.select(col("vec_id").as("b_id"), col("q").as("qb"),
+        col("q16").as("qb16"), col("qq").as("qbb"), col("qq16").as("qbb16"))
+      val pairs = a.join(b, col("a_id") =!= col("b_id"))
+        .withColumn("d64", dot(col("qa"), col("qb")).cast("bigint"))
+        .withColumn("d16", dot(col("qa16"), col("qb16")).cast("bigint"))
+        .withColumn("s64",
+          floor(col("d64").cast("double") * abs(col("d64")).cast("double") * 1000000.0 /
+            (col("qaa") * col("qbb")).cast("double")).cast("long"))
+        .withColumn("s16",
+          floor(col("d16").cast("double") * abs(col("d16")).cast("double") * 1000000.0 /
+            (col("qaa16") * col("qbb16")).cast("double")).cast("long"))
+        .select(col("a_id"), col("b_id"), col("s64"), col("s16"))
+      val w64 = Window.partitionBy(col("a_id")).orderBy(col("s64").desc, col("b_id"))
+      val w16 = Window.partitionBy(col("a_id")).orderBy(col("s16").desc, col("b_id"))
+      val top64 = pairs.withColumn("rn", row_number().over(w64))
+        .filter(col("rn") <= 10).select(col("a_id"), col("b_id"))
+      val top16 = pairs.withColumn("rn", row_number().over(w16))
+        .filter(col("rn") <= 10).select(col("a_id"), col("b_id"))
+      val overlap = top64.join(top16, Seq("a_id", "b_id"), "left_semi")
+        .groupBy(col("a_id")).agg(count(lit(1)).as("n_kept"))
+      q.select(col("vec_id").as("a_id"))
+        .join(overlap, Seq("a_id"), "left")
+        .select(coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .groupBy(col("n_kept")).agg(count(lit(1)).as("n_probes"))
+        .orderBy(col("n_kept"))
+    },
+    Some("""
+      WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
+        FROM embeddings WHERE vec_id < 300),
+      n AS (
+        SELECT vec_id, q, q[1:16] AS q16,
+               CAST(list_sum(list_transform(range(0, 64), i -> q[i+1] * q[i+1])) AS BIGINT) AS qq,
+               GREATEST(CAST(list_sum(list_transform(range(0, 16), i -> q[i+1] * q[i+1])) AS BIGINT), 1) AS qq16
+        FROM q),
+      pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               CAST(list_sum(list_transform(range(0, 64), i -> a.q[i+1] * b.q[i+1])) AS BIGINT) AS d64,
+               CAST(list_sum(list_transform(range(0, 16), i -> a.q16[i+1] * b.q16[i+1])) AS BIGINT) AS d16,
+               a.qq AS qaa, a.qq16 AS qaa16, b.qq AS qbb, b.qq16 AS qbb16
+        FROM n a JOIN n b ON a.vec_id <> b.vec_id),
+      scored AS (
+        SELECT a_id, b_id,
+               CAST(floor(CAST(d64 AS DOUBLE) * CAST(abs(d64) AS DOUBLE) * 1000000.0
+                 / CAST(qaa * qbb AS DOUBLE)) AS BIGINT) AS s64,
+               CAST(floor(CAST(d16 AS DOUBLE) * CAST(abs(d16) AS DOUBLE) * 1000000.0
+                 / CAST(qaa16 * qbb16 AS DOUBLE)) AS BIGINT) AS s16
+        FROM pairs),
+      t64 AS (
+        SELECT a_id, b_id FROM (
+          SELECT a_id, b_id,
+                 ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY s64 DESC, b_id) AS rn
+          FROM scored) WHERE rn <= 10),
+      t16 AS (
+        SELECT a_id, b_id FROM (
+          SELECT a_id, b_id,
+                 ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY s16 DESC, b_id) AS rn
+          FROM scored) WHERE rn <= 10),
+      kept AS (
+        SELECT t64.a_id, COUNT(*) AS n_kept
+        FROM t64 SEMI JOIN t16 ON t64.a_id = t16.a_id AND t64.b_id = t16.b_id
+        GROUP BY t64.a_id)
+      SELECT n_kept, CAST(COUNT(*) AS BIGINT) AS n_probes
+      FROM (SELECT COALESCE(k.n_kept, 0) AS n_kept
+            FROM q LEFT JOIN kept k ON q.vec_id = k.a_id)
+      GROUP BY n_kept ORDER BY n_kept
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
@@ -1778,5 +1883,5 @@ object Similarity {
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
-    dedupBlockedFuzzy, simContainmentPairs)
+    dedupBlockedFuzzy, simContainmentPairs, embMatryoshkaTrunc)
 }
