@@ -658,8 +658,63 @@ object Events {
     """)
   )
 
+  /** Sequence-pattern matching over per-user-day event streams (r7) — the
+    * MATCH_RECOGNIZE capability Spark SQL lacks, composed from primitives
+    * it has: each (user, day) stream collapses to a type-initial string in
+    * strict (ts, event_id) order (sort_array of (key, initial) structs —
+    * collect_list alone has NO order guarantee under merging shuffles, the
+    * classic nondeterminism trap), then ADJACENCY patterns are plain
+    * regexes over that string: 'vcp' = view→click→purchase with nothing
+    * between (evt_funnel_conversion's ordered-funnel can't see
+    * intervening events — this is the strict form), 'ce' = click
+    * immediately followed by error (the rage-click signal). regexp_count
+    * counts non-overlapping matches in both engines. The per-group string
+    * is bounded by the group's own event count, state is one group per
+    * task, and the rollup is one map-side-combined aggregate — scan-speed
+    * at any scale. Sequence stats ride along (n_groups, events/group) so
+    * the pattern rates have denominators.
+    */
+  val evtSequencePattern = Op(
+    "evt_sequence_pattern",
+    (s, d) => {
+      val seq = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("ini"))))
+          .as("evs"))
+        .select(col("user_id"), col("day"),
+          concat_ws("", expr("transform(evs, e -> e.ini)")).as("seq"))
+      seq.agg(
+          count(lit(1)).as("n_groups"),
+          sum(length(col("seq"))).as("n_events"),
+          sum(expr("regexp_count(seq, 'vcp')")).as("n_vcp"),
+          sum(when(expr("regexp_count(seq, 'vcp')") > 0, 1L).otherwise(0L))
+            .as("groups_with_vcp"),
+          sum(expr("regexp_count(seq, 'ce')")).as("n_rage"),
+          sum(expr("regexp_count(seq, 'v{3,}')")).as("n_browse_runs"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               string_agg(substr(event_type, 1, 1), ''
+                 ORDER BY epoch_us(ts), event_id) AS seq
+        FROM events GROUP BY 1, 2)
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(len(seq)) AS BIGINT) AS n_events,
+             CAST(SUM(len(regexp_extract_all(seq, 'vcp'))) AS BIGINT) AS n_vcp,
+             CAST(SUM(CASE WHEN len(regexp_extract_all(seq, 'vcp')) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS groups_with_vcp,
+             CAST(SUM(len(regexp_extract_all(seq, 'ce'))) AS BIGINT) AS n_rage,
+             CAST(SUM(len(regexp_extract_all(seq, 'v{3,}'))) AS BIGINT) AS n_browse_runs
+      FROM seq
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
-    evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv)
+    evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
+    evtSequencePattern)
 }
