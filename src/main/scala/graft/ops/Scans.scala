@@ -773,11 +773,87 @@ object Scans {
     None
   )
 
+  /** Miniature lakehouse transaction log (r7) — the Delta/Iceberg core
+    * protocol from first principles: a table is not a directory listing,
+    * it is a LOG of add/remove-file actions, and a snapshot is the live
+    * file set after replaying the log to a version. Three commits play an
+    * ingest-then-compact history over orders quartile slices: v0 adds
+    * f0+f1, v1 compacts (adds f2, REMOVES f0), v2 adds f3. The reader
+    * never lists the directory — it replays the log (driver-side, exactly
+    * like Delta's log replay: the log is metadata, kilobytes), resolves
+    * the live set per version, and scans ONLY those files. Emits per
+    * snapshot version (time travel) the row count and DECIMAL(18,4)
+    * revenue — v1 must show f0's rows REPLACED by f2's (same keys, so
+    * totals stay equal to v0: compaction is data-preserving), v2 adds the
+    * last quartile. The oracle reconstructs each snapshot from the source
+    * table by the slices' defining predicates — proving snapshot isolation
+    * semantics, not just file bookkeeping. At 100 TB this is why O(1)-ish
+    * metadata reads replace O(files) listings, why time travel is free,
+    * and why concurrent readers never see a half-commit.
+    */
+  val sinkCommitLogSnapshot = Op(
+    "sink_commit_log_snapshot",
+    (s, d) => {
+      import s.implicits._
+      val root = T.scratch("commitlog")
+      val orders = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      def slice(m: Int) = orders.filter(pmod(col("o_orderkey"), lit(4)) === m)
+      // data files: f0..f3 = orderkey mod-4 quartiles (f2 re-writes f0's
+      // keys — the compaction rewrite)
+      slice(0).write.mode("overwrite").parquet(s"$root/f0")
+      slice(1).write.mode("overwrite").parquet(s"$root/f1")
+      slice(0).write.mode("overwrite").parquet(s"$root/f2")
+      slice(2).write.mode("overwrite").parquet(s"$root/f3")
+      // the log: one JSON line per action (version, action, file)
+      val log = Seq(
+        (0L, "add", "f0"), (0L, "add", "f1"),
+        (1L, "add", "f2"), (1L, "remove", "f0"),
+        (2L, "add", "f3"))
+      val logDf = log.toDF("version", "action", "file")
+      logDf.coalesce(1).write.mode("overwrite").json(s"$root/_log")
+      // log replay — metadata only, driver-side like every table format
+      val actions = s.read.json(s"$root/_log")
+        .select(col("version").cast("long"), col("action"), col("file"))
+        .collect()
+      def live(v: Long): Seq[String] = {
+        val upTo = actions.filter(_.getLong(0) <= v)
+        val removed = upTo.filter(_.getString(1) == "remove").map(_.getString(2)).toSet
+        upTo.filter(_.getString(1) == "add").map(_.getString(2))
+          .filterNot(removed).toSeq.sorted
+      }
+      val snapshots = Seq(0L, 1L, 2L).map { v =>
+        val files = live(v).map(f => s"$root/$f")
+        s.read.parquet(files: _*)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(Det.dec(col("o_totalprice"))).cast("double").as("revenue"))
+          .withColumn("version", lit(v))
+          .select(col("version"), col("n_rows"), col("revenue"))
+      }
+      snapshots.reduce(_ unionByName _).orderBy(col("version"))
+    },
+    Some("""
+      WITH src AS (SELECT o_orderkey, o_totalprice FROM orders)
+      SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM src WHERE o_orderkey % 4 IN (0, 1)
+      UNION ALL
+      SELECT CAST(1 AS BIGINT), COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      FROM src WHERE o_orderkey % 4 IN (0, 1)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      FROM src WHERE o_orderkey % 4 IN (0, 1, 2)
+      ORDER BY version
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
     serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite,
     sinkCodecTradeoff, sinkSortedSkipping, sinkZorderSkipping,
-    sinkBloomSkipping)
+    sinkBloomSkipping, sinkCommitLogSnapshot)
 }
