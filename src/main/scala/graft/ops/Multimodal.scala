@@ -401,7 +401,87 @@ object Multimodal {
     None
   )
 
+  /** Audio-frame energy extraction (r7) — the audio leg of the modality
+    * tier (images have decode/phash, video has frame-sample; this is the
+    * VAD/silence-trim primitive every speech-data pipeline runs first).
+    * Payload: 1024 synthesized int8 "PCM" samples per doc — written and
+    * re-read as a genuine BinaryType column, so the Spark side exercises
+    * the real plumbing: binary → per-partition imperative frame loop
+    * (mapPartitions, one "codec" per partition) → 128-sample frames →
+    * integer sum-of-squares energy per frame. No floats anywhere: energy
+    * is an exact long, "loud" is an integer threshold, so the per-doc
+    * rollup (n_frames, loud frames, peak/total energy) hash-oracles —
+    * DuckDB regenerates the same samples from the same formula and
+    * windows them with list algebra, never touching binary. The frame
+    * loop is partition-local and allocation-free per row; at 100 TB audio
+    * this is the scan-speed shape: bytes stream once, per-frame state is
+    * one accumulator, only (doc_id, features) leave the executor.
+    */
+  val mmAudioEnergy = Op(
+    "mm_audio_energy",
+    (s, d) => {
+      import s.implicits._
+      // synthesize the "recording": s[i] = ((doc_id*31 + 7*i*i) mod 256) - 128
+      val pcm = T.documents(s, d)
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"))
+        .as[Long]
+        .map { id =>
+          val bytes = new Array[Byte](1024)
+          var i = 0
+          while (i < 1024) {
+            bytes(i) = ((((id * 31 + 7L * i * i) % 256) + 256) % 256 - 128).toByte
+            i += 1
+          }
+          MmRow(id, bytes)
+        }
+      pcm.mapPartitions { it =>
+        // one frame "codec" per partition; rows stream through it
+        it.map { r =>
+          var f = 0
+          var nLoud = 0L
+          var peak = 0L
+          var total = 0L
+          while (f < 8) {
+            var e = 0L
+            var i = f * 128
+            val end = i + 128
+            while (i < end) {
+              val v = r.payload(i).toLong
+              e += v * v
+              i += 1
+            }
+            if (e > 700000L) nLoud += 1
+            if (e > peak) peak = e
+            total += e
+            f += 1
+          }
+          (r.doc_id, 8L, nLoud, peak, total)
+        }
+      }.toDF("doc_id", "n_frames", "n_loud", "peak_energy", "total_energy")
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH pcm AS (
+        SELECT doc_id,
+               list_transform(range(0, 1024),
+                 i -> ((doc_id * 31 + 7 * i * i) % 256 + 256) % 256 - 128) AS s
+        FROM documents WHERE doc_id < 500),
+      frames AS (
+        SELECT doc_id, f,
+               CAST(list_sum(list_transform(range(f * 128, (f + 1) * 128),
+                 i -> s[i + 1] * s[i + 1])) AS BIGINT) AS e
+        FROM pcm CROSS JOIN (SELECT unnest(range(0, 8)) AS f))
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_frames,
+             CAST(SUM(CASE WHEN e > 700000 THEN 1 ELSE 0 END) AS BIGINT) AS n_loud,
+             CAST(MAX(e) AS BIGINT) AS peak_energy,
+             CAST(SUM(e) AS BIGINT) AS total_energy
+      FROM frames GROUP BY doc_id ORDER BY doc_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mmDecodeFeatures, mmResizeMeta, mmFrameSample, mmContentDedup,
-    scanBinaryFiles, mmDecodeReal, mmPhashDedup)
+    scanBinaryFiles, mmDecodeReal, mmPhashDedup, mmAudioEnergy)
 }
