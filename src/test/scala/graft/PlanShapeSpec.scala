@@ -423,6 +423,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"PIT op is window-only, no join: $p")
   }
 
+  test("ml_pr_auc: the cumsum windows consume the score histogram, never raw docs") {
+    val p = plan("ml_pr_auc")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"window must sit above the histogram aggregate: $p")
+  }
+
+  test("txt_zipf_slope: the rank window consumes the vocab histogram, never the corpus") {
+    val p = plan("txt_zipf_slope")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"rank window must sit above the token histogram: $p")
+  }
+
+  test("emb_matryoshka_trunc scores both dims from the checkpointed quantized relation") {
+    // the quantized probe set is localCheckpointed once; the pair join and
+    // both rank windows must read blocks, never re-scan the parquet corpus
+    val p = plan("emb_matryoshka_trunc")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 0, s"pair scoring re-scans the corpus ($scans scans):\n$p")
+  }
+
+  test("evt_sequence_pattern: ordered collapse + rollup is two exchanges, no join") {
+    val p = plan("evt_sequence_pattern")
+    assert(!p.contains("Join"), s"sequence mining is join-free: $p")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 2, s"(user,day) agg + global rollup = 2 exchanges, got $exchanges: $p")
+  }
+
+  test("mm_audio_energy: the frame loop is partition-local — one presentation exchange only") {
+    val p = plan("mm_audio_energy")
+    val exchanges = p.linesIterator.count(l => l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 1, s"frame energies must not shuffle payloads: $p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"typed frame loop missing from plan: $p")
+  }
+
   test("sql_q6_forecast_revenue: every predicate pushed, zero join, minimal exchanges") {
     val p = plan("sql_q6_forecast_revenue")
     assert(p.contains("GreaterThanOrEqual(l_shipdate"), s"date filter not pushed: $p")
