@@ -37,7 +37,13 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_containment_pairs",     // df-capped shingle join + integer ppm
     "qc_benford_check",          // windowed total + integer ppm
     "agg_weighted_median",       // histogram cumsum over exact longs
-    "graph_label_propagation")   // iterative mode with explicit tie-break
+    "graph_label_propagation",   // iterative mode with explicit tie-break
+    "ml_feature_pit",            // RANGE-frame windows over the µs timeline
+    "emb_matryoshka_trunc",      // two-score join + rank-window tie-breaks
+    "evt_sequence_pattern",      // sort_array-ordered collapse (the
+                                 //   collect_list-order trap this op dodges)
+    "win_median_sliding",        // qty-tiebroken frames over dup keys
+    "txt_zipf_slope")            // rank tie-break + integer OLS
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
