@@ -863,9 +863,81 @@ object TextAnalysis {
     """)
   )
 
+  /** Bigram-LM surprisal scoring (the CCNet/Wenzek et al. 2020 perplexity
+    * filter, one order up from `txt_unigram_logprob`): train an add-one
+    * smoothed bigram model ON the corpus itself, score every document by
+    * its average conditional surprisal -log P(w_i | w_{i-1}), and emit the
+    * 20 most surprising documents — the ones a perplexity gate would drop
+    * first. Unigram scoring ranks documents by WHICH words they use;
+    * bigram scoring ranks by whether adjacent words co-occur the way the
+    * corpus says they should, which is what actually separates template/
+    * shuffled text from natural text. Plan: one shuffle on doc_id for the
+    * lag window (adjacency needs order), two map-side-combined count
+    * tables — c(prev,cur) and c(prev) — joined back on their own keys, the
+    * standard distributed LM-count topology (at 100 TB the pair table is
+    * the big one and its join key IS the pair, so it shuffles once and
+    * never broadcasts; here AQE is free to broadcast the tiny fixture
+    * counts). Same decimal(18,12)-sum + round-6 float discipline as the
+    * unigram op (ln through DECIMAL makes the per-doc sum shuffle-order
+    * free); top-20 via orderBy+limit = TakeOrderedAndProject, never a
+    * global sort.
+    */
+  val txtBigramLogprob = Op(
+    "txt_bigram_logprob",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = T.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val pairs = toks
+        .withColumn("prev", lag(col("token"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("prev"), col("token").as("cur"))
+      val big = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+      val ctx = pairs.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+      val vsize = toks.agg(countDistinct(col("token")).as("v_size"))
+      pairs
+        .join(big, Seq("prev", "cur"))
+        .join(ctx, Seq("prev"))
+        .crossJoin(broadcast(vsize))
+        .withColumn("surprise",
+          (-log((col("c2") + 1.0) / (col("c1") + col("v_size"))))
+            .cast("decimal(18,12)"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_bigrams"),
+          round(sum(col("surprise")).cast("double") / count(lit(1)), 6).as("avg_nll"))
+        .orderBy(col("avg_nll").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      pairs AS (
+        SELECT doc_id, prev, token AS cur FROM (
+          SELECT doc_id, token,
+                 LAG(token) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+          FROM toks)
+        WHERE prev IS NOT NULL),
+      big AS (SELECT prev, cur, COUNT(*) AS c2 FROM pairs GROUP BY prev, cur),
+      ctx AS (SELECT prev, COUNT(*) AS c1 FROM pairs GROUP BY prev),
+      vs AS (SELECT COUNT(DISTINCT token) AS v_size FROM toks)
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(-LN((c2 + 1.0) / (c1 + v_size)) AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_nll
+      FROM pairs JOIN big USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN vs
+      GROUP BY doc_id
+      ORDER BY avg_nll DESC, doc_id LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
-    txtDomainMixBalance, txtChunkOverlap, txtZipfSlope)
+    txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob)
 }

@@ -43,7 +43,9 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_sequence_pattern",      // sort_array-ordered collapse (the
                                  //   collect_list-order trap this op dodges)
     "win_median_sliding",        // qty-tiebroken frames over dup keys
-    "txt_zipf_slope")            // rank tie-break + integer OLS
+    "txt_zipf_slope",            // rank tie-break + integer OLS
+    "txt_bigram_logprob",        // decimal-summed ln + top-20 tie-break
+    "graph_k_core")              // iterative semi-join peeling
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
