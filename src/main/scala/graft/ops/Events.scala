@@ -712,9 +712,91 @@ object Events {
     """)
   )
 
+  /** Weekly growth accounting (the new/retained/resurrected/churned user
+    * ledger of every growth team, e.g. the "growth accounting" formulation
+    * popularized by Social Capital) — evt_retention_cohorts answers "how
+    * does each cohort decay", this answers the complementary "where did
+    * this week's active users COME from, and who left": per week,
+    * new = first-ever activity, retained = also active the immediately
+    * preceding week, resurrected = returning after a gap ≥ 2 weeks,
+    * churned = active in week w but not w+1, booked in week w+1 (only once
+    * observable, i.e. w+1 ≤ the corpus's last week). Identity the ledger
+    * must satisfy: active(w) = new + retained + resurrected and
+    * active(w) − retained(w+1) = churned(w+1). Plan: the event log
+    * collapses to the distinct (user, week) activity matrix FIRST (the
+    * retention-cohort discipline — shuffle the tiny matrix, not the log),
+    * then one user_id window supplies lag/lead, conditional aggregation
+    * books the states, and the churn side joins back full-outer on week.
+    * The max-week bound is a 1-row broadcast scalar, never a driver value.
+    */
+  val evtLifecycleStates = Op(
+    "evt_lifecycle_states",
+    (s, d) => {
+      val act = T.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("wk"))
+      val st = act
+        .withColumn("prev", lag(col("wk"), 1).over(w))
+        .withColumn("nxt", lead(col("wk"), 1).over(w))
+      val states = st.groupBy(col("wk")).agg(
+        sum(when(col("prev").isNull, 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("prev") === col("wk") - expr("INTERVAL 7 DAYS"), 1L)
+          .otherwise(0L)).as("n_retained"),
+        sum(when(col("prev").isNotNull &&
+            col("prev") < col("wk") - expr("INTERVAL 7 DAYS"), 1L)
+          .otherwise(0L)).as("n_resurrected"),
+        count(lit(1)).as("n_active"))
+      val maxwk = act.agg(max(col("wk")).as("maxwk"))
+      val churn = st
+        .filter(col("nxt").isNull || col("nxt") > col("wk") + expr("INTERVAL 7 DAYS"))
+        .select((col("wk") + expr("INTERVAL 7 DAYS")).as("wk"))
+        .crossJoin(broadcast(maxwk))
+        .filter(col("wk") <= col("maxwk"))
+        .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+      states.join(churn, Seq("wk"), "full_outer")
+        .select(col("wk"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+          coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"),
+          coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+        .orderBy(col("wk"))
+    },
+    Some("""
+      WITH act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+      st AS (SELECT user_id, wk,
+                    LAG(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev,
+                    LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk) AS nxt
+             FROM act),
+      states AS (
+        SELECT wk,
+               SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS n_new,
+               SUM(CASE WHEN prev = wk - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS n_retained,
+               SUM(CASE WHEN prev IS NOT NULL AND prev < wk - INTERVAL 7 DAY
+                        THEN 1 ELSE 0 END) AS n_resurrected,
+               COUNT(*) AS n_active
+        FROM st GROUP BY wk),
+      churn AS (
+        SELECT wk + INTERVAL 7 DAY AS wk, COUNT(*) AS n_churned
+        FROM st CROSS JOIN (SELECT MAX(wk) AS maxwk FROM act)
+        WHERE (nxt IS NULL OR nxt > wk + INTERVAL 7 DAY)
+          AND wk + INTERVAL 7 DAY <= maxwk
+        GROUP BY 1)
+      SELECT COALESCE(s.wk, c.wk) AS wk,
+             CAST(COALESCE(s.n_new, 0) AS BIGINT) AS n_new,
+             CAST(COALESCE(s.n_retained, 0) AS BIGINT) AS n_retained,
+             CAST(COALESCE(s.n_resurrected, 0) AS BIGINT) AS n_resurrected,
+             CAST(COALESCE(s.n_active, 0) AS BIGINT) AS n_active,
+             CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned
+      FROM states s FULL OUTER JOIN churn c ON s.wk = c.wk
+      ORDER BY wk
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
-    evtSequencePattern)
+    evtSequencePattern, evtLifecycleStates)
 }

@@ -47,6 +47,19 @@ class PropertySpec extends AnyFunSuite {
     assert(rounds.forall { case (v, e) => v <= e }, rounds.mkString(","))
   }
 
+  test("growth accounting satisfies its ledger identities") {
+    val rows = Registry.queries("evt_lifecycle_states")(spark, sf)
+      .orderBy(col("wk")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // active(w) = new + retained + resurrected
+    assert(rows.forall { case (nw, re, rs, ac, _) => ac == nw + re + rs })
+    // active(w) - retained(w+1) = churned(w+1), for every observable week
+    assert(rows.sliding(2).forall {
+      case Array((_, _, _, ac1, _), (_, re2, _, _, ch2)) => ac1 - re2 == ch2
+      case _ => true
+    }, rows.mkString(","))
+  }
+
   test("topk aggregator equals sort-limit per group") {
     val agg = Registry.queries("udaf_imperative_topk")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
