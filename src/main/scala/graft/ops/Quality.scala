@@ -584,8 +584,69 @@ object Quality {
     """)
   )
 
+  /** Two-sided CUSUM drift detector over daily event volume (Page 1954) —
+    * the SUSTAINED-shift complement to the repo's point detectors:
+    * qc_anomaly_mad and evt_hourly_anomaly fire on single outlier
+    * days/hours, but a 10% volume drift spread over a week never trips a
+    * per-point threshold — cumulative sums accumulate exactly that. The
+    * textbook recursion S_t = max(0, S_{t-1} + x_t − target − slack) is
+    * not window-expressible, but its closed form is:
+    * S_t = P_t − min(0, min_{j≤t} P_j) with P the plain prefix sum — so
+    * both engines compute it with two stacked windows and zero recursion.
+    * All integer: target = total div n_days, slack = target div 20 (5%),
+    * alarm at 4× slack. The windows are unpartitioned BY DESIGN over the
+    * ~30-row daily histogram (agg-before-window, the ml_roc_auc
+    * discipline — PlanShapeSpec pins it): the event log itself is never
+    * sorted, only the day table.
+    */
+  val qcCusumDrift = Op(
+    "qc_cusum_drift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = T.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val tgt = daily.agg(
+        expr("sum(n_events) div count(1)").as("target"))
+        .withColumn("slack", greatest(lit(1L), expr("target div 20")))
+      val wp = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+      daily.crossJoin(broadcast(tgt))
+        .withColumn("p_hi", sum(col("n_events") - col("target") - col("slack")).over(wp))
+        .withColumn("p_lo", sum(col("target") - col("n_events") - col("slack")).over(wp))
+        .withColumn("cusum_hi", col("p_hi") - least(lit(0L), min(col("p_hi")).over(wp)))
+        .withColumn("cusum_lo", col("p_lo") - least(lit(0L), min(col("p_lo")).over(wp)))
+        .select(col("day"), col("n_events"), col("cusum_hi"), col("cusum_lo"),
+          (col("cusum_hi") > col("slack") * 4 || col("cusum_lo") > col("slack") * 4)
+            .as("drift_flag"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH daily AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+                     FROM events GROUP BY 1),
+      tgt AS (SELECT SUM(n_events) // COUNT(*) AS target,
+                     GREATEST(1, (SUM(n_events) // COUNT(*)) // 20) AS slack
+              FROM daily),
+      pre AS (
+        SELECT day, n_events, target, slack,
+               SUM(n_events - target - slack) OVER
+                 (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p_hi,
+               SUM(target - n_events - slack) OVER
+                 (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p_lo
+        FROM daily CROSS JOIN tgt),
+      cus AS (
+        SELECT day, n_events, slack,
+               p_hi - LEAST(0, MIN(p_hi) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum_hi,
+               p_lo - LEAST(0, MIN(p_lo) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum_lo
+        FROM pre)
+      SELECT day, n_events, CAST(cusum_hi AS BIGINT) AS cusum_hi,
+             CAST(cusum_lo AS BIGINT) AS cusum_lo,
+             (cusum_hi > slack * 4 OR cusum_lo > slack * 4) AS drift_flag
+      FROM cus ORDER BY day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
     qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad, qcSnapshotDiff,
-    qcEmbeddingDrift, qcBenfordCheck)
+    qcEmbeddingDrift, qcBenfordCheck, qcCusumDrift)
 }

@@ -169,6 +169,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank-sum window must consume the score histogram, not raw docs: $p")
   }
 
+  test("qc_cusum_drift never sorts the event log — only the daily histogram") {
+    val p = plan("qc_cusum_drift")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"cusum windows must consume the ~30-row daily aggregate, not raw events: $p")
+  }
+
   test("sim_containment_pairs: shingle equi-join only, no all-pairs fallback") {
     val p = plan("sim_containment_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -47,6 +47,22 @@ class PropertySpec extends AnyFunSuite {
     assert(rounds.forall { case (v, e) => v <= e }, rounds.mkString(","))
   }
 
+  test("cusum closed form equals the textbook max(0,...) recursion") {
+    val rows = Registry.queries("qc_cusum_drift")(spark, sf)
+      .orderBy(col("day")).collect()
+    val daily = rows.map(_.getLong(1))
+    val n = daily.length
+    val target = daily.sum / n
+    val slack = math.max(1L, target / 20)
+    var sHi = 0L; var sLo = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      sHi = math.max(0L, sHi + daily(i) - target - slack)
+      sLo = math.max(0L, sLo + target - daily(i) - slack)
+      assert(r.getLong(2) == sHi && r.getLong(3) == sLo,
+        s"day $i: op (${r.getLong(2)},${r.getLong(3)}) vs recursion ($sHi,$sLo)")
+    }
+  }
+
   test("growth accounting satisfies its ledger identities") {
     val rows = Registry.queries("evt_lifecycle_states")(spark, sf)
       .orderBy(col("wk")).collect()
