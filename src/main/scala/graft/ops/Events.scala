@@ -794,9 +794,71 @@ object Events {
     """)
   )
 
+  /** Bot/automation detection via inter-event gap statistics — the
+    * timing-regularity screen every clickstream pipeline runs before
+    * training on engagement data (humans arrive in bursts separated by
+    * hours; scripts tick at machine cadence, so the fraction of SHORT
+    * gaps separates them better than any volume threshold). Per user:
+    * consecutive-event gaps on the integer µs timeline (lag over
+    * (ts, event_id) — the unique id makes equal-timestamp order
+    * deterministic), then one map-side-combined rollup: gap count,
+    * min/avg gap (floor div), and rapid_ppm = fraction of gaps under an
+    * hour in integer ppm; is_bot flags sustained fast cadence
+    * (≥ 20% rapid over ≥ 10 gaps). NULLIF guards the single-event user
+    * (DuckDB's integer `// 0` is an error, not NULL). One shuffle on
+    * user_id shared by window and rollup; emits the top-20 most
+    * machine-like users. All integer → hash-exact.
+    */
+  val evtBotGapStats = Op(
+    "evt_bot_gap_stats",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("gap").isNotNull, 1L).otherwise(0L)).as("n_gaps"),
+          min(col("gap")).as("min_gap_us"),
+          expr("sum(gap) div nullif(sum(case when gap is not null then 1 else 0 end), 0)")
+            .as("avg_gap_us"),
+          expr("(1000000 * sum(case when gap < 3600000000 then 1 else 0 end)) " +
+            "div nullif(sum(case when gap is not null then 1 else 0 end), 0)")
+            .as("rapid_ppm"))
+        .filter(col("n_gaps") > 0)
+        .withColumn("is_bot", col("rapid_ppm") >= 200000 && col("n_gaps") >= 10)
+        .orderBy(col("rapid_ppm").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        FROM events),
+      a AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS n_gaps,
+               MIN(gap) AS min_gap_us,
+               SUM(gap) // NULLIF(SUM(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END), 0) AS avg_gap_us,
+               (1000000 * SUM(CASE WHEN gap < 3600000000 THEN 1 ELSE 0 END))
+                 // NULLIF(SUM(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END), 0) AS rapid_ppm
+        FROM g GROUP BY user_id)
+      SELECT user_id, n_events, CAST(n_gaps AS BIGINT) AS n_gaps,
+             CAST(min_gap_us AS BIGINT) AS min_gap_us,
+             CAST(avg_gap_us AS BIGINT) AS avg_gap_us,
+             CAST(rapid_ppm AS BIGINT) AS rapid_ppm,
+             (rapid_ppm >= 200000 AND n_gaps >= 10) AS is_bot
+      FROM a WHERE n_gaps > 0
+      ORDER BY rapid_ppm DESC, user_id LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
-    evtSequencePattern, evtLifecycleStates)
+    evtSequencePattern, evtLifecycleStates, evtBotGapStats)
 }
