@@ -673,9 +673,78 @@ object MLPipeline {
     """)
   )
 
+  /** Population Stability Index between the score distribution a model was
+    * calibrated on and the one it now serves (the standard model-monitoring
+    * drift metric: PSI = Σ (p−q)·ln(p/q); < 0.1 stable, > 0.25 retrain) —
+    * completes the monitoring tier: qc_distribution_drift compares
+    * categorical mixes, qc_embedding_drift vector spaces, this compares a
+    * CONTINUOUS score across time. Reference = first 15 days of event
+    * values, current = last 15. Bin edges are integer-exact: values floor
+    * to µ-units, bin = (v_u·10) div (max_u+1) clamped to 10 bins (the max
+    * is a 1-row broadcast scalar — no float division, so binning is
+    * bit-identical across engines); add-one smoothing keeps one-sided-empty
+    * bins finite. Each bin's (p−q)·ln(p/q) goes through DECIMAL(18,12)
+    * before the total (the unigram-logprob ln discipline), so the 10-row
+    * sum is order-free; the total rides a window over the BIN table, never
+    * the event log (agg-before-window). One scan, one shuffle on bin.
+    */
+  val mlPsiStability = Op(
+    "ml_psi_stability",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = T.events(s, d).select(col("ts"), col("value"))
+        .withColumn("half",
+          when(col("ts") < to_timestamp(lit("2024-01-16")), "ref").otherwise("cur"))
+      val maxu = ev.agg(max(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("max_u"))
+      val bins = ev.crossJoin(broadcast(maxu))
+        .withColumn("bin",
+          least(lit(9L), expr(
+            "(CAST(floor(value * 1000000) AS BIGINT) * 10) div (max_u + 1)")))
+        .groupBy(col("bin"))
+        .agg(
+          sum(when(col("half") === "ref", 1L).otherwise(0L)).as("n_ref"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("n_cur"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      bins
+        .withColumn("p", (col("n_ref") + 1.0) / (sum(col("n_ref")).over(wAll) + 10.0))
+        .withColumn("q", (col("n_cur") + 1.0) / (sum(col("n_cur")).over(wAll) + 10.0))
+        .withColumn("contrib",
+          ((col("p") - col("q")) * log(col("p") / col("q"))).cast("decimal(18,12)"))
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(col("contrib").cast("double"), 6).as("psi_contrib"),
+          round(sum(col("contrib")).over(wAll).cast("double"), 6).as("psi_total"))
+        .orderBy(col("bin"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT value,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS half
+        FROM events),
+      mx AS (SELECT MAX(CAST(FLOOR(value * 1000000) AS BIGINT)) AS max_u FROM ev),
+      bins AS (
+        SELECT LEAST(9, (CAST(FLOOR(value * 1000000) AS BIGINT) * 10) // (max_u + 1)) AS bin,
+               SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+               SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_cur
+        FROM ev CROSS JOIN mx GROUP BY 1),
+      scored AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(((n_ref + 1.0) / (SUM(n_ref) OVER () + 10.0)
+                     - (n_cur + 1.0) / (SUM(n_cur) OVER () + 10.0))
+                    * LN(((n_ref + 1.0) / (SUM(n_ref) OVER () + 10.0))
+                         / ((n_cur + 1.0) / (SUM(n_cur) OVER () + 10.0)))
+                    AS DECIMAL(18,12)) AS contrib
+        FROM bins)
+      SELECT CAST(bin AS BIGINT) AS bin, CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
+             ROUND(CAST(contrib AS DOUBLE), 6) AS psi_contrib,
+             ROUND(CAST(SUM(contrib) OVER () AS DOUBLE), 6) AS psi_total
+      FROM scored ORDER BY bin
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
-    mlRocAuc, mlPrAuc, mlFeaturePit)
+    mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability)
 }

@@ -45,7 +45,8 @@ class DeterminismSpec extends AnyFunSuite {
     "win_median_sliding",        // qty-tiebroken frames over dup keys
     "txt_zipf_slope",            // rank tie-break + integer OLS
     "txt_bigram_logprob",        // decimal-summed ln + top-20 tie-break
-    "graph_k_core")              // iterative semi-join peeling
+    "graph_k_core",              // iterative semi-join peeling
+    "ml_psi_stability")          // integer binning + decimal-summed ln
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

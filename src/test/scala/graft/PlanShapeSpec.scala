@@ -177,6 +177,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cusum windows must consume the ~30-row daily aggregate, not raw events: $p")
   }
 
+  test("ml_psi_stability windows ride the 10-bin table, never the event log") {
+    val p = plan("ml_psi_stability")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"PSI totals must consume the bin histogram, not raw events: $p")
+  }
+
   test("sim_containment_pairs: shingle equi-join only, no all-pairs fallback") {
     val p = plan("sim_containment_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
