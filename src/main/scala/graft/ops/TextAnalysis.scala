@@ -935,9 +935,93 @@ object TextAnalysis {
     """)
   )
 
+  /** Heaps'-law vocabulary growth curve (Heaps 1978) — `txt_zipf_slope`'s
+    * companion authenticity check on the OTHER text axis: Zipf tests the
+    * frequency distribution at a point in time, Heaps tests how vocabulary
+    * GROWS as the corpus accumulates (natural text: V(n) ≈ K·n^β with
+    * β ≈ 0.5-0.8; a fixed-vocabulary generator flattens to β ≈ 0 once the
+    * vocab is exhausted — which this fixture's 31-word soup does almost
+    * immediately, exactly what the check should report). The running
+    * distinct count is made distributed-cheap by bucketing: each token's
+    * FIRST document (one min-agg) assigns it to a log2 doc-prefix bucket,
+    * so cum_vocab at checkpoint 2^b is a prefix sum over ≤ log2(N) bucket
+    * rows, never a running distinct over the corpus; cum_tokens likewise.
+    * Windows ride the bucket table (agg-before-window); the β estimate is
+    * the same exact-long OLS-in-ppm kernel as zipf over the floor-log2
+    * growth points.
+    */
+  val txtHeapsLaw = Op(
+    "txt_heaps_law",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val tokB = toks
+        .groupBy((length(bin(col("doc_id") + 1)) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("toks"))
+      val vocB = toks.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+        .groupBy((length(bin(col("first_doc") + 1)) - 1).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("newv"))
+      val w = Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+      val curve = tokB.join(vocB, Seq("bucket"), "full_outer")
+        .select(col("bucket"),
+          coalesce(col("toks"), lit(0L)).as("toks"),
+          coalesce(col("newv"), lit(0L)).as("newv"))
+        .withColumn("cum_tokens", sum(col("toks")).over(w))
+        .withColumn("cum_vocab", sum(col("newv")).over(w))
+      val slope = curve
+        .select(floor(log2(col("cum_tokens"))).cast("long").as("x"),
+          floor(log2(col("cum_vocab"))).cast("long").as("y"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(expr(
+          "(nb * sxy - sx * sy) * 1000000 div (nb * sxx - sx * sx)")
+          .as("heaps_slope_ppm"))
+      curve.select(col("bucket"), col("cum_tokens"), col("cum_vocab"))
+        .crossJoin(broadcast(slope))
+        .orderBy(col("bucket"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      t2 AS (SELECT doc_id, token FROM toks WHERE len(token) > 0),
+      tokb AS (SELECT CAST(length(bin(doc_id + 1)) - 1 AS BIGINT) AS bucket,
+                      COUNT(*) AS toks
+               FROM t2 GROUP BY 1),
+      vocb AS (SELECT CAST(length(bin(first_doc + 1)) - 1 AS BIGINT) AS bucket,
+                      COUNT(*) AS newv
+               FROM (SELECT token, MIN(doc_id) AS first_doc FROM t2 GROUP BY token)
+               GROUP BY 1),
+      curve AS (
+        SELECT COALESCE(t.bucket, v.bucket) AS bucket,
+               SUM(COALESCE(t.toks, 0)) OVER
+                 (ORDER BY COALESCE(t.bucket, v.bucket) ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+               SUM(COALESCE(v.newv, 0)) OVER
+                 (ORDER BY COALESCE(t.bucket, v.bucket) ROWS UNBOUNDED PRECEDING) AS cum_vocab
+        FROM tokb t FULL JOIN vocb v ON t.bucket = v.bucket),
+      pts AS (SELECT CAST(FLOOR(LOG2(cum_tokens)) AS BIGINT) AS x,
+                     CAST(FLOOR(LOG2(cum_vocab)) AS BIGINT) AS y
+              FROM curve),
+      a AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pts)
+      SELECT bucket, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+             CAST(cum_vocab AS BIGINT) AS cum_vocab,
+             (nb * sxy - sx * sy) * 1000000 // (nb * sxx - sx * sx) AS heaps_slope_ppm
+      FROM curve CROSS JOIN a
+      ORDER BY bucket
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
-    txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob)
+    txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,
+    txtHeapsLaw)
 }
