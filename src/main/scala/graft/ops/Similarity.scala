@@ -1876,6 +1876,146 @@ object Similarity {
     """)
   )
 
+  /** LSH tuning curve — the (bands × rows) design sweep every MinHash
+    * deployment runs BEFORE committing a banding scheme (Leskovec/Rajaraman
+    * /Ullman ch.3: collision probability 1−(1−J^r)^b trades recall against
+    * candidate volume): one pass evaluates four bandings of the same
+    * 12-hash MinHash signature — (12×1, 6×2, 4×3, 2×6) — against exact
+    * shingle-Jaccard ≥ 0.1 ground truth on the bounded anchor corpus
+    * (doc_id < 300, the house oracle-anchor pattern), emitting candidate
+    * count, hit count, recall and precision in integer ppm per
+    * configuration. Everything is deterministic and engine-portable:
+    * MinHash values are the md5→48-bit fold (the qc_dataset_fingerprint
+    * idiom) of shingle + hash index, band keys are '-'-joined signature
+    * slices in hash order (array_sort(struct) here, string_agg ORDER BY
+    * there), and all four configs ride ONE signature table — the sweep
+    * costs one extra explode, not four passes over the corpus. The shingle
+    * relation is checkpointed before fanning out to truth + signatures
+    * (the sim_prefix_filter_join lesson). At production scale the same
+    * plan runs on a sampled corpus to pick (b, r) before the full-corpus
+    * dedup job.
+    */
+  val simLshTuningCurve = Op(
+    "sim_lsh_tuning_curve",
+    (s, d) => {
+      import s.implicits._
+      val hv =
+        """aggregate(
+             transform(sequence(1, 12),
+               i -> CAST(instr('0123456789abcdef',
+                      substring(md5(concat(shingle, '#', CAST(h AS STRING))), i, 1)) - 1 AS BIGINT)),
+             0L, (acc, v) -> acc * 16L + v)"""
+      val sh = T.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(arr) - 1), i -> concat(arr[i - 1], ' ', arr[i]))"))
+          .as("shingle"))
+        .distinct()
+        .localCheckpoint(true)
+      // exact ground truth at Jaccard >= 0.1 (integer ppm, Appendix A)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val truth = sh.select(col("doc_id").as("a_id"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),
+          col("shingle") === col("sh_b") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        .filter(expr("(i * 1000000) div (na + nb - i) >= 100000"))
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint(true)
+      // one 12-hash MinHash signature table shared by all four configs
+      val mh = sh
+        .select(col("doc_id"), col("shingle"), explode(sequence(lit(0), lit(11))).as("h"))
+        .groupBy(col("doc_id"), col("h")).agg(min(expr(hv)).as("mh"))
+      val cfg = Seq((12, 1), (6, 2), (4, 3), (2, 6)).toDF("n_bands", "r")
+      val banded = mh.crossJoin(broadcast(cfg))
+        .withColumn("band", expr("h div r"))
+        .groupBy(col("n_bands"), col("r"), col("doc_id"), col("band"))
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(struct(h, mh))), " +
+            "x -> CAST(x.mh AS STRING)), '-')").as("bkey"))
+      val cand = banded.select(col("n_bands"), col("r"), col("band"), col("bkey"),
+          col("doc_id").as("a_id"))
+        .join(banded.select(col("n_bands"), col("r"), col("band"), col("bkey"),
+          col("doc_id").as("b_id")), Seq("n_bands", "r", "band", "bkey"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("n_bands"), col("r"), col("a_id"), col("b_id"))
+        .distinct()
+      val nTrue = truth.agg(count(lit(1)).as("n_true"))
+      val metrics = cand
+        .join(truth.withColumn("hit", lit(1L)), Seq("a_id", "b_id"), "left")
+        .groupBy(col("n_bands"), col("r"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      cfg.join(metrics, Seq("n_bands", "r"), "left")
+        .crossJoin(broadcast(nTrue))
+        .select(
+          col("n_bands").cast("long").as("n_bands"),
+          col("r").cast("long").as("rows_per_band"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          col("n_true"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("(coalesce(n_hits, 0L) * 1000000) div nullif(n_true, 0)").as("recall_ppm"),
+          expr("(coalesce(n_hits, 0L) * 1000000) div nullif(coalesce(n_candidates, 0L), 0)")
+            .as("precision_ppm"))
+        .orderBy(col("n_bands").desc)
+    },
+    Some("""
+      WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(arr)),
+                   i -> arr[i] || ' ' || arr[i + 1])) AS shingle
+          FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                FROM documents WHERE doc_id < 300))),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      truth AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) x
+        JOIN sizes sa ON sa.doc_id = x.a_id
+        JOIN sizes sb ON sb.doc_id = x.b_id
+        WHERE (i * 1000000) // (sa.n + sb.n - i) >= 100000),
+      mh AS (
+        SELECT doc_id, h,
+               MIN(list_reduce(
+                 list_transform(range(1, 13),
+                   i -> CAST(strpos('0123456789abcdef',
+                          substring(md5(shingle || '#' || CAST(h AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                 (acc, v) -> acc * 16 + v)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS h)
+        GROUP BY doc_id, h),
+      cfg AS (SELECT * FROM (VALUES (12, 1), (6, 2), (4, 3), (2, 6)) AS t(n_bands, r)),
+      banded AS (
+        SELECT n_bands, r, doc_id, h // r AS band,
+               string_agg(CAST(mh AS VARCHAR), '-' ORDER BY h) AS bkey
+        FROM mh CROSS JOIN cfg
+        GROUP BY n_bands, r, doc_id, h // r),
+      cand AS (
+        SELECT DISTINCT a.n_bands, a.r, a.doc_id AS a_id, b.doc_id AS b_id
+        FROM banded a JOIN banded b
+          ON a.n_bands = b.n_bands AND a.r = b.r AND a.band = b.band
+         AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      nt AS (SELECT COUNT(*) AS n_true FROM truth),
+      metrics AS (
+        SELECT c.n_bands, c.r, COUNT(*) AS n_candidates,
+               SUM(CASE WHEN t.a_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+        FROM cand c LEFT JOIN truth t ON c.a_id = t.a_id AND c.b_id = t.b_id
+        GROUP BY c.n_bands, c.r)
+      SELECT CAST(cfg.n_bands AS BIGINT) AS n_bands,
+             CAST(cfg.r AS BIGINT) AS rows_per_band,
+             CAST(COALESCE(m.n_candidates, 0) AS BIGINT) AS n_candidates,
+             CAST(n_true AS BIGINT) AS n_true,
+             CAST(COALESCE(m.n_hits, 0) AS BIGINT) AS n_hits,
+             CAST((COALESCE(m.n_hits, 0) * 1000000) // NULLIF(n_true, 0) AS BIGINT) AS recall_ppm,
+             CAST((COALESCE(m.n_hits, 0) * 1000000) // NULLIF(COALESCE(m.n_candidates, 0), 0) AS BIGINT) AS precision_ppm
+      FROM cfg LEFT JOIN metrics m ON cfg.n_bands = m.n_bands AND cfg.r = m.r
+      CROSS JOIN nt
+      ORDER BY n_bands DESC
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
@@ -1883,5 +2023,6 @@ object Similarity {
     simHammingPairs, simSimhashBands, simBrpLsh, simIvfKnn, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
-    dedupBlockedFuzzy, simContainmentPairs, embMatryoshkaTrunc)
+    dedupBlockedFuzzy, simContainmentPairs, embMatryoshkaTrunc,
+    simLshTuningCurve)
 }

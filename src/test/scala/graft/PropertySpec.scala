@@ -63,6 +63,19 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("lsh tuning curve: coarser bandings are nested inside finer ones") {
+    // bands of r rows align into bands of 2r (and 6) rows here, so a
+    // collision under a coarser banding implies one under every finer
+    // banding: candidates and hits must be monotone in n_bands
+    val rows = Registry.queries("sim_lsh_tuning_curve")(spark, sf)
+      .orderBy(col("n_bands").desc).collect()
+      .map(r => (r.getLong(2), r.getLong(4)))
+    assert(rows.sliding(2).forall {
+      case Array((c1, h1), (c2, h2)) => c2 <= c1 && h2 <= h1
+      case _ => true
+    }, rows.mkString(","))
+  }
+
   test("growth accounting satisfies its ledger identities") {
     val rows = Registry.queries("evt_lifecycle_states")(spark, sf)
       .orderBy(col("wk")).collect()
