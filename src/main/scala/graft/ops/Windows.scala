@@ -554,10 +554,70 @@ object Windows {
     """)
   )
 
+  /** Bollinger-band volatility ladder over the trailing-7-day window,
+    * with the usual ±kσ test made EXACT by never taking the square root:
+    * |x − s/n| > k·σ with σ² = (n·Σx² − s²)/n² is algebraically
+    * (x·n − s)² > k²·(n·Σx² − s²), so the whole classifier is integer
+    * comparisons. The sums run in DECIMAL(38,0) on the Spark side and
+    * ride DuckDB's native HUGEINT on the oracle side — daily µ-unit
+    * masses square to ~1e24, far past BIGINT, and a silently wrapping
+    * long here would "pass" at sf0.1 and diverge exactly at the 10×
+    * sweep this repo actually runs. Severity ladder 0 / 2 / 3 = inside /
+    * beyond 2σ / beyond 3σ. One shuffle on event_type; windows are
+    * per-type over the ~30-row daily series (histogram-first as always).
+    * The float-free counterpart to win_rolling_slope's IEEE OLS.
+    */
+  val winBollingerBands = Op(
+    "win_bollinger_bands",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("mass_u"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("x", col("mass_u").cast("decimal(38,0)"))
+        .withColumn("n", count(lit(1)).over(w).cast("decimal(38,0)"))
+        .withColumn("sw", sum(col("x")).over(w).cast("decimal(38,0)"))
+        .withColumn("ssw", sum(col("x") * col("x")).over(w).cast("decimal(38,0)"))
+        .withColumn("lhs",
+          (col("x") * col("n") - col("sw")) * (col("x") * col("n") - col("sw")))
+        .withColumn("vars", col("n") * col("ssw") - col("sw") * col("sw"))
+        .select(col("event_type"), col("day"), col("mass_u"),
+          col("n").cast("long").as("n_win"),
+          when(col("lhs") > col("vars") * 9, lit(3L))
+            .when(col("lhs") > col("vars") * 4, lit(2L))
+            .otherwise(lit(0L)).as("severity"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS mass_u
+        FROM events GROUP BY 1, 2),
+      win AS (
+        SELECT event_type, day, mass_u,
+               CAST(mass_u AS HUGEINT) AS x,
+               CAST(COUNT(*) OVER tw AS HUGEINT) AS n,
+               CAST(SUM(CAST(mass_u AS HUGEINT)) OVER tw AS HUGEINT) AS sw,
+               CAST(SUM(CAST(mass_u AS HUGEINT) * CAST(mass_u AS HUGEINT)) OVER tw AS HUGEINT) AS ssw
+        FROM daily
+        WINDOW tw AS (PARTITION BY event_type ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT event_type, day, CAST(mass_u AS BIGINT) AS mass_u,
+             CAST(n AS BIGINT) AS n_win,
+             CAST(CASE
+               WHEN (x * n - sw) * (x * n - sw) > (n * ssw - sw * sw) * 9 THEN 3
+               WHEN (x * n - sw) * (x * n - sw) > (n * ssw - sw * sw) * 4 THEN 2
+               ELSE 0 END AS BIGINT) AS severity
+      FROM win ORDER BY event_type, day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
     winCumulative, winRankDistributed, winGapIslands, winFillForward,
     winNthCume, winRollingSlope, winEwmaTrailing, winTopkHeap,
-    winMedianSliding)
+    winMedianSliding, winBollingerBands)
 }
