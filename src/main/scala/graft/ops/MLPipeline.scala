@@ -742,9 +742,79 @@ object MLPipeline {
     """)
   )
 
+  /** Exact two-sample Kolmogorov-Smirnov drift statistic between the same
+    * two score populations ml_psi_stability compares (first vs last 15
+    * days) — the BINNING-FREE member of the drift pair: PSI depends on a
+    * chosen bin grid and can hide a shift that lands inside one bin; KS is
+    * sup_x |F_ref(x) − F_cur(x)| over the EXACT empirical CDFs, no grid at
+    * all. Distributed shape: scores quantize to µ-units and collapse to
+    * the distinct-value histogram FIRST (bounded by the value domain, the
+    * ml_roc_auc precedent — the corpus is never sorted), cumulative counts
+    * ride one window over that histogram, per-value deviation is the
+    * difference of two floor-div ppm CDFs (exact long math), and the sup +
+    * its argmax location come from one map-side-combinable
+    * max(struct(d, −v)) — the LPA argmax idiom, lowest value wins ties.
+    * One row out: the statistic, where it occurs, and the population
+    * sizes.
+    */
+  val mlKsDrift = Op(
+    "ml_ks_drift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = T.events(s, d)
+        .select(expr("CAST(floor(value * 1000000) AS BIGINT)").as("v_u"),
+          when(col("ts") < to_timestamp(lit("2024-01-16")), "ref").otherwise("cur").as("half"))
+        .groupBy(col("v_u"))
+        .agg(
+          sum(when(col("half") === "ref", 1L).otherwise(0L)).as("nr"),
+          sum(when(col("half") === "cur", 1L).otherwise(0L)).as("nc"))
+      val tot = hist.agg(sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
+      val w = Window.orderBy(col("v_u")).rowsBetween(Window.unboundedPreceding, 0)
+      hist
+        .withColumn("cr", sum(col("nr")).over(w))
+        .withColumn("cc", sum(col("nc")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("d_ppm",
+          abs(expr("(cr * 1000000) div n_ref - (cc * 1000000) div n_cur")))
+        .agg(count(lit(1)).as("n_values"),
+          max(struct(col("d_ppm"), (-col("v_u")).as("nv"))).as("m"),
+          first(col("n_ref")).as("n_ref"), first(col("n_cur")).as("n_cur"))
+        .select(col("n_ref"), col("n_cur"), col("n_values"),
+          col("m.d_ppm").as("ks_ppm"), (-col("m.nv")).as("ks_at_value_u"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT CAST(FLOOR(value * 1000000) AS BIGINT) AS v_u,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref' ELSE 'cur' END AS half
+        FROM events),
+      hist AS (
+        SELECT v_u,
+               SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS nr,
+               SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS nc
+        FROM ev GROUP BY v_u),
+      tot AS (SELECT CAST(SUM(nr) AS BIGINT) AS n_ref,
+                     CAST(SUM(nc) AS BIGINT) AS n_cur FROM hist),
+      cum AS (
+        SELECT v_u,
+               CAST(SUM(nr) OVER (ORDER BY v_u ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cr,
+               CAST(SUM(nc) OVER (ORDER BY v_u ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+        FROM hist),
+      dev AS (
+        SELECT v_u,
+               ABS((cr * 1000000) // n_ref - (cc * 1000000) // n_cur) AS d_ppm
+        FROM cum CROSS JOIN tot)
+      SELECT n_ref, n_cur,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM dev) AS n_values,
+             CAST((SELECT MAX(d_ppm) FROM dev) AS BIGINT) AS ks_ppm,
+             (SELECT MIN(v_u) FROM dev
+              WHERE d_ppm = (SELECT MAX(d_ppm) FROM dev)) AS ks_at_value_u
+      FROM tot
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
-    mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability)
+    mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift)
 }
