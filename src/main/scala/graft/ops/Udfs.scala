@@ -150,5 +150,55 @@ object Udfs {
     """)
   )
 
-  val ops: Vector[Op] = Vector(udfScalar, udafAggregator, udafImperativeTopk, udtfGenerator)
+  /** Misra-Gries heavy-hitters summary (Misra & Gries 1982; mergeable-
+    * summary form per Agarwal et al. 2013): k bounded counters per
+    * aggregation state, merged associatively by count-sum then subtracting
+    * the (k+1)-th largest — the DETERMINISTIC-bound counterpart to
+    * agg_countmin_freq's probabilistic CMS: for every item,
+    * est ≤ true ≤ est + N/(k+1), and any item with frequency > N/(k+1) is
+    * guaranteed present. The counter SET depends on merge order (hence
+    * oracle-exempt; ExemptSpec pins the bounds against exact counts), but
+    * the guarantees hold under every order — that is the point of a
+    * mergeable summary. At scale this is the map-side-combine shape
+    * itself: O(k) state per partial, one merge tree, never a shuffle of
+    * raw frequencies.
+    */
+  private val MgK = 8
+
+  private[graft] object MisraGries extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], t: String): Map[String, Long] =
+      if (b.contains(t)) b.updated(t, b(t) + 1L)
+      else if (b.size < MgK) b.updated(t, 1L)
+      else b.flatMap { case (k, c) => if (c > 1L) Some(k -> (c - 1L)) else None }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
+      val m = a ++ b.map { case (k, v) => k -> (a.getOrElse(k, 0L) + v) }
+      if (m.size <= MgK) m
+      else {
+        // subtract the (k+1)-th largest count from everyone, keep positives
+        val thresh = m.values.toSeq.sorted(Ordering[Long].reverse)(MgK)
+        m.flatMap { case (k, c) => if (c > thresh) Some(k -> (c - thresh)) else None }
+      }
+    }
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+  }
+
+  val udafMisraGries = Op(
+    "udaf_misra_gries",
+    (s, d) => {
+      val mg = udaf(MisraGries)
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .agg(mg(col("token")).as("summary"))
+        .select(explode(col("summary")).as(Seq("token", "est_count")))
+        .orderBy(col("est_count").desc, col("token"))
+    },
+    None
+  )
+
+  val ops: Vector[Op] = Vector(udfScalar, udafAggregator, udafImperativeTopk,
+    udtfGenerator, udafMisraGries)
 }

@@ -93,6 +93,29 @@ class ExemptSpec extends AnyFunSuite {
       s"freqItems missed ${missing.size} tokens above support: ${missing.take(5)}")
   }
 
+  test("udaf_misra_gries: estimates bounded by exact counts within N/(k+1), no heavy item missed") {
+    val k = 8
+    val summary = Registry.queries("udaf_misra_gries")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary.nonEmpty && summary.size <= k, s"summary size ${summary.size}")
+    assert(summary.values.forall(_ > 0), "non-positive counter survived")
+    val toks = T.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val n = toks.count()
+    val exact = toks.groupBy(col("token")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slack = n / (k + 1)
+    summary.foreach { case (t, est) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est <= truth, s"$t overestimated: $est > $truth")
+      assert(truth - est <= slack, s"$t undershoots past N/(k+1): $truth - $est > $slack")
+    }
+    val guaranteed = exact.filter(_._2 > slack).keySet
+    val missing = guaranteed -- summary.keySet
+    assert(missing.isEmpty, s"heavy items missing from the summary: $missing")
+  }
+
   test("txt_hashing_tf: buckets in range, token mass conserved") {
     val rows = Registry.queries("txt_hashing_tf")(spark, sf).collect()
     assert(rows.forall { r => val b = r.getLong(1); b >= 0 && b < 64 })
