@@ -481,7 +481,78 @@ object Multimodal {
     """)
   )
 
+  /** Shot-boundary detection — the temporal-segmentation leg of the video
+    * tier (mm_frame_sample extracts keyframes; THIS finds where the cuts
+    * are, the first step of every video-training-data pipeline since
+    * captions/shots are aligned per segment): per-frame signature from the
+    * byte payload in the typed partition iterator (the "codec" runs once
+    * per partition, frames never shuffle as pixels — only 8-byte
+    * signatures do), then a per-video lag window scores consecutive-frame
+    * deviation and a cut fires where |Δ| exceeds the threshold (200 ≈ the
+    * fixture's p90 inter-frame delta, so ~10% of transitions cut — a real
+    * detector calibrates θ the same way). Rollup per video: frames, cuts,
+    * max delta, mean shot length in frames (floor div). All integer →
+    * fully hash-oracled; at scale the plan is scan → window on the video
+    * key → map-side rollup, linear in frames.
+    */
+  val mmShotBoundary = Op(
+    "mm_shot_boundary",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val frames = T.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .as[MmRow]
+        .mapPartitions { it =>
+          it.flatMap { r =>
+            val nFrames = r.payload.length / 64
+            (0 until nFrames).iterator.map { k =>
+              val frame = r.payload.slice(k * 64, k * 64 + 64)
+              val sig = frame.foldLeft(0L)((acc, b) => acc + (b & 0xFF))
+              (r.doc_id, k.toLong, sig)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_idx", "sig")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      frames
+        .withColumn("delta", abs(col("sig") - lag(col("sig"), 1).over(w)))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_frames"),
+          sum(when(col("delta") > 200, 1L).otherwise(0L)).as("n_cuts"),
+          max(col("delta")).as("max_delta"),
+          expr("count(1) div (sum(case when delta > 200 then 1 else 0 end) + 1)")
+            .as("mean_shot_frames"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, octet_length(encode(text)) // 64, 1)) AS frame_idx
+        FROM documents WHERE doc_id < 200),
+      sigs AS (
+        SELECT doc_id, frame_idx,
+               list_sum(list_transform(
+                 string_split(substring(text, CAST(frame_idx * 64 + 1 AS INT), 64), ''),
+                 c -> ascii(c))) AS sig
+        FROM f),
+      dd AS (
+        SELECT doc_id,
+               ABS(sig - LAG(sig) OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+        FROM sigs)
+      SELECT doc_id, COUNT(*) AS n_frames,
+             CAST(SUM(CASE WHEN delta > 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+             CAST(MAX(delta) AS BIGINT) AS max_delta,
+             CAST(COUNT(*) // (SUM(CASE WHEN delta > 200 THEN 1 ELSE 0 END) + 1) AS BIGINT)
+               AS mean_shot_frames
+      FROM dd GROUP BY doc_id ORDER BY doc_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mmDecodeFeatures, mmResizeMeta, mmFrameSample, mmContentDedup,
-    scanBinaryFiles, mmDecodeReal, mmPhashDedup, mmAudioEnergy)
+    scanBinaryFiles, mmDecodeReal, mmPhashDedup, mmAudioEnergy,
+    mmShotBoundary)
 }
