@@ -1018,10 +1018,86 @@ object TextAnalysis {
     """)
   )
 
+  /** Byte-pair-encoding merge learning (Sennrich et al. 2016 — THE
+    * tokenizer-training primitive of every modern LLM pipeline), run
+    * distributed for 3 merge rounds: each round counts adjacent token
+    * pairs across the corpus, picks the most frequent (count DESC, pair
+    * ASC — the deterministic tie-break vanilla BPE leaves unspecified),
+    * and rewrites the corpus with the pair fused. Token boundaries are
+    * made unambiguous by the '|' start-of-token marker (the GPT-2 'Ġ'
+    * trick): the search string '|a |b' can only match at token starts, and
+    * plain left-to-right non-overlapping replace — identical semantics in
+    * both engines — IS the leftmost-first merge order real BPE uses. Per
+    * round: one doc_id-partitioned lead window for pairs, one
+    * map-side-combined pair count, a 1-row TakeOrdered argmax broadcast
+    * into the rewrite; corpus state is checkpointed per round with
+    * superseded blocks freed (the iterative-op discipline). Production
+    * trainers run thousands of rounds on a sample — the per-round plan is
+    * exactly this one. Emits the learned merge table, the tokenizer
+    * artifact itself.
+    */
+  val txtBpeMerges = Op(
+    "txt_bpe_merges",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      var docs = T.documents(s, d)
+        .select(col("doc_id"),
+          concat(lit("|"), expr("replace(text, ' ', ' |')")).as("canon"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      var merges = Vector.empty[org.apache.spark.sql.DataFrame]
+      for (r <- 1 to 3) {
+        val pairs = docs
+          .select(col("doc_id"), posexplode(split(col("canon"), " ")).as(Seq("pos", "tok")))
+          .withColumn("pair", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
+          .filter(col("pair").isNotNull)
+        val best = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .localCheckpoint(true)
+        merges = merges :+ best.select(lit(r).as("round"),
+          col("pair").as("merged_pair"), col("cnt").as("n_occurrences"))
+        val next = docs.crossJoin(broadcast(best))
+          .select(col("doc_id"),
+            expr("replace(canon, pair, replace(pair, ' |', ''))").as("canon"))
+          .localCheckpoint(true)
+        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
+        docs = next
+      }
+      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
+      merges.reduce(_ unionByName _).orderBy(col("round"))
+    },
+    Some("""
+      WITH d0 AS (SELECT doc_id, '|' || replace(text, ' ', ' |') AS canon FROM documents),
+      t1 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
+                    unnest(string_split(canon, ' ')) AS tok FROM d0),
+      p1 AS (SELECT concat(tok, ' ', LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS pair FROM t1),
+      c1 AS (SELECT pair, COUNT(*) AS cnt FROM p1 WHERE pair IS NOT NULL GROUP BY pair),
+      b1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+      d1 AS (SELECT doc_id, replace(canon, (SELECT pair FROM b1),
+                    replace((SELECT pair FROM b1), ' |', '')) AS canon FROM d0),
+      t2 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
+                    unnest(string_split(canon, ' ')) AS tok FROM d1),
+      p2 AS (SELECT concat(tok, ' ', LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS pair FROM t2),
+      c2 AS (SELECT pair, COUNT(*) AS cnt FROM p2 WHERE pair IS NOT NULL GROUP BY pair),
+      b2 AS (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
+      d2 AS (SELECT doc_id, replace(canon, (SELECT pair FROM b2),
+                    replace((SELECT pair FROM b2), ' |', '')) AS canon FROM d1),
+      t3 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
+                    unnest(string_split(canon, ' ')) AS tok FROM d2),
+      p3 AS (SELECT concat(tok, ' ', LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS pair FROM t3),
+      c3 AS (SELECT pair, COUNT(*) AS cnt FROM p3 WHERE pair IS NOT NULL GROUP BY pair),
+      b3 AS (SELECT pair, cnt FROM c3 ORDER BY cnt DESC, pair LIMIT 1)
+      SELECT 1 AS round, pair AS merged_pair, CAST(cnt AS BIGINT) AS n_occurrences FROM b1
+      UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM b2
+      UNION ALL SELECT 3, pair, CAST(cnt AS BIGINT) FROM b3
+      ORDER BY round
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,
-    txtHeapsLaw)
+    txtHeapsLaw, txtBpeMerges)
 }
