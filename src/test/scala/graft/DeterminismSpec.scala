@@ -46,7 +46,17 @@ class DeterminismSpec extends AnyFunSuite {
     "txt_zipf_slope",            // rank tie-break + integer OLS
     "txt_bigram_logprob",        // decimal-summed ln + top-20 tie-break
     "graph_k_core",              // iterative semi-join peeling
-    "ml_psi_stability")          // integer binning + decimal-summed ln
+    "ml_psi_stability",          // integer binning + decimal-summed ln
+    "evt_lifecycle_states",      // lag/lead week windows + full-outer join
+    "qc_cusum_drift",            // stacked prefix-sum/prefix-min windows
+    "qc_theil_sen_trend",        // pairwise slopes + rank-median
+    "evt_bot_gap_stats",         // µs lag gaps + top-20 tie-break
+    "win_bollinger_bands",       // decimal(38) trailing sums + comparisons
+    "ml_ks_drift",               // cum CDF windows + struct argmax
+    "txt_heaps_law",             // log2 buckets + prefix sums + integer OLS
+    "txt_bpe_merges",            // per-round argmax (count DESC, pair ASC)
+    "mm_shot_boundary",          // partition-iterator codec + lag deltas
+    "sim_lsh_tuning_curve")      // md5 minhash + band self-joins
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

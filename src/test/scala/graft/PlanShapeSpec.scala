@@ -185,6 +185,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"PSI totals must consume the bin histogram, not raw events: $p")
   }
 
+  test("txt_bigram_logprob joins count tables by key — no all-pairs product") {
+    val p = plan("txt_bigram_logprob")
+    assert(!p.contains("CartesianProduct"),
+      s"LM-count joins must be equi-joins on (prev, cur)/(prev): $p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered, not a global sort: $p")
+  }
+
+  test("qc_theil_sen_trend pairs the daily table, never the event log") {
+    val p = plan("qc_theil_sen_trend")
+    // the pairwise self-join must consume per-day aggregates: every join
+    // sits above the first (deepest-printed) HashAggregate of the daily
+    // rollup, so the joined relations are |days|-sized, not |events|
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx > joinIdx,
+      s"pairwise slopes must ride the daily aggregate: $p")
+  }
+
+  test("evt_lifecycle_states windows the activity matrix, not the log") {
+    val p = plan("evt_lifecycle_states")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"lag/lead must consume the distinct (user, week) matrix: $p")
+  }
+
   test("sim_containment_pairs: shingle equi-join only, no all-pairs fallback") {
     val p = plan("sim_containment_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
