@@ -614,10 +614,68 @@ object Windows {
     """)
   )
 
+  /** Maximum drawdown of the cumulative per-type value series — the
+    * running-max window pattern (peak-to-trough loss in finance; in a
+    * pipeline: worst cumulative shortfall of actual vs booked volume).
+    * Pure prefix algebra on the integer µ-unit timeline: cum = prefix sum,
+    * peak = running max(cum), drawdown = peak − cum, and the answer is the
+    * per-type argmax with the EARLIEST day winning ties via one
+    * map-side-combinable max(struct(dd, −epoch_day)) — the LPA argmax
+    * idiom, no second window, no sort. Windows ride the per-type ~30-row
+    * daily table (agg-before-window); value mass in plain BIGINT is safe
+    * here (no squaring — contrast win_bollinger_bands).
+    */
+  val winDrawdown = Op(
+    "win_drawdown",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(sum(expr("CAST(floor(value * 1000000) AS BIGINT)")).as("mass_u"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("cum", sum(col("mass_u")).over(w))
+        .withColumn("peak", max(col("cum")).over(w))
+        .withColumn("dd", col("peak") - col("cum"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          max(col("dd")).as("max_drawdown_u"),
+          max(struct(col("dd"), (-datediff(col("day"),
+            lit("2024-01-01").cast("date")).cast("long")).as("nd"))).as("m"))
+        .select(col("event_type"), col("n_days"), col("max_drawdown_u"),
+          (-col("m.nd")).as("at_day_number"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS mass_u
+        FROM events GROUP BY 1, 2),
+      cum AS (
+        SELECT event_type, day,
+               CAST(SUM(mass_u) OVER tw AS BIGINT) AS cum
+        FROM daily
+        WINDOW tw AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)),
+      dd AS (
+        SELECT event_type, day,
+               MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) - cum AS dd
+        FROM cum)
+      SELECT event_type, COUNT(*) AS n_days,
+             CAST(MAX(dd) AS BIGINT) AS max_drawdown_u,
+             CAST(MIN(date_diff('day', DATE '2024-01-01', day)) FILTER (
+               WHERE dd = (SELECT MAX(d2.dd) FROM dd d2
+                           WHERE d2.event_type = dd.event_type)) AS BIGINT)
+               AS at_day_number
+      FROM dd GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
     winCumulative, winRankDistributed, winGapIslands, winFillForward,
     winNthCume, winRollingSlope, winEwmaTrailing, winTopkHeap,
-    winMedianSliding, winBollingerBands)
+    winMedianSliding, winBollingerBands, winDrawdown)
 }
