@@ -856,9 +856,74 @@ object Events {
     """)
   )
 
+  /** Day-of-week seasonality profile + seasonally-adjusted anomalies — the
+    * piece the repo's other volume gates deliberately ignore: a flat
+    * threshold (evt_hourly_anomaly, qc_anomaly_mad) flags every weekend
+    * dip as an incident; deseasonalizing first means "low for ANY day" and
+    * "low for a Sunday" are different questions. Weekday comes from
+    * day-number mod 7 anchored at 2024-01-01 (a Monday) — Spark's
+    * dayofweek counts 1=Sunday while DuckDB's counts 0=Sunday, exactly the
+    * engine divergence a derived integer sidesteps. Per (type, weekday):
+    * the lower-median daily count via a rank window over the ~4-sample
+    * group (interpolation would reintroduce floats), residual = count −
+    * its weekday median, flag when |residual| > max(3, median/4). Rollup
+    * to the 35-row profile. Everything rides the daily table; one
+    * (type, dow) shuffle.
+    */
+  val evtDowSeasonality = Op(
+    "evt_dow_seasonality",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("dow",
+          expr("datediff(day, DATE '2024-01-01') % 7").cast("long"))
+      val wRank = Window.partitionBy(col("event_type"), col("dow"))
+        .orderBy(col("cnt"), col("day"))
+      val med = daily
+        .withColumn("rn", row_number().over(wRank).cast("long"))
+        .withColumn("n_days", count(lit(1)).over(
+          Window.partitionBy(col("event_type"), col("dow"))))
+        .filter(col("rn") === expr("(n_days + 1) div 2"))
+        .select(col("event_type"), col("dow"), col("cnt").as("med_cnt"))
+      daily.join(med, Seq("event_type", "dow"))
+        .withColumn("resid", abs(col("cnt") - col("med_cnt")))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          first(col("med_cnt")).as("med_cnt"),
+          max(col("resid")).as("max_abs_residual"),
+          sum(when(col("resid") > greatest(lit(3L), expr("med_cnt div 4")), 1L)
+            .otherwise(0L)).as("n_flagged"))
+        .orderBy(col("event_type"), col("dow"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS BIGINT) AS dow
+        FROM events GROUP BY 1, 2),
+      med AS (
+        SELECT event_type, dow, cnt AS med_cnt FROM (
+          SELECT event_type, dow, cnt,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type, dow
+                        ORDER BY cnt, day) AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type, dow) AS BIGINT) AS n_days
+          FROM daily)
+        WHERE rn = (n_days + 1) // 2)
+      SELECT d.event_type, d.dow, COUNT(*) AS n_days,
+             CAST(MIN(m.med_cnt) AS BIGINT) AS med_cnt,
+             CAST(MAX(ABS(d.cnt - m.med_cnt)) AS BIGINT) AS max_abs_residual,
+             CAST(SUM(CASE WHEN ABS(d.cnt - m.med_cnt) >
+                    GREATEST(3, m.med_cnt // 4) THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+      FROM daily d JOIN med m ON d.event_type = m.event_type AND d.dow = m.dow
+      GROUP BY d.event_type, d.dow
+      ORDER BY d.event_type, d.dow
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
-    evtSequencePattern, evtLifecycleStates, evtBotGapStats)
+    evtSequencePattern, evtLifecycleStates, evtBotGapStats, evtDowSeasonality)
 }
