@@ -906,7 +906,44 @@ object Scans {
     """)
   )
 
+  /** Raw text-line ingest — the format every web-crawl corpus actually
+    * arrives in (Common-Crawl WET shards: one record per line, fields
+    * separated by a delimiter the payload is guaranteed not to contain):
+    * the corpus round-trips through `text` files (one line per doc,
+    * tab-framed doc_id/lang/text) and is re-parsed on read with two
+    * splits — schema-on-read from unstructured lines, the step BEFORE any
+    * of the txt_* operators can run. spark.read.text splits by line across
+    * tasks, so a 100 TB shard directory parallelizes by file/offset like
+    * any other scan; the parse is codegen'd string surgery, no UDF. The
+    * aggregate proves the round trip loses nothing (per-lang doc counts +
+    * exact char mass vs the parquet original).
+    */
+  val scanTextLines = Op(
+    "scan_text_lines",
+    (s, d) => {
+      val tmp = T.scratch("docs_text")
+      T.documents(s, d)
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      s.read.text(tmp)
+        .select(
+          expr("CAST(split(value, '\t')[0] AS BIGINT)").as("doc_id"),
+          expr("split(value, '\t')[1]").as("lang"),
+          expr("split(value, '\t')[2]").as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    scanTextLines,
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
