@@ -56,7 +56,11 @@ class DeterminismSpec extends AnyFunSuite {
     "txt_heaps_law",             // log2 buckets + prefix sums + integer OLS
     "txt_bpe_merges",            // per-round argmax (count DESC, pair ASC)
     "mm_shot_boundary",          // partition-iterator codec + lag deltas
-    "sim_lsh_tuning_curve")      // md5 minhash + band self-joins
+    "sim_lsh_tuning_curve",      // md5 minhash + band self-joins
+    "serve_bitmap_index",        // bit_or packing (commutative by design)
+    "win_drawdown",              // running-max + earliest-day argmax tie
+    "evt_dow_seasonality",       // rank-median over dup counts
+    "scan_text_lines")           // multi-file text round-trip + reparse
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
