@@ -212,6 +212,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"lag/lead must consume the distinct (user, week) matrix: $p")
   }
 
+  for ((k, what) <- Seq(
+      "ml_ks_drift" -> "CDF windows must ride the value histogram",
+      "win_bollinger_bands" -> "trailing windows must ride the daily aggregate",
+      "win_drawdown" -> "prefix windows must ride the daily aggregate",
+      "txt_heaps_law" -> "prefix windows must ride the log2 bucket table",
+      "evt_dow_seasonality" -> "rank windows must ride the daily aggregate"))
+    test(s"$k aggregates before it windows") {
+      val p = plan(k)
+      val aggIdx = p.lastIndexOf("HashAggregate")
+      val winIdx = p.indexOf("Window")
+      assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx, s"$what: $p")
+    }
+
   test("sim_containment_pairs: shingle equi-join only, no all-pairs fallback") {
     val p = plan("sim_containment_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
