@@ -686,7 +686,10 @@ object MLPipeline {
     * bins finite. Each bin's (p−q)·ln(p/q) goes through DECIMAL(18,12)
     * before the total (the unigram-logprob ln discipline), so the 10-row
     * sum is order-free; the total rides a window over the BIN table, never
-    * the event log (agg-before-window). One scan, one shuffle on bin.
+    * the event log (agg-before-window). Two scans of the source — one for
+    * the max scalar, one for the binning (Spark does not share subtrees;
+    * checkpointing the projection to save a histogram op's second narrow
+    * scan costs more than it saves) — then one shuffle on bin.
     */
   val mlPsiStability = Op(
     "ml_psi_stability",

@@ -855,10 +855,9 @@ object Scans {
     * "users who did BOTH/EITHER event" with pure bitwise algebra: users
     * pack into 63-bit words (word = id div 63, bit = id mod 63 — bit 63
     * stays clear because DuckDB's checked `<<` rejects 1<<63 while Spark
-    * wraps silently; 63-bit words keep both engines in exact range, set via
-    * bit_or aggregation — one map-side-combinable agg per event type),
-    * then AND/OR/ANDNOT on word-aligned joins + bit_count replace the
-    * semi/anti/union joins entirely. Per-type index size is |users|/8
+    * wraps silently; 63-bit words keep both engines in exact range), both
+    * type masks built by ONE conditional bit_or scan — then AND/OR/ANDNOT
+    * + bit_count replace the semi/anti/union joins entirely. Per-type index size is |users|/8
     * bytes — the reason real engines (Druid, Pinot, ClickHouse) serve
     * segment filters from bitmaps: the heavy join becomes a linear scan
     * of two bit arrays. Emits the full algebra (n_click, n_purchase,
@@ -868,16 +867,18 @@ object Scans {
   val serveBitmapIndex = Op(
     "serve_bitmap_index",
     (s, d) => {
-      def bitmap(tpe: String) = T.events(s, d)
-        .filter(col("event_type") === tpe)
-        .select(expr("user_id div 63").as("word"),
+      // both bitmaps in ONE scan via conditional bit_or — a per-type scan
+      // plus full-outer re-merge would double the I/O the bitmap exists
+      // to save
+      T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          expr("user_id div 63").as("word"),
           expr("shiftleft(1L, CAST(user_id % 63 AS INT))").as("bit"))
         .groupBy(col("word"))
-        .agg(expr("bit_or(bit)").as(s"m_$tpe"))
-      bitmap("click").join(bitmap("purchase"), Seq("word"), "full_outer")
-        .select(
-          coalesce(col("m_click"), lit(0L)).as("c"),
-          coalesce(col("m_purchase"), lit(0L)).as("p"))
+        .agg(
+          expr("bit_or(CASE WHEN event_type = 'click' THEN bit ELSE 0L END)").as("c"),
+          expr("bit_or(CASE WHEN event_type = 'purchase' THEN bit ELSE 0L END)").as("p"))
         .agg(
           sum(expr("bit_count(c)")).cast("long").as("n_click"),
           sum(expr("bit_count(p)")).cast("long").as("n_purchase"),
@@ -886,23 +887,19 @@ object Scans {
           sum(expr("bit_count(c & ~p)")).cast("long").as("n_click_only"))
     },
     Some("""
-      WITH cb AS (
+      WITH b AS (
         SELECT user_id // 63 AS word,
-               bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS m
-        FROM events WHERE event_type = 'click' GROUP BY 1),
-      pb AS (
-        SELECT user_id // 63 AS word,
-               bit_or(1::BIGINT << CAST(user_id % 63 AS INT)) AS m
-        FROM events WHERE event_type = 'purchase' GROUP BY 1),
-      j AS (
-        SELECT COALESCE(cb.m, 0) AS c, COALESCE(pb.m, 0) AS p
-        FROM cb FULL JOIN pb ON cb.word = pb.word)
+               bit_or(CASE WHEN event_type = 'click'
+                      THEN 1::BIGINT << CAST(user_id % 63 AS INT) ELSE 0 END) AS c,
+               bit_or(CASE WHEN event_type = 'purchase'
+                      THEN 1::BIGINT << CAST(user_id % 63 AS INT) ELSE 0 END) AS p
+        FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1)
       SELECT CAST(SUM(bit_count(c)) AS BIGINT) AS n_click,
              CAST(SUM(bit_count(p)) AS BIGINT) AS n_purchase,
              CAST(SUM(bit_count(c & p)) AS BIGINT) AS n_both,
              CAST(SUM(bit_count(c | p)) AS BIGINT) AS n_either,
              CAST(SUM(bit_count(c & ~p)) AS BIGINT) AS n_click_only
-      FROM j
+      FROM b
     """)
   )
 

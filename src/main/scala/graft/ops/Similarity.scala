@@ -1908,6 +1908,10 @@ object Similarity {
       val sh = T.documents(s, d)
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        // size >= 2 guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+        // (phantom NULL shingles), DuckDB's range(1, 1) is empty — a
+        // single-token doc must contribute nothing in BOTH engines
+        .filter(size(col("arr")) >= 2)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(arr) - 1), i -> concat(arr[i - 1], ' ', arr[i]))"))
           .as("shingle"))

@@ -1070,21 +1070,21 @@ object TextAnalysis {
       WITH d0 AS (SELECT doc_id, '|' || replace(text, ' ', ' |') AS canon FROM documents),
       t1 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
                     unnest(string_split(canon, ' ')) AS tok FROM d0),
-      p1 AS (SELECT concat(tok, ' ', LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS pair FROM t1),
+      p1 AS (SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair FROM t1),
       c1 AS (SELECT pair, COUNT(*) AS cnt FROM p1 WHERE pair IS NOT NULL GROUP BY pair),
       b1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
       d1 AS (SELECT doc_id, replace(canon, (SELECT pair FROM b1),
                     replace((SELECT pair FROM b1), ' |', '')) AS canon FROM d0),
       t2 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
                     unnest(string_split(canon, ' ')) AS tok FROM d1),
-      p2 AS (SELECT concat(tok, ' ', LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS pair FROM t2),
+      p2 AS (SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair FROM t2),
       c2 AS (SELECT pair, COUNT(*) AS cnt FROM p2 WHERE pair IS NOT NULL GROUP BY pair),
       b2 AS (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
       d2 AS (SELECT doc_id, replace(canon, (SELECT pair FROM b2),
                     replace((SELECT pair FROM b2), ' |', '')) AS canon FROM d1),
       t3 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
                     unnest(string_split(canon, ' ')) AS tok FROM d2),
-      p3 AS (SELECT concat(tok, ' ', LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos)) AS pair FROM t3),
+      p3 AS (SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair FROM t3),
       c3 AS (SELECT pair, COUNT(*) AS cnt FROM p3 WHERE pair IS NOT NULL GROUP BY pair),
       b3 AS (SELECT pair, cnt FROM c3 ORDER BY cnt DESC, pair LIMIT 1)
       SELECT 1 AS round, pair AS merged_pair, CAST(cnt AS BIGINT) AS n_occurrences FROM b1

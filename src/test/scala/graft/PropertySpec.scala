@@ -76,6 +76,18 @@ class PropertySpec extends AnyFunSuite {
     }, rows.mkString(","))
   }
 
+  test("fixture invariant: documents.text is ASCII with no tab/newline") {
+    // three ops lean on this: mm_frame_sample / mm_shot_boundary slice the
+    // UTF-8 BYTE payload while their oracles slice CHARACTERS (equal only
+    // for ASCII), and scan_text_lines tab-frames one doc per line. A
+    // regenerated fixture that breaks the invariant must fail HERE, loudly,
+    // not as a silent oracle divergence.
+    val bad = graft.ops.T.documents(spark, sf)
+      .filter(col("text").rlike("[^\\x20-\\x7e]"))
+      .count()
+    assert(bad == 0, s"$bad documents contain non-printable-ASCII characters")
+  }
+
   test("growth accounting satisfies its ledger identities") {
     val rows = Registry.queries("evt_lifecycle_states")(spark, sf)
       .orderBy(col("wk")).collect()
