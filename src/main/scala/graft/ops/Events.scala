@@ -921,9 +921,52 @@ object Events {
     """)
   )
 
+  /** Top whole-session paths — the Sankey/user-flow aggregation:
+    * evt_path_transitions gives the first-order (A→B) matrix, which by
+    * construction cannot distinguish v→c→p from v→c→e→p; ranking ENTIRE
+    * per-(user, day) journeys answers "what are users actually doing all
+    * session", the view growth teams read before picking which funnel to
+    * instrument. Reuses evt_sequence_pattern's deterministic collapse
+    * (sort_array of (ts, event_id, initial) structs — bare collect_list
+    * has no order guarantee), then one map-side-combined path count and a
+    * TakeOrdered top-15 with (count DESC, path ASC) tie-break. Path
+    * cardinality is bounded by distinct journey shapes, far below group
+    * count — the count table is small however large the log.
+    */
+  val evtTopPaths = Op(
+    "evt_top_paths",
+    (s, d) => {
+      T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ini"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("ini"))))
+          .as("evs"))
+        .select(concat_ws("", expr("transform(evs, e -> e.ini)")).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .withColumn("path_len", length(col("path")).cast("long"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(15)
+    },
+    Some("""
+      WITH seq AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               string_agg(substr(event_type, 1, 1), ''
+                 ORDER BY epoch_us(ts), event_id) AS path
+        FROM events GROUP BY 1, 2)
+      SELECT path, COUNT(*) AS n_sessions,
+             CAST(len(path) AS BIGINT) AS path_len
+      FROM seq GROUP BY path
+      ORDER BY n_sessions DESC, path LIMIT 15
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
-    evtSequencePattern, evtLifecycleStates, evtBotGapStats, evtDowSeasonality)
+    evtSequencePattern, evtLifecycleStates, evtBotGapStats, evtDowSeasonality,
+    evtTopPaths)
 }

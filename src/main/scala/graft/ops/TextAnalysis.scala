@@ -1094,10 +1094,64 @@ object TextAnalysis {
     """)
   )
 
+  /** Per-document character-level Shannon entropy — the gibberish/
+    * compression-artifact gate (natural English plateaus ≈ 4.1 bits/char;
+    * base64 blobs and key-mash run ≈ 6, template spam collapses < 3 —
+    * thresholds both tails): H = −Σ p·log2 p over each doc's character
+    * histogram, computed as explode → per-(doc, char) count → decimal-
+    * summed log2 terms (the unigram-logprob ln discipline, so the per-doc
+    * sum is shuffle-order free). The histogram explode is linear in
+    * corpus bytes and collapses immediately to ≤ |alphabet| rows per doc;
+    * one shuffle on doc_id. Emits the entropy histogram in deci-bit
+    * buckets plus each bucket's extremes — the corpus-level view a
+    * filtering pipeline thresholds against.
+    */
+  val txtCharEntropy = Op(
+    "txt_char_entropy",
+    (s, d) => {
+      val chars = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy(col("doc_id"), col("ch")).agg(count(lit(1)).as("cnt"))
+      val perDoc = chars
+        .withColumn("n", sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+        .withColumn("term",
+          (-(col("cnt") / col("n")) * log(2.0, col("cnt") / col("n")))
+            .cast("decimal(18,12)"))
+        .groupBy(col("doc_id"))
+        .agg(round(sum(col("term")).cast("double"), 6).as("h_bits"))
+      perDoc
+        .groupBy(expr("CAST(floor(h_bits * 10) AS BIGINT)").as("decibit_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("h_bits")), 6).as("min_h"),
+          round(max(col("h_bits")), 6).as("max_h"))
+        .orderBy(col("decibit_bucket"))
+    },
+    Some("""
+      WITH chars AS (
+        SELECT doc_id, ch, COUNT(*) AS cnt FROM (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        WHERE len(ch) > 0 GROUP BY doc_id, ch),
+      per_doc AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(CAST(-(cnt / n) * LOG2(cnt / n) AS DECIMAL(18,12))) AS DOUBLE), 6) AS h_bits
+        FROM (SELECT doc_id, ch, cnt,
+                     CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+              FROM chars)
+        GROUP BY doc_id)
+      SELECT CAST(FLOOR(h_bits * 10) AS BIGINT) AS decibit_bucket,
+             COUNT(*) AS n_docs,
+             ROUND(MIN(h_bits), 6) AS min_h,
+             ROUND(MAX(h_bits), 6) AS max_h
+      FROM per_doc GROUP BY 1 ORDER BY decibit_bucket
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,
-    txtHeapsLaw, txtBpeMerges)
+    txtHeapsLaw, txtBpeMerges, txtCharEntropy)
 }

@@ -60,7 +60,9 @@ class DeterminismSpec extends AnyFunSuite {
     "serve_bitmap_index",        // bit_or packing (commutative by design)
     "win_drawdown",              // running-max + earliest-day argmax tie
     "evt_dow_seasonality",       // rank-median over dup counts
-    "scan_text_lines")           // multi-file text round-trip + reparse
+    "scan_text_lines",           // multi-file text round-trip + reparse
+    "txt_char_entropy",          // decimal-summed log2 terms
+    "evt_top_paths")             // sort_array collapse + top-15 tie-break
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
