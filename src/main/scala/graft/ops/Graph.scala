@@ -437,7 +437,100 @@ object Graph {
     """)
   )
 
+  /** Link prediction by common-neighbor overlap (r7; Liben-Nowell &
+    * Kleinberg 2003 — the common-neighbors / Jaccard similarity baselines
+    * that every graph-ML feature pipeline computes before anything fancier):
+    * over the same support-filtered supplier co-occurrence graph as
+    * `graph_triangle_count`, score each NON-adjacent vertex pair (u, w) by
+    * how many neighbors they share — wedges u–apex–w enumerate exactly the
+    * pairs with ≥1 common neighbor (never the quadratic non-edge set), one
+    * left-anti join removes existing edges, and Jaccard lands in integer
+    * ppm: common · 1e6 div (deg_u + deg_w − common). The fixture's
+    * co-occurrence graph is uniformly dense (every supplier pair shares
+    * orders at every SF), so the edge set is the top-decile-support pairs —
+    * the threshold is percentile_disc(0.9) of the support distribution
+    * (exact, engine-identical, SF-invariant by construction), carried as a
+    * 1-row broadcast scalar; "predicted links" are then the
+    * just-below-threshold pairs ranked by neighborhood overlap, which is
+    * exactly the link-prediction task. Everything is a vertex-keyed
+    * equi-join + count: the wedge fanout is Σ deg(apex)² — the
+    * triangle-count bound — and the candidate table aggregates map-side
+    * before scoring, so the plan is the degree-capped node-iterator shape
+    * that survives power-law graphs when the apex degree is capped (here by
+    * the same l_suppkey < 250 anchor). Top-20 predicted links with a full
+    * deterministic tie-break.
+    */
+  val graphCommonNeighbors = Op(
+    "graph_common_neighbors",
+    (s, d) => {
+      val orderSupp = T.lineitem(s, d)
+        .filter(col("l_suppkey") < 250)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      // the support table feeds the threshold scalar AND the edge filter —
+      // checkpoint so the order-pair self-join runs once (the
+      // sim_prefix_filter_join fanout discipline)
+      val sup = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
+        .filter(col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .localCheckpoint(true)
+      val thr = sup.agg(
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY support)").as("thr"))
+      val pairs = sup.crossJoin(broadcast(thr))
+        .filter(col("support") >= col("thr"))
+        .select(col("a"), col("b"))
+      val adj = pairs.select(col("a").as("v"), col("b").as("n"))
+        .union(pairs.select(col("b").as("v"), col("a").as("n")))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val cand = adj.as("p").join(adj.as("q"),
+          col("p.v") === col("q.v") && col("p.n") < col("q.n"))
+        .groupBy(col("p.n").as("u"), col("q.n").as("w"))
+        .agg(count(lit(1)).as("common"))
+      val nonEdges = cand.join(pairs,
+          cand("u") === pairs("a") && cand("w") === pairs("b"), "left_anti")
+      nonEdges
+        .join(deg.withColumnRenamed("v", "u").withColumnRenamed("deg", "deg_u"), Seq("u"))
+        .join(deg.withColumnRenamed("v", "w").withColumnRenamed("deg", "deg_w"), Seq("w"))
+        .withColumn("jaccard_ppm",
+          expr("common * 1000000 div (deg_u + deg_w - common)"))
+        .select(col("u"), col("w"), col("common"), col("deg_u"), col("deg_w"),
+          col("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("common").desc, col("u"), col("w"))
+        .limit(20)
+    },
+    Some("""
+      WITH os AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        FROM lineitem WHERE l_suppkey < 250),
+      sup AS (
+        SELECT x.sk AS a, y.sk AS b, COUNT(*) AS support
+        FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a, b FROM sup
+        WHERE support >= (SELECT quantile_disc(support, 0.9) FROM sup)),
+      adj AS (
+        SELECT a AS v, b AS n FROM pairs
+        UNION ALL SELECT b AS v, a AS n FROM pairs),
+      deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+      cand AS (
+        SELECT p.n AS u, q.n AS w, COUNT(*) AS common
+        FROM adj p JOIN adj q ON p.v = q.v AND p.n < q.n
+        GROUP BY 1, 2),
+      nonedges AS (
+        SELECT c.* FROM cand c
+        WHERE NOT EXISTS (SELECT 1 FROM pairs e WHERE e.a = c.u AND e.b = c.w))
+      SELECT n.u, n.w, n.common, du.deg AS deg_u, dw.deg AS deg_w,
+             n.common * 1000000 // (du.deg + dw.deg - n.common) AS jaccard_ppm
+      FROM nonedges n
+      JOIN deg du ON du.v = n.u
+      JOIN deg dw ON dw.v = n.w
+      ORDER BY jaccard_ppm DESC, common DESC, u, w LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount,
     graphBfsReachability, graphDegreeDistribution, graphLabelPropagation,
-    graphKCore)
+    graphKCore, graphCommonNeighbors)
 }
