@@ -963,10 +963,66 @@ object Events {
     """)
   )
 
+  /** Per-source transition entropy (r7) — how PREDICTABLE each event type's
+    * successor is: `evt_path_transitions` gives the first-order matrix, this
+    * collapses each row of it to H = −Σ p·ln p over the next-type
+    * distribution (near 0 ⇒ one dominant successor worth prefetching /
+    * hard-coding in the intent model; near ln(|types|) ⇒ uniform, no
+    * signal). Shares the matrix's plan — one user_id shuffle for the lead
+    * window, map-side-combined (from, to) counts — then entropy rides the
+    * ≤|types|² aggregate (agg-before-window), so the heavy stage is exactly
+    * the transition count at any scale. The decimal(18,12)-summed ln terms +
+    * round-6 presentation are the `txt_unigram_logprob` discipline
+    * (shuffle-order-free sums, engine-identical ln); the dominant-successor
+    * share is integer ppm.
+    */
+  val evtTransitionEntropy = Op(
+    "evt_transition_entropy",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val m = T.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("c"))
+      m.withColumn("n", sum(col("c")).over(Window.partitionBy(col("from_type"))))
+        .withColumn("term",
+          (-(col("c") / col("n")) * log(col("c") / col("n"))).cast("decimal(18,12)"))
+        .groupBy(col("from_type"))
+        .agg(
+          sum(col("c")).as("n_out"),
+          count(lit(1)).as("n_successors"),
+          round(sum(col("term")).cast("double"), 6).as("h_nats"),
+          expr("max(c) * 1000000 div max(n)").as("top_share_ppm"))
+        .orderBy(col("from_type"))
+    },
+    Some("""
+      WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS next_type
+        FROM events),
+      m AS (
+        SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS c
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      r AS (
+        SELECT from_type, to_type, c,
+               CAST(SUM(c) OVER (PARTITION BY from_type) AS DOUBLE) AS n
+        FROM m)
+      SELECT from_type,
+             CAST(SUM(c) AS BIGINT) AS n_out,
+             COUNT(*) AS n_successors,
+             ROUND(CAST(SUM(CAST(-(c / n) * LN(c / n) AS DECIMAL(18,12))) AS DOUBLE), 6) AS h_nats,
+             MAX(c) * 1000000 // CAST(MAX(n) AS BIGINT) AS top_share_ppm
+      FROM r GROUP BY from_type ORDER BY from_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
     evtSequencePattern, evtLifecycleStates, evtBotGapStats, evtDowSeasonality,
-    evtTopPaths)
+    evtTopPaths, evtTransitionEntropy)
 }
