@@ -815,9 +815,69 @@ object MLPipeline {
     """)
   )
 
+  /** Leave-one-out smoothed target encoding (r7; Micci-Barreca 2001 — the
+    * categorical→numeric feature transform of every tabular model): encode
+    * c_mktsegment by each order's segment conversion rate EXCLUDING the
+    * order itself (plain per-category means leak the label into the
+    * feature — the bug this construction exists to avoid), shrunk toward
+    * the global prior with pseudo-count m=20 so rare categories don't
+    * memorize noise: enc = ((seg_pos − y)·1e6 + m·prior_ppm) div
+    * (seg_cnt − 1 + m). The encoding depends only on (segment, y), so the
+    * whole op rides the contingency table: one broadcast dim join, one
+    * map-side-combined (segment, y) count, windows over the ≤2·|segments|
+    * aggregate (agg-before-window; the unpartitioned window spans ≤10
+    * rows). All integer ppm — exact, hash-oracle-able, and the production
+    * encode-back is a broadcast of this same tiny table. Target: order
+    * fulfilled (o_orderstatus = 'F').
+    */
+  private val mlTargetEncode = Op(
+    "ml_target_encode",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val cust = T.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      val cont = T.orders(s, d)
+        .select(col("o_custkey"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("segment"), col("y")).agg(count(lit(1)).as("n"))
+      cont
+        .withColumn("seg_cnt", sum(col("n")).over(W.partitionBy(col("segment"))))
+        .withColumn("seg_pos", sum(expr("y * n")).over(W.partitionBy(col("segment"))))
+        .withColumn("tot", sum(col("n")).over(W.partitionBy()))
+        .withColumn("tot_pos", sum(expr("y * n")).over(W.partitionBy()))
+        .withColumn("prior_ppm", expr("tot_pos * 1000000 div tot"))
+        .withColumn("enc_ppm",
+          expr("((seg_pos - y) * 1000000 + 20 * prior_ppm) div (seg_cnt - 1 + 20)"))
+        .select(col("segment"), col("y"), col("n").as("n_orders"),
+          col("prior_ppm"), col("enc_ppm"))
+        .orderBy(col("segment"), col("y"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT c_mktsegment AS segment,
+               CAST(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM orders JOIN customer ON o_custkey = c_custkey),
+      cont AS (SELECT segment, y, COUNT(*) AS n FROM base GROUP BY 1, 2),
+      w AS (
+        SELECT segment, y, n,
+               CAST(SUM(n) OVER (PARTITION BY segment) AS BIGINT) AS seg_cnt,
+               CAST(SUM(y * n) OVER (PARTITION BY segment) AS BIGINT) AS seg_pos,
+               CAST(SUM(n) OVER () AS BIGINT) AS tot,
+               CAST(SUM(y * n) OVER () AS BIGINT) AS tot_pos
+        FROM cont)
+      SELECT segment, y, n AS n_orders,
+             CAST(tot_pos * 1000000 // tot AS BIGINT) AS prior_ppm,
+             CAST(((seg_pos - y) * 1000000 + 20 * (tot_pos * 1000000 // tot))
+               // (seg_cnt - 1 + 20) AS BIGINT) AS enc_ppm
+      FROM w ORDER BY segment, y
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
-    mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift)
+    mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
+    mlTargetEncode)
 }
