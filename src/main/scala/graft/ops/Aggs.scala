@@ -698,7 +698,108 @@ object Aggs {
     """)
   )
 
+  /** KMV (k-minimum-values) distinct-count sketch (r7; Bar-Yossef et al.
+    * 2002 — the mergeable theta-sketch family's simplest member, and unlike
+    * `agg_approx_hll` fully DETERMINISTIC here, hence hash-oracled rather
+    * than exempt): hash each user to 48 uniform bits (the md5 fold of
+    * `qc_dataset_fingerprint`), keep the k=128 smallest distinct hashes per
+    * event_type, estimate n̂ = (k−1)·2^48 div (h_k + 1) (the +1 guards the
+    * h_k=0 division identically in both engines; when a scope holds fewer
+    * than k hashes the sketch IS the exact set). The per-type bottom-k runs
+    * on the custom TopKPerKey operator — k-row bounded heaps per key, never
+    * a per-type sort — over the ONCE-collapsed distinct (type, user) pairs
+    * (checkpointed: they also feed the exact-count comparison), and the
+    * cross-type merge is the textbook KMV union: k smallest of the unioned
+    * sketch rows (k-min of k-min sets = k-min of the union), a TakeOrdered
+    * over ≤ |types|·k rows. Emits per-scope exact vs estimate with error
+    * in integer ppm — the exact twin exists to EXHIBIT the error; the
+    * production path ships only the k-row sketches, which is what makes
+    * distinct-count cheap and mergeable across 100 TB partitions.
+    */
+  val aggKmvDistinct = Op(
+    "agg_kmv_distinct",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+      graft.plans.TopKStrategy.ensureRegistered(s)
+      val fold48 =
+        """aggregate(
+             transform(sequence(1, 12),
+               i -> CAST(instr('0123456789abcdef',
+                      substring(md5(CAST(user_id AS STRING)), i, 1)) - 1 AS BIGINT)),
+             0L, (acc, v) -> acc * 16L + v)"""
+      val pairs = T.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true)
+      val hashes = pairs
+        .select(col("event_type"), expr(fold48).as("h")).distinct()
+      val lp = hashes.queryExecution.analyzed
+      def attr(n: String) = lp.output.find(_.name == n).get
+      val topk = org.apache.spark.sql.GraftBridge.ofRows(s,
+          graft.plans.TopKPerKey(128, Seq(attr("event_type")),
+            Seq(SortOrder(attr("h"), Ascending)), lp))
+        .select(col("event_type"), col("h"))
+        .localCheckpoint(true)
+      val perType = topk.groupBy(col("event_type").as("scope"))
+        .agg(count(lit(1)).as("sketch_n"), max(col("h")).as("kth_h"))
+        .join(pairs.groupBy(col("event_type").as("scope"))
+          .agg(count(lit(1)).as("n_exact")), Seq("scope"))
+      val merged = topk.select(col("h")).distinct()
+        .orderBy(col("h")).limit(128)
+        .agg(count(lit(1)).as("sketch_n"), max(col("h")).as("kth_h"))
+        .withColumn("scope", lit("__merged__"))
+        .crossJoin(broadcast(
+          pairs.select(col("user_id")).distinct()
+            .agg(count(lit(1)).as("n_exact"))))
+      perType.select(col("scope"), col("n_exact"), col("sketch_n"), col("kth_h"))
+        .unionByName(
+          merged.select(col("scope"), col("n_exact"), col("sketch_n"), col("kth_h")))
+        .withColumn("est", expr(
+          "CASE WHEN sketch_n < 128 THEN sketch_n " +
+            "ELSE 35747322042253312 div (kth_h + 1) END"))
+        .withColumn("err_ppm", expr("abs(est - n_exact) * 1000000 div n_exact"))
+        .orderBy(col("scope"))
+    },
+    Some("""
+      WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+      hs AS (
+        SELECT DISTINCT event_type,
+               list_reduce(
+                 list_transform(range(1, 13),
+                   i -> CAST(strpos('0123456789abcdef',
+                          substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                 (acc, v) -> acc * 16 + v) AS h
+        FROM pairs),
+      r AS (SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hs),
+      topk AS (SELECT event_type, h FROM r WHERE rn <= 128),
+      per AS (
+        SELECT t.event_type AS scope, e.n_exact,
+               COUNT(*) AS sketch_n, MAX(t.h) AS kth_h
+        FROM topk t
+        JOIN (SELECT event_type, COUNT(*) AS n_exact FROM pairs GROUP BY 1) e
+          ON e.event_type = t.event_type
+        GROUP BY 1, 2),
+      mr AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+             FROM (SELECT DISTINCT h FROM topk)),
+      m AS (
+        SELECT '__merged__' AS scope,
+               (SELECT COUNT(DISTINCT user_id) FROM pairs) AS n_exact,
+               COUNT(*) AS sketch_n, MAX(h) AS kth_h
+        FROM mr WHERE rn <= 128),
+      u AS (SELECT * FROM per UNION ALL SELECT * FROM m)
+      SELECT scope, n_exact, sketch_n, kth_h,
+             CAST(CASE WHEN sketch_n < 128 THEN sketch_n
+                  ELSE 35747322042253312 // (kth_h + 1) END AS BIGINT) AS est,
+             CAST(abs((CASE WHEN sketch_n < 128 THEN sketch_n
+                  ELSE 35747322042253312 // (kth_h + 1) END) - n_exact)
+                  * 1000000 // n_exact AS BIGINT) AS err_ppm
+      FROM u ORDER BY scope
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    aggKmvDistinct,
     aggIncrementalRollup,
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
     aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,
