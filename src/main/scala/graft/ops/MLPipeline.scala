@@ -874,10 +874,83 @@ object MLPipeline {
     """)
   )
 
+  /** χ² feature selection (r7; the Yang & Pedersen 1997 feature-ranking
+    * baseline — which tokens are statistically DEPENDENT on the label, i.e.
+    * worth keeping in the model's vocabulary): per-token 2×2 contingency
+    * (A = positive docs containing it, B = negative; C/D the complements
+    * from the broadcast global scalars), χ² = N·(AD−BC)² / ((A+B)(C+D)(A+C)(B+D))
+    * in exact DECIMAL(38)/HUGEINT integer math emitted as χ²-milli (float
+    * χ² would not hash-match; the numerator squares a value up to N², so
+    * plain BIGINT overflows exactly at the documented scale — the
+    * win_bollinger_bands widening discipline). One corpus scan: the
+    * label rides THROUGH the token explode, distinct (doc, token, y)
+    * pairs are checkpointed (they feed the per-token counts AND the
+    * global doc scalars), everything after is map-side-combined counts +
+    * a broadcast 1-row join. df ≥ 5 and df < N guard degenerate
+    * denominators. Top-20 tokens by χ² — the model-ready vocabulary cut.
+    */
+  private val mlChi2FeatureSelect = Op(
+    "ml_chi2_feature_select",
+    (s, d) => {
+      val exploded = T.documents(s, d)
+        .select(col("doc_id"),
+          when(instr(col("text"), "customer") > 0, 1L).otherwise(0L).as("y"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+        .distinct()
+        .localCheckpoint(true)
+      val scalars = exploded.select(col("doc_id"), col("y")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
+      exploded.groupBy(col("token"))
+        .agg(sum(col("y")).as("a"), count(lit(1)).as("df"))
+        .crossJoin(broadcast(scalars))
+        .filter(col("df") >= 5 && col("df") < col("n_docs"))
+        .withColumn("chi2_milli", expr(
+          """CAST((CAST(n_docs AS DECIMAL(20,0))
+                   * (CAST(a AS DECIMAL(20,0)) * ((n_docs - n_pos) - (df - a))
+                      - CAST(df - a AS DECIMAL(20,0)) * (n_pos - a))
+                   * (CAST(a AS DECIMAL(20,0)) * ((n_docs - n_pos) - (df - a))
+                      - CAST(df - a AS DECIMAL(20,0)) * (n_pos - a))
+                   * 1000)
+                  div (CAST(df AS DECIMAL(20,0)) * (n_docs - df)
+                       * n_pos * (n_docs - n_pos)) AS BIGINT)"""))
+        .select(col("token"), col("df"), col("a").as("df_pos"), col("chi2_milli"))
+        .orderBy(col("chi2_milli").desc, col("token"))
+        .limit(20)
+    },
+    Some("""
+      WITH exploded AS (
+        SELECT DISTINCT doc_id,
+               CAST(CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS BIGINT) AS y,
+               token
+        FROM (SELECT doc_id, text, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE len(token) > 0),
+      scalars AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM (SELECT DISTINCT doc_id, y FROM exploded)),
+      per AS (
+        SELECT token, CAST(SUM(y) AS BIGINT) AS a, COUNT(*) AS df
+        FROM exploded GROUP BY token)
+      SELECT token, df, a AS df_pos,
+             CAST((CAST(n_docs AS HUGEINT)
+                   * (CAST(a AS HUGEINT) * ((n_docs - n_pos) - (df - a))
+                      - CAST(df - a AS HUGEINT) * (n_pos - a))
+                   * (CAST(a AS HUGEINT) * ((n_docs - n_pos) - (df - a))
+                      - CAST(df - a AS HUGEINT) * (n_pos - a))
+                   * 1000)
+                  // (CAST(df AS HUGEINT) * (n_docs - df)
+                      * n_pos * (n_docs - n_pos)) AS BIGINT) AS chi2_milli
+      FROM per, scalars
+      WHERE df >= 5 AND df < n_docs
+      ORDER BY chi2_milli DESC, token LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
-    mlTargetEncode)
+    mlTargetEncode, mlChi2FeatureSelect)
 }
