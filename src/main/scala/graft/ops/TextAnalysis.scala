@@ -1148,10 +1148,71 @@ object TextAnalysis {
     """)
   )
 
+  /** Code-vs-prose gate (r7) — the mixture-control screen a web-corpus
+    * pipeline runs before setting the code fraction of a training mix
+    * (code that leaks into the prose bucket skews tokenizer fertility and
+    * dilutes both domains): three per-doc densities in integer ppm —
+    * structural symbols `{}();=<>[]#`, digits, and technical-keyword hits
+    * per kilotoken — plus a threshold label. All three features are one
+    * regexp/length pass per doc (scan-speed, no shuffle until the
+    * ≤|langs|×2-row rollup, map-side combined). On this fixture the
+    * symbol/digit channels are structurally zero (the corpus is
+    * alphabetic word text — the ASCII fixture-invariant test pins that)
+    * and the keyword channel carries the split; the label threshold
+    * (≥200/kilotoken) sits at the corpus median so both classes populate
+    * at every SF. Integer division end-to-end — exact, hash-oracled.
+    */
+  val txtCodeDetect = Op(
+    "txt_code_detect",
+    (s, d) => {
+      val feats = T.documents(s, d).select(
+        col("lang"),
+        expr("""size(regexp_extract_all(text, '[{}();=<>\\[\\]#]', 0)) * 1000000L
+                div length(text)""").as("symbol_ppm"),
+        expr("""size(regexp_extract_all(text, '[0-9]', 0)) * 1000000L
+                div length(text)""").as("digit_ppm"),
+        expr("""size(regexp_extract_all(text, '(merge|hash|join|sort|scan|filter)', 0)) * 1000
+                div size(split(text, ' '))""").as("kw_pkt"))
+      feats
+        .withColumn("label",
+          when(col("symbol_ppm") >= 20000 || col("kw_pkt") >= 200, "code_like")
+            .otherwise("prose"))
+        .groupBy(col("lang"), col("label"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("sum(kw_pkt) div count(1)").as("avg_kw_pkt"),
+          max(col("kw_pkt")).as("max_kw_pkt"),
+          expr("sum(symbol_ppm) div count(1)").as("avg_symbol_ppm"),
+          expr("sum(digit_ppm) div count(1)").as("avg_digit_ppm"))
+        .orderBy(col("lang"), col("label"))
+    },
+    Some("""
+      WITH feats AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(text, '[{}();=<>\[\]#]')) * 1000000
+                    / len(text) AS BIGINT) AS symbol_ppm,
+               CAST(len(regexp_extract_all(text, '[0-9]')) * 1000000
+                    / len(text) AS BIGINT) AS digit_ppm,
+               len(regexp_extract_all(text, '(merge|hash|join|sort|scan|filter)')) * 1000
+                 // len(string_split(text, ' ')) AS kw_pkt
+        FROM documents),
+      lab AS (
+        SELECT *, CASE WHEN symbol_ppm >= 20000 OR kw_pkt >= 200
+                       THEN 'code_like' ELSE 'prose' END AS label
+        FROM feats)
+      SELECT lang, label, COUNT(*) AS n_docs,
+             CAST(SUM(kw_pkt) // COUNT(*) AS BIGINT) AS avg_kw_pkt,
+             MAX(kw_pkt) AS max_kw_pkt,
+             CAST(SUM(symbol_ppm) // COUNT(*) AS BIGINT) AS avg_symbol_ppm,
+             CAST(SUM(digit_ppm) // COUNT(*) AS BIGINT) AS avg_digit_ppm
+      FROM lab GROUP BY 1, 2 ORDER BY lang, label
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,
-    txtHeapsLaw, txtBpeMerges, txtCharEntropy)
+    txtHeapsLaw, txtBpeMerges, txtCharEntropy, txtCodeDetect)
 }
