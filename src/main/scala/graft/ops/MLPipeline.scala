@@ -947,10 +947,103 @@ object MLPipeline {
     """)
   )
 
+  /** Hash-oracled Lloyd k-means (r7; Lloyd 1957) — the clustering kernel
+    * under `sim_label_centroids`/`sem_dedup_clusters`, here as the exact
+    * ITERATIVE form, made deterministic the way `graph_pagerank` was: all
+    * coordinates on the integer µ-unit grid (floor(x·1e6)) and centroid
+    * updates by integer division (floored means), so assignment, update,
+    * and inertia are bit-exact under any shuffle order — which
+    * floating-point k-means never is (the 1e-6/dim quantization is far
+    * below the data's spread and is exactly what buys the oracle). Seeds =
+    * the k=8 smallest vec_ids; two full Lloyd rounds (fixed count keeps
+    * the oracle a finite CTE chain); argmin by min(struct(dist, cluster))
+    * — the LPA tie-break idiom. Plan shape is the textbook distributed
+    * Lloyd: the exploded (vec, dim, xu) table is checkpointed ONCE (it
+    * feeds both assigns and both updates), centroids are ≤ k·dims rows
+    * BROADCAST to every assign — so each iteration is one broadcast join +
+    * two map-side-combined aggs, no shuffle grows with corpus size, and
+    * per-cluster sums fit BIGINT while inertia rides DECIMAL(38,0)
+    * (1e9-vector corpora overflow a long exactly where it matters).
+    */
+  private val mlKmeansLloyd = Op(
+    "ml_kmeans_lloyd",
+    (s, d) => {
+      val x = T.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("xu"))
+        .localCheckpoint(true)
+      val c0 = x.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cluster"), col("dim"), col("xu").as("cu"))
+      def assign(c: org.apache.spark.sql.DataFrame) =
+        x.join(broadcast(c), Seq("dim"))
+          .groupBy(col("vec_id"), col("cluster"))
+          .agg(expr("sum((xu - cu) * (xu - cu))").as("dist"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+          .select(col("vec_id"), col("m.cluster").as("cluster"),
+            col("m.dist").as("dist"))
+      def update(a: org.apache.spark.sql.DataFrame) =
+        x.join(a.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(expr("sum(xu) div count(1)").as("cu"))
+      val a2 = assign(update(assign(c0))).localCheckpoint(true)
+      val c2 = update(a2)
+      val stats = a2.groupBy(col("cluster")).agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("dist").cast("decimal(38,0)")).cast("long").as("inertia_u2"))
+      val preview = c2.groupBy(col("cluster")).agg(
+        max(when(col("dim") === 1, col("cu"))).as("c_d1"),
+        max(when(col("dim") === 2, col("cu"))).as("c_d2"),
+        max(when(col("dim") === 3, col("cu"))).as("c_d3"),
+        max(when(col("dim") === 4, col("cu"))).as("c_d4"))
+      stats.join(preview, Seq("cluster")).orderBy(col("cluster"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xu
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS cluster, dim, xu AS cu FROM x WHERE vec_id < 8),
+      d1 AS (SELECT x.vec_id, c.cluster, SUM((xu - cu) * (xu - cu)) AS dist
+             FROM x JOIN c0 c USING (dim) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cluster,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cluster) AS rn
+               FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a1.cluster, x.dim,
+                    CAST(SUM(xu) // COUNT(*) AS BIGINT) AS cu
+             FROM x JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT x.vec_id, c.cluster, SUM((xu - cu) * (xu - cu)) AS dist
+             FROM x JOIN c1 c USING (dim) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, cluster, dist FROM (
+               SELECT vec_id, cluster, dist,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cluster) AS rn
+               FROM d2) WHERE rn = 1),
+      c2 AS (SELECT a2.cluster, x.dim,
+                    CAST(SUM(xu) // COUNT(*) AS BIGINT) AS cu
+             FROM x JOIN a2 USING (vec_id) GROUP BY 1, 2),
+      stats AS (SELECT cluster, COUNT(*) AS n_vecs,
+                       CAST(SUM(dist) AS BIGINT) AS inertia_u2
+                FROM a2 GROUP BY 1),
+      prev AS (SELECT cluster,
+                      MAX(CASE WHEN dim = 1 THEN cu END) AS c_d1,
+                      MAX(CASE WHEN dim = 2 THEN cu END) AS c_d2,
+                      MAX(CASE WHEN dim = 3 THEN cu END) AS c_d3,
+                      MAX(CASE WHEN dim = 4 THEN cu END) AS c_d4
+               FROM c2 GROUP BY 1)
+      SELECT stats.cluster, n_vecs, inertia_u2, c_d1, c_d2, c_d3, c_d4
+      FROM stats JOIN prev ON stats.cluster = prev.cluster
+      ORDER BY stats.cluster
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
-    mlTargetEncode, mlChi2FeatureSelect)
+    mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd)
 }
