@@ -721,17 +721,14 @@ object Aggs {
     (s, d) => {
       import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
       graft.plans.TopKStrategy.ensureRegistered(s)
-      val fold48 =
-        """aggregate(
-             transform(sequence(1, 12),
-               i -> CAST(instr('0123456789abcdef',
-                      substring(md5(CAST(user_id AS STRING)), i, 1)) - 1 AS BIGINT)),
-             0L, (acc, v) -> acc * 16L + v)"""
+      graft.functions.HashFold.register(s)
       val pairs = T.events(s, d)
         .select(col("event_type"), col("user_id")).distinct()
         .localCheckpoint(true)
       val hashes = pairs
-        .select(col("event_type"), expr(fold48).as("h")).distinct()
+        .select(col("event_type"),
+          call_function("md5fold48", col("user_id").cast("string")).as("h"))
+        .distinct()
       val lp = hashes.queryExecution.analyzed
       def attr(n: String) = lp.output.find(_.name == n).get
       val topk = org.apache.spark.sql.GraftBridge.ofRows(s,

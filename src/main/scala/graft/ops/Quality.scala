@@ -304,13 +304,11 @@ object Quality {
   val qcDatasetFingerprint = Op(
     "qc_dataset_fingerprint",
     (s, d) => {
-      // 12 hex chars -> 48-bit int via an explicit fold; strpos-based so
-      // the hex parse is identical SQL in both engines
-      def rowHash(canon: String) =
-        s"""aggregate(
-              transform(sequence(1, 12),
-                i -> CAST(instr('0123456789abcdef', substring(md5($canon), i, 1)) - 1 AS BIGINT)),
-              0L, (acc, v) -> acc * 16L + v)"""
+      // 48-bit md5 fold (digest's first 6 bytes big-endian) as the native
+      // codegen'd expression; the oracle keeps the explicit strpos fold,
+      // so equivalence is hash-checked right here
+      graft.functions.HashFold.register(s)
+      def rowHash(canon: String) = s"md5fold48($canon)"
       val docs = T.documents(s, d)
         .withColumn("rh", expr(rowHash("concat_ws('|', doc_id, lang, source, text)")))
       val cleaned = T.documents(s, d)

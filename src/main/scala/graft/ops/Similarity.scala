@@ -1899,12 +1899,9 @@ object Similarity {
     "sim_lsh_tuning_curve",
     (s, d) => {
       import s.implicits._
-      val hv =
-        """aggregate(
-             transform(sequence(1, 12),
-               i -> CAST(instr('0123456789abcdef',
-                      substring(md5(concat(shingle, '#', CAST(h AS STRING))), i, 1)) - 1 AS BIGINT)),
-             0L, (acc, v) -> acc * 16L + v)"""
+      graft.functions.HashFold.register(s)
+      // native codegen'd twin of the oracle's strpos fold (see HashFold)
+      val hv = "md5fold48(concat(shingle, '#', CAST(h AS STRING)))"
       val sh = T.documents(s, d)
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), split(col("text"), " ").as("arr"))

@@ -244,5 +244,29 @@ class PropertySpec extends AnyFunSuite {
     assert(viaCol == 0, "NFC must compose e + combining acute to one code point")
   }
 
+  test("md5fold48: native expression == declarative hex fold, null-safe") {
+    graft.functions.HashFold.register(spark)
+    // column-dependent input defeats constant folding, so the codegen'd
+    // path (not just interpreted eval) is what's being pinned
+    val mismatches = graft.ops.T.documents(spark, sf)
+      .select(concat(col("doc_id").cast("string"), lit("|"),
+        substring(col("text"), 1, 40)).as("sin"))
+      .withColumn("native", call_function("md5fold48", col("sin")))
+      .withColumn("declarative", expr(
+        """aggregate(
+             transform(sequence(1, 12),
+               i -> CAST(instr('0123456789abcdef',
+                      substring(md5(sin), i, 1)) - 1 AS BIGINT)),
+             0L, (acc, v) -> acc * 16L + v)"""))
+      .filter(col("native") =!= col("declarative"))
+      .count()
+    assert(mismatches == 0, "md5fold48 must equal the hex fold it replaces")
+    val nullRow = spark.sql(
+      "SELECT md5fold48(CAST(NULL AS STRING)) AS n, md5fold48('') AS e").head()
+    assert(nullRow.isNullAt(0), "null input must stay null")
+    assert(nullRow.getLong(1) == 0xd41d8cd98f00L,
+      "empty string must fold the canonical empty-md5 prefix")
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }
