@@ -731,11 +731,13 @@ object Aggs {
         .distinct()
       val lp = hashes.queryExecution.analyzed
       def attr(n: String) = lp.output.find(_.name == n).get
+      // NOT checkpointed: both consumers re-run the bounded-heap pass over
+      // the checkpointed in-memory pairs (no parquet re-scan), and the
+      // TopKPerKey node stays visible in the executed plan for the guard
       val topk = org.apache.spark.sql.GraftBridge.ofRows(s,
           graft.plans.TopKPerKey(128, Seq(attr("event_type")),
             Seq(SortOrder(attr("h"), Ascending)), lp))
         .select(col("event_type"), col("h"))
-        .localCheckpoint(true)
       val perType = topk.groupBy(col("event_type").as("scope"))
         .agg(count(lit(1)).as("sketch_n"), max(col("h")).as("kth_h"))
         .join(pairs.groupBy(col("event_type").as("scope"))

@@ -62,7 +62,14 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_dow_seasonality",       // rank-median over dup counts
     "scan_text_lines",           // multi-file text round-trip + reparse
     "txt_char_entropy",          // decimal-summed log2 terms
-    "evt_top_paths")             // sort_array collapse + top-15 tie-break
+    "evt_top_paths",             // sort_array collapse + top-15 tie-break
+    "graph_common_neighbors",    // percentile threshold + wedge joins + ppm
+    "evt_transition_entropy",    // decimal-summed ln + integer ppm share
+    "ml_target_encode",          // contingency windows + integer ppm
+    "agg_kmv_distinct",          // TopKPerKey bottom-k heaps + merge
+    "ml_chi2_feature_select",    // decimal chi2 + top-20 tie-break
+    "ml_kmeans_lloyd",           // integer-grid Lloyd + struct argmin
+    "txt_code_detect")           // regexp densities + integer division
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -573,4 +573,54 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bucketed join should carry fewer exchanges (bucketed=$bucketed, plain=$plain)")
     assert(bucketedPlan.contains("SortMergeJoin"))
   }
+
+  test("graph_common_neighbors: support table checkpointed — no re-scan, threshold broadcast") {
+    val p = plan("graph_common_neighbors")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 0,
+      s"the order-pair self-join must run once (checkpoint), found $scans parquet scans: $p")
+    assert(p.contains("Broadcast"), s"percentile threshold must broadcast: $p")
+  }
+
+  test("ml_target_encode: customer dim broadcast, ppm windows above the contingency agg") {
+    val p = plan("ml_target_encode")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"windows must ride the contingency aggregate, never raw orders: $p")
+  }
+
+  test("agg_kmv_distinct: bottom-k runs on TopKPerKeyExec over the checkpointed pairs") {
+    val p = plan("agg_kmv_distinct")
+    assert(p.contains("TopKPerKey "), s"custom strategy did not plan the node: $p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
+      s"events must be read once into the checkpointed pair table: $p")
+  }
+
+  test("ml_chi2_feature_select: one corpus pass (checkpoint), broadcast scalars, TakeOrdered") {
+    val p = plan("ml_chi2_feature_select")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
+      s"token pairs are checkpointed once — no residual corpus scan: $p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must be a bounded heap: $p")
+  }
+
+  test("ml_kmeans_lloyd: final round reads only checkpointed relations") {
+    val p = plan("ml_kmeans_lloyd")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
+      s"exploded grid and final assignment are checkpointed — no re-scan: $p")
+  }
+
+  test("txt_code_detect: one corpus scan, map-side-combined rollup") {
+    val p = plan("txt_code_detect")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 2,
+      s"rollup must partial-aggregate before the exchange: $p")
+  }
+
+  test("evt_transition_entropy: entropy windows ride the transition matrix, one events scan") {
+    val p = plan("evt_transition_entropy")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
 }
