@@ -1019,7 +1019,64 @@ object Events {
     """)
   )
 
+  /** Seasonal-naive forecast backtest (r7) — the accuracy floor every
+    * volume forecast must beat before it ships (Hyndman's forecasting
+    * folklore: if your model can't beat "same weekday last week", deploy
+    * the naive): forecast(d) = actual(d−7) per event_type, scored over
+    * every day with a 7-back observation. Emits per-type MAPE and signed
+    * bias in integer ppm plus the worst day — the go/no-go readout for
+    * capacity planning and anomaly thresholds alike. The lag rides the
+    * per-type ~30-row daily aggregate (agg-before-window, one shuffle on
+    * the daily key), APE terms are exact integer ratios per day, and the
+    * rollup is map-side combined: raw volume never reaches a window at
+    * any scale. Worst day by max(struct(ape, −epoch_day)) — the LPA/
+    * drawdown argmax idiom, earliest day wins ties, no second window.
+    */
+  val evtForecastBacktest = Op(
+    "evt_forecast_backtest",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("actual"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("fc", lag(col("actual"), 7).over(w))
+        .filter(col("fc").isNotNull)
+        .withColumn("ape_ppm", expr("abs(actual - fc) * 1000000 div actual"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          expr("sum(ape_ppm) div count(1)").as("mape_ppm"),
+          expr("(sum(actual) - sum(fc)) * 1000000 div sum(actual)").as("bias_ppm"),
+          expr("max(struct(ape_ppm, -unix_date(day))).ape_ppm").as("worst_ape_ppm"),
+          expr("date_from_unix_date(CAST(-max(struct(ape_ppm, -unix_date(day)))" +
+            ".col2 AS INT))").as("worst_day"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS actual
+        FROM events GROUP BY 1, 2),
+      b AS (
+        SELECT event_type, day, actual,
+               LAG(actual, 7) OVER (PARTITION BY event_type ORDER BY day) AS fc
+        FROM daily),
+      scored AS (
+        SELECT event_type, day, actual, fc,
+               abs(actual - fc) * 1000000 // actual AS ape_ppm
+        FROM b WHERE fc IS NOT NULL)
+      SELECT event_type,
+             COUNT(*) AS n_days,
+             CAST(SUM(ape_ppm) // COUNT(*) AS BIGINT) AS mape_ppm,
+             CAST((SUM(actual) - SUM(fc)) * 1000000 // SUM(actual) AS BIGINT) AS bias_ppm,
+             MAX(ape_ppm) AS worst_ape_ppm,
+             first(day ORDER BY ape_ppm DESC, day) AS worst_day
+      FROM scored GROUP BY event_type ORDER BY event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    evtForecastBacktest,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
