@@ -705,8 +705,59 @@ object Quality {
     """)
   )
 
+  /** Per-stream freshness lag (r7) — the "is the feed still flowing" SLA
+    * readout every ingestion dashboard leads with: each event type's last
+    * arrival versus the corpus horizon (the freshest stream defines "now"
+    * in a batch fixture; in production the wall clock takes its place via
+    * one literal swap). One scan, one map-side-combined per-type aggregate;
+    * the horizon is max-of-maxes via an unpartitioned window over the
+    * ≤|types|-row aggregate (agg-before-window — bounded by the type
+    * vocabulary, never the log), lag in exact integer minutes on the µs
+    * timeline, stale = silent ≥ 120 min. Also emits per-stream span and
+    * events/day-of-span — the context numbers an on-call reads next.
+    */
+  val qcFreshnessLag = Op(
+    "qc_freshness_lag",
+    (s, d) => {
+      val per = T.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("max(unix_micros(ts))").as("max_us"),
+          expr("min(unix_micros(ts))").as("min_us"))
+      per
+        .withColumn("horizon_us",
+          max(col("max_us")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()))
+        .withColumn("lag_min", expr("(horizon_us - max_us) div 60000000"))
+        .select(
+          col("event_type"), col("n_events"),
+          expr("timestamp_micros(max_us)").as("last_event_ts"),
+          col("lag_min"),
+          (col("lag_min") >= 120).as("stale"),
+          expr("(max_us - min_us) div 86400000000").as("span_days"),
+          expr("n_events div ((max_us - min_us) div 86400000000 + 1)")
+            .as("events_per_day"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT event_type, COUNT(*) AS n_events,
+               MAX(epoch_us(ts)) AS max_us, MIN(epoch_us(ts)) AS min_us
+        FROM events GROUP BY 1),
+      w AS (SELECT *, MAX(max_us) OVER () AS horizon_us FROM per)
+      SELECT event_type, n_events,
+             make_timestamp(max_us) AS last_event_ts,
+             (horizon_us - max_us) // 60000000 AS lag_min,
+             (horizon_us - max_us) // 60000000 >= 120 AS stale,
+             (max_us - min_us) // 86400000000 AS span_days,
+             n_events // ((max_us - min_us) // 86400000000 + 1) AS events_per_day
+      FROM w ORDER BY event_type
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
     qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad, qcSnapshotDiff,
-    qcEmbeddingDrift, qcBenfordCheck, qcCusumDrift, qcTheilSenTrend)
+    qcEmbeddingDrift, qcBenfordCheck, qcCusumDrift, qcTheilSenTrend,
+    qcFreshnessLag)
 }
