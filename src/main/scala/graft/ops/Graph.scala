@@ -530,7 +530,91 @@ object Graph {
     """)
   )
 
+  /** Degree assortativity (r7; Newman 2002) — does the graph wire hub-to-hub
+    * (r > 0, social networks) or hub-to-leaf (r < 0, the star topology of
+    * marketplaces and the internet)? The one scalar that decides which
+    * skew strategy a big graph job needs: disassortative graphs
+    * concentrate join fanout on hub keys (salt them), assortative ones
+    * spread it. Pearson r over the degree pairs of every DIRECTED edge of
+    * the same top-decile co-occurrence graph as `graph_common_neighbors`;
+    * doubling edges makes the x/y marginals identical, so the two
+    * denominator factors coincide and r = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * — ONE integer division, no square root, hence exact integer ppm (the
+    * float formula's sqrt is exactly what usually makes r unoracleable).
+    * Sums ride DECIMAL(38,0) (n·Σxy ~ 1e14 already at sf0.1 — ppm scaling
+    * overflows a long). Plan: the wedge-free half of the common-neighbors
+    * shape — checkpointed support table, two broadcast-size joins onto the
+    * degree aggregate, a 1-row rollup.
+    */
+  val graphAssortativity = Op(
+    "graph_assortativity",
+    (s, d) => {
+      val orderSupp = T.lineitem(s, d)
+        .filter(col("l_suppkey") < 250)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val sup = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
+        .filter(col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .localCheckpoint(true)
+      val thr = sup.agg(
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY support)").as("thr"))
+      val pairs = sup.crossJoin(broadcast(thr))
+        .filter(col("support") >= col("thr"))
+        .select(col("a"), col("b"))
+      val adj = pairs.select(col("a").as("v"), col("b").as("n"))
+        .union(pairs.select(col("b").as("v"), col("a").as("n")))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      adj
+        .join(broadcast(deg.select(col("v"), col("deg").as("x"))), Seq("v"))
+        .join(broadcast(deg.select(col("v").as("n"), col("deg").as("y"))), Seq("n"))
+        .agg(
+          count(lit(1)).as("n_edges_directed"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"))
+        .select(
+          col("n_edges_directed"),
+          col("sx").cast("long").as("sum_deg"),
+          expr("""CAST((n_edges_directed * sxy - sx * sx) * 1000000
+                  div nullif(n_edges_directed * sxx - sx * sx, 0) AS BIGINT)""")
+            .as("assort_r_ppm"))
+    },
+    Some("""
+      WITH os AS (
+        SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+        FROM lineitem WHERE l_suppkey < 250),
+      sup AS (
+        SELECT x.sk AS a, y.sk AS b, COUNT(*) AS support
+        FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+        GROUP BY 1, 2),
+      pairs AS (
+        SELECT a, b FROM sup
+        WHERE support >= (SELECT quantile_disc(support, 0.9) FROM sup)),
+      adj AS (
+        SELECT a AS v, b AS n FROM pairs
+        UNION ALL SELECT b AS v, a AS n FROM pairs),
+      deg AS (SELECT v, COUNT(*) AS deg FROM adj GROUP BY v),
+      e AS (
+        SELECT dx.deg AS x, dy.deg AS y
+        FROM adj JOIN deg dx ON dx.v = adj.v
+                 JOIN deg dy ON dy.v = adj.n),
+      agg AS (
+        SELECT COUNT(*) AS n_edges_directed,
+               CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM e)
+      SELECT n_edges_directed,
+             CAST(sx AS BIGINT) AS sum_deg,
+             CAST((n_edges_directed * sxy - sx * sx) * 1000000
+                  // NULLIF(n_edges_directed * sxx - sx * sx, 0) AS BIGINT) AS assort_r_ppm
+      FROM agg
+    """)
+  )
+
   val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount,
     graphBfsReachability, graphDegreeDistribution, graphLabelPropagation,
-    graphKCore, graphCommonNeighbors)
+    graphKCore, graphCommonNeighbors, graphAssortativity)
 }
