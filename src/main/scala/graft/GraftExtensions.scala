@@ -31,6 +31,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("unicode_norm"),
       new ExpressionInfo(classOf[functions.UnicodeNormalize].getName, "unicode_norm"),
       functions.UnicodeNorm.builder))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[functions.Simhash60].getName, "simhash60"),
+      functions.Sketch60.simhashBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("srp_sketch60"),
+      new ExpressionInfo(classOf[functions.SrpSketch60].getName, "srp_sketch60"),
+      functions.Sketch60.srpBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("md5fold48"),
+      new ExpressionInfo(classOf[functions.Md5Fold48].getName, "md5fold48"),
+      functions.HashFold.builder))
     // declarative aggregate(zip_with(...)) dot products fuse into the
     // codegen'd VectorDot automatically (exact-semantics rewrite)
     ext.injectOptimizerRule(_ => functions.DotProductFusion)

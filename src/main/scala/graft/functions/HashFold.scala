@@ -46,7 +46,7 @@ object HashFold {
     acc
   }
 
-  private val builder: Seq[Expression] => Expression = { args =>
+  val builder: Seq[Expression] => Expression = { args =>
     if (args.length != 1)
       throw new IllegalArgumentException(
         s"md5fold48(string) takes 1 argument, got ${args.length}")

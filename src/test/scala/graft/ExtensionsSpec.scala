@@ -46,12 +46,17 @@ class ExtensionsSpec extends AnyFunSuite {
           |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
           |       unicode_norm(concat('e', '́'), 'NFC')                   AS n,
           |       token_ngrams(array('a','b','c'), 2)                     AS t,
-          |       char_ngrams('abc', 2)                                   AS c""".stripMargin)
+          |       char_ngrams('abc', 2)                                   AS c,
+          |       simhash60(array('a', 'b'))                              AS s60,
+          |       srp_sketch60(array_repeat(CAST(7 AS BIGINT), 64))       AS r60,
+          |       md5fold48('')                                           AS f48""".stripMargin)
         .head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getString(1) == "é")
       assert(r.getSeq[String](2) == Seq("a b", "b c"))
       assert(r.getSeq[String](3) == Seq("ab", "bc"))
+      assert(!r.isNullAt(4) && !r.isNullAt(5))
+      assert(r.getLong(6) == 0xd41d8cd98f00L)
     }
   }
 
