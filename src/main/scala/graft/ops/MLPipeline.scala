@@ -1040,10 +1040,102 @@ object MLPipeline {
     """)
   )
 
+  /** NDCG@10 per language (r7; Järvelin & Kekäläinen 2002) — the
+    * ranking-quality leg of the eval tier: ROC/PR/calibration score a
+    * CLASSIFIER, NDCG scores a RANKER, which is what a search-intent
+    * system actually ships. Graded relevance 3/2/1/0 by keyword tier
+    * (first match wins), a deterministic keyword-density ranker, and
+    * NDCG = DCG over the ranker's top-10 ÷ DCG over the ideal
+    * (relevance-ordered) top-10, per lang. BOTH top-10s run on the custom
+    * TopKPerKey operator — ranking eval never sorts the corpus, it keeps
+    * a 10-row heap per language — over the once-scanned, checkpointed
+    * scored relation; the gain/discount terms ((2^rel−1)/log2(rank+1))
+    * ride the ≤10·|langs| heap output through the DECIMAL(18,12)-sum +
+    * round-6 discipline. IDCG NULLIF-guarded (an all-irrelevant segment
+    * yields NULL, not a crash).
+    */
+  private val mlNdcgAtK = Op(
+    "ml_ndcg_at_k",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+      graft.plans.TopKStrategy.ensureRegistered(s)
+      val scored = T.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          when(instr(col("text"), "customer") > 0, 3L)
+            .when(instr(col("text"), "scan") > 0, 2L)
+            .when(instr(col("text"), "merge") > 0, 1L).otherwise(0L).as("rel"),
+          expr("""CAST((length(text) - length(replace(text, 'customer', ''))) div 8
+                + (length(text) - length(replace(text, 'scan', ''))) div 4
+                + (length(text) - length(replace(text, 'order', ''))) div 5
+                AS BIGINT)""").as("score"))
+        .localCheckpoint(true)
+      val lp = scored.queryExecution.analyzed
+      def attr(n: String) = lp.output.find(_.name == n).get
+      def top10(order: Seq[SortOrder]) =
+        org.apache.spark.sql.GraftBridge.ofRows(s,
+          graft.plans.TopKPerKey(10, Seq(attr("lang")), order, lp))
+      val dcg = top10(Seq(
+          SortOrder(attr("score"), Descending), SortOrder(attr("doc_id"), Ascending)))
+        .groupBy(col("lang"))
+        .agg(round(sum(
+          (expr("CAST(shiftleft(1L, CAST(rel AS INT)) - 1 AS DOUBLE)")
+            / expr("log2(rn + 1)")).cast("decimal(18,12)"))
+          .cast("double"), 6).as("dcg10"))
+      val idcg = top10(Seq(
+          SortOrder(attr("rel"), Descending), SortOrder(attr("doc_id"), Ascending)))
+        .groupBy(col("lang"))
+        .agg(round(sum(
+          (expr("CAST(shiftleft(1L, CAST(rel AS INT)) - 1 AS DOUBLE)")
+            / expr("log2(rn + 1)")).cast("decimal(18,12)"))
+          .cast("double"), 6).as("idcg10"))
+      dcg.join(idcg, Seq("lang"))
+        .withColumn("ndcg10",
+          round(col("dcg10") / expr("nullif(idcg10, CAST(0.0 AS DOUBLE))"), 6))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               CAST(CASE WHEN strpos(text, 'customer') > 0 THEN 3
+                         WHEN strpos(text, 'scan') > 0 THEN 2
+                         WHEN strpos(text, 'merge') > 0 THEN 1
+                         ELSE 0 END AS BIGINT) AS rel,
+               CAST((len(text) - len(replace(text, 'customer', ''))) // 8
+                  + (len(text) - len(replace(text, 'scan', ''))) // 4
+                  + (len(text) - len(replace(text, 'order', ''))) // 5
+                 AS BIGINT) AS score
+        FROM documents),
+      byscore AS (
+        SELECT lang, rel,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY score DESC, doc_id) AS rn
+        FROM scored),
+      byrel AS (
+        SELECT lang, rel,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY rel DESC, doc_id) AS rn
+        FROM scored),
+      dcg AS (
+        SELECT lang,
+               ROUND(CAST(SUM(CAST((CAST(2 AS BIGINT) ** rel - 1)
+                     / LOG2(rn + 1) AS DECIMAL(18,12))) AS DOUBLE), 6) AS dcg10
+        FROM byscore WHERE rn <= 10 GROUP BY lang),
+      idcg AS (
+        SELECT lang,
+               ROUND(CAST(SUM(CAST((CAST(2 AS BIGINT) ** rel - 1)
+                     / LOG2(rn + 1) AS DECIMAL(18,12))) AS DOUBLE), 6) AS idcg10
+        FROM byrel WHERE rn <= 10 GROUP BY lang)
+      SELECT dcg.lang, dcg10, idcg10,
+             ROUND(dcg10 / NULLIF(idcg10, 0.0), 6) AS ndcg10
+      FROM dcg JOIN idcg ON dcg.lang = idcg.lang
+      ORDER BY dcg.lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
-    mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd)
+    mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK)
 }
