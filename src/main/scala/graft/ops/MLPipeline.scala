@@ -1064,9 +1064,12 @@ object MLPipeline {
           when(instr(col("text"), "customer") > 0, 3L)
             .when(instr(col("text"), "scan") > 0, 2L)
             .when(instr(col("text"), "merge") > 0, 1L).otherwise(0L).as("rel"),
-          expr("""CAST((length(text) - length(replace(text, 'customer', ''))) div 8
-                + (length(text) - length(replace(text, 'scan', ''))) div 4
+          // the ranker deliberately does NOT see 'customer' (the top
+          // relevance tier): a ranker keyed on the grading token scores a
+          // degenerate NDCG of exactly 1.0 in every segment
+          expr("""CAST((length(text) - length(replace(text, 'scan', ''))) div 4
                 + (length(text) - length(replace(text, 'order', ''))) div 5
+                + (length(text) - length(replace(text, 'pack', ''))) div 4
                 AS BIGINT)""").as("score"))
         .localCheckpoint(true)
       val lp = scored.queryExecution.analyzed
@@ -1100,9 +1103,9 @@ object MLPipeline {
                          WHEN strpos(text, 'scan') > 0 THEN 2
                          WHEN strpos(text, 'merge') > 0 THEN 1
                          ELSE 0 END AS BIGINT) AS rel,
-               CAST((len(text) - len(replace(text, 'customer', ''))) // 8
-                  + (len(text) - len(replace(text, 'scan', ''))) // 4
+               CAST((len(text) - len(replace(text, 'scan', ''))) // 4
                   + (len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
                  AS BIGINT) AS score
         FROM documents),
       byscore AS (
