@@ -69,7 +69,11 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_kmv_distinct",          // TopKPerKey bottom-k heaps + merge
     "ml_chi2_feature_select",    // decimal chi2 + top-20 tie-break
     "ml_kmeans_lloyd",           // integer-grid Lloyd + struct argmin
-    "txt_code_detect")           // regexp densities + integer division
+    "txt_code_detect",           // regexp densities + integer division
+    "evt_forecast_backtest",     // lag window + argmax worst-day tie-break
+    "qc_freshness_lag",          // horizon window over per-type aggregate
+    "graph_assortativity",       // decimal Pearson, sqrt-free division
+    "ml_ndcg_at_k")              // twin TopKPerKey heaps + decimal DCG
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -623,4 +623,31 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("evt_transition_entropy")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
+
+  test("evt_forecast_backtest: the lag window rides the daily aggregate, one events scan") {
+    val p = plan("evt_forecast_backtest")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"the forecast lag must ride the daily aggregate, never raw events: $p")
+  }
+
+  test("qc_freshness_lag: horizon window above the per-type aggregate, one events scan") {
+    val p = plan("qc_freshness_lag")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"the horizon window must ride the type aggregate: $p")
+  }
+
+  test("ml_ndcg_at_k: both top-10s are TopKPerKey heaps over the checkpointed relation") {
+    val p = plan("ml_ndcg_at_k")
+    assert(p.sliding("TopKPerKey ".length).count(_ == "TopKPerKey ") == 2,
+      s"both rankings must plan the bounded-heap operator: $p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
+      s"the scored relation is checkpointed once: $p")
+    assert(!p.contains("WindowExec"), s"no rank window may replace the heaps: $p")
+  }
 }
