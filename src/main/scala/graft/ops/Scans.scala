@@ -939,8 +939,39 @@ object Scans {
     """)
   )
 
+  /** File-lineage audit via the `_metadata` hidden columns (r7) — the
+    * provenance question every 100 TB lake audit starts with: WHICH file
+    * did a row come from, and is each file internally complete? Spark's
+    * file sources expose `_metadata.file_name/file_size/row_index` on any
+    * scan at zero storage cost (computed from reader state, no extra I/O);
+    * this op rolls them up per file — row count, row_index coverage
+    * [min, max], distinct count, bytes — the audit that catches partial
+    * writes (a gap in row_index), duplicated splits (distinct < n), and
+    * the file-size skew that starves a 1000-executor scan. Oracle: none —
+    * `_metadata` is reader-side state the driver's bare-table DuckDB views
+    * cannot express; ExemptSpec pins the invariants (per-file row_index is
+    * exactly [0, n) dense, files sum to the table count) at every file
+    * layout, single- or multi-part.
+    */
+  val scanFileMetadata = Op(
+    "scan_file_metadata",
+    (s, d) => {
+      s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("_metadata.file_name").as("file_name"),
+          col("_metadata.file_size").as("file_size"),
+          col("_metadata.row_index").as("ri"))
+        .groupBy(col("file_name"), col("file_size"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("ri")).as("ri_min"),
+          max(col("ri")).as("ri_max"),
+          expr("count(distinct ri)").as("n_distinct_ri"))
+        .orderBy(col("file_name"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
-    scanTextLines,
+    scanTextLines, scanFileMetadata,
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,

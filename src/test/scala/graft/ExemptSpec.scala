@@ -597,4 +597,19 @@ class ExemptSpec extends AnyFunSuite {
     // late rows were actually dropped: total kept < total replayed rows
     assert(late.values.sum < replayed.count())
   }
+
+  test("scan_file_metadata: per-file row_index dense [0, n), files sum to the table") {
+    val rows = Registry.queries("scan_file_metadata")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total,
+      "per-file counts must cover the table exactly")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_rows")
+      assert(r.getAs[Long]("ri_min") == 0L, s"row_index must start at 0: $r")
+      assert(r.getAs[Long]("ri_max") == n - 1, s"row_index must be gap-free: $r")
+      assert(r.getAs[Long]("n_distinct_ri") == n, s"row_index must be unique: $r")
+      assert(r.getAs[String]("file_name").nonEmpty && r.getAs[Long]("file_size") > 0L)
+    }
+  }
 }
