@@ -1135,10 +1135,85 @@ object MLPipeline {
     """)
   )
 
+  /** Segment-sliced AUC (r7) — the fairness/robustness readout a global
+    * AUC hides: a model can score 0.8 overall while collapsing to coin-flip
+    * on one language (exactly the failure mode multilingual intent models
+    * ship with). Same tie-corrected Mann-Whitney histogram kernel as
+    * `ml_roc_auc`, computed PER LANGUAGE: one (lang, score) histogram from
+    * one corpus scan, cumulative-count windows partitioned by lang riding
+    * the |langs|·|scores| aggregate (agg-before-window, now with a
+    * partition key — nothing is unpartitioned here), integer-ppm AUC per
+    * segment plus the worst−best spread the reviewer actually reads.
+    */
+  private val mlAucBySegment = Op(
+    "ml_auc_by_segment",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val h = T.documents(s, d).select(
+          col("lang"),
+          when(instr(col("text"), "customer") > 0, 1).otherwise(0).as("y"),
+          expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+                + (length(text) - length(replace(text, 'pack', ''))) div 4
+                + (length(text) - length(replace(text, 'ship', ''))) div 4
+                as bigint)""").as("s"))
+        .groupBy(col("lang"), col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+      val before = W.partitionBy(col("lang")).orderBy(col("s"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val per = h
+        .withColumn("cum_before", coalesce(sum(col("n")).over(before), lit(0L)))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("npos") * (lit(2) * col("cum_before") + col("n") + lit(1)))
+            .cast("long").as("two_r_pos"),
+          sum(col("npos")).cast("long").as("n_pos"),
+          sum(col("n") - col("npos")).cast("long").as("n_neg"))
+        .withColumn("auc_ppm",
+          expr("(two_r_pos - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"))
+      per
+        .withColumn("spread_ppm",
+          max(col("auc_ppm")).over(W.partitionBy())
+            - min(col("auc_ppm")).over(W.partitionBy()))
+        .select(col("lang"), col("n_pos"), col("n_neg"), col("auc_ppm"),
+          col("spread_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT lang,
+               CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s
+        FROM documents),
+      h AS (SELECT lang, s, COUNT(*) AS n, SUM(y) AS npos FROM d GROUP BY 1, 2),
+      c AS (SELECT lang, s, n, npos,
+                   CAST(COALESCE(SUM(n) OVER (PARTITION BY lang ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM h),
+      per AS (
+        SELECT lang,
+               CAST(SUM(npos * (2 * cum_before + n + 1)) AS BIGINT) AS two_r_pos,
+               CAST(SUM(npos) AS BIGINT) AS n_pos,
+               CAST(SUM(n - npos) AS BIGINT) AS n_neg
+        FROM c GROUP BY lang),
+      scored AS (
+        SELECT lang, n_pos, n_neg,
+               (two_r_pos - n_pos * (n_pos + 1)) * 500000 // (n_pos * n_neg) AS auc_ppm
+        FROM per)
+      SELECT lang, n_pos, n_neg, auc_ppm,
+             MAX(auc_ppm) OVER () - MIN(auc_ppm) OVER () AS spread_ppm
+      FROM scored ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
-    mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK)
+    mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK,
+    mlAucBySegment)
 }
