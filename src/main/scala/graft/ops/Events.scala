@@ -1075,8 +1075,68 @@ object Events {
     """)
   )
 
+  /** Time-bounded conversion funnel (r7) — the form product analytics
+    * actually reports: `evt_funnel_conversion` counts who EVER converts,
+    * this counts who converts IN TIME (click within 6 h of first view,
+    * purchase within 24 h of that click) — the unbounded funnel
+    * overstates intent capture by crediting a purchase three weeks later
+    * to the original view. Same scale-sound chain (per-user min-aggs
+    * joined on user_id — one exchange key throughout, never a global
+    * window over raw events), with the deadline as a µs-exact half-open
+    * interval on the integer timeline; per-stage conversion ppm via a lag
+    * window over the 3-row stage rollup.
+    */
+  val evtFunnelWindowed = Op(
+    "evt_funnel_windowed",
+    (s, d) => {
+      val ev = T.events(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + lit(21600000000L))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + lit(86400000000L))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, idx: Int) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), lit(idx).as("stage_idx"), col("n_users"))
+      stage(t1, "view", 1)
+        .unionByName(stage(t2, "click<=6h", 2))
+        .unionByName(stage(t3, "purchase<=24h", 3))
+        // the unpartitioned lag spans exactly the 3 stage rows
+        .withColumn("conv_ppm", expr("CAST(n_users * 1000000 div " +
+          "lag(n_users, 1) OVER (ORDER BY stage_idx) AS BIGINT)"))
+        .orderBy(col("stage_idx"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      t1 AS (SELECT user_id, MIN(us) AS t1 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      t2 AS (SELECT e.user_id, MIN(us) AS t2 FROM ev e JOIN t1 USING (user_id)
+             WHERE event_type = 'click' AND us > t1 AND us <= t1 + 21600000000
+             GROUP BY e.user_id),
+      t3 AS (SELECT e.user_id, MIN(us) AS t3 FROM ev e JOIN t2 USING (user_id)
+             WHERE event_type = 'purchase' AND us > t2 AND us <= t2 + 86400000000
+             GROUP BY e.user_id),
+      stages AS (
+        SELECT 'view' AS stage, 1 AS stage_idx, COUNT(*) AS n_users FROM t1
+        UNION ALL
+        SELECT 'click<=6h', 2, COUNT(*) FROM t2
+        UNION ALL
+        SELECT 'purchase<=24h', 3, COUNT(*) FROM t3)
+      SELECT stage, stage_idx, n_users,
+             CAST(n_users * 1000000 //
+               LAG(n_users, 1) OVER (ORDER BY stage_idx) AS BIGINT) AS conv_ppm
+      FROM stages ORDER BY stage_idx
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    evtForecastBacktest,
+    evtForecastBacktest, evtFunnelWindowed,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
