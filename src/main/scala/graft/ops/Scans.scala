@@ -849,6 +849,85 @@ object Scans {
     """)
   )
 
+  /** Vacuum with a retention window (r7) — the storage-reclamation half of
+    * the `sink_commit_log_snapshot` protocol: time travel requires keeping
+    * files that only OLD versions reference, so space is only reclaimed by
+    * an explicit vacuum that (1) fixes a retention horizon (latest 2
+    * versions here), (2) computes the union of files any retained version
+    * references — pure metadata, the log replay, (3) deletes everything
+    * else. The compaction-orphaned f0 is the only casualty; both retained
+    * snapshots re-read IDENTICALLY from the vacuumed table, which is the
+    * oracle, while the disk-level facts (f0 gone, 3 data files remain,
+    * pre-horizon v0 no longer reconstructible) are PropertySpec-pinned —
+    * they live outside SQL's view. At 100 TB the delete list is built from
+    * the log alone (never a storage listing-diff against live writers) and
+    * the deletes are embarrassingly parallel; only the log replay is
+    * driver-side, exactly like every production table format.
+    */
+  val sinkVacuumRetention = Op(
+    "sink_vacuum_retention",
+    (s, d) => {
+      import s.implicits._
+      val root = T.scratch("vacuumlog")
+      val orders = T.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      def slice(m: Int) = orders.filter(pmod(col("o_orderkey"), lit(4)) === m)
+      slice(0).write.mode("overwrite").parquet(s"$root/f0")
+      slice(1).write.mode("overwrite").parquet(s"$root/f1")
+      slice(0).write.mode("overwrite").parquet(s"$root/f2")
+      slice(2).write.mode("overwrite").parquet(s"$root/f3")
+      val log = Seq(
+        (0L, "add", "f0"), (0L, "add", "f1"),
+        (1L, "add", "f2"), (1L, "remove", "f0"),
+        (2L, "add", "f3"))
+      log.toDF("version", "action", "file")
+        .coalesce(1).write.mode("overwrite").json(s"$root/_log")
+      val actions = s.read.json(s"$root/_log")
+        .select(col("version").cast("long"), col("action"), col("file"))
+        .collect()
+      def live(v: Long): Seq[String] = {
+        val upTo = actions.filter(_.getLong(0) <= v)
+        val removed = upTo.filter(_.getString(1) == "remove").map(_.getString(2)).toSet
+        upTo.filter(_.getString(1) == "add").map(_.getString(2))
+          .filterNot(removed).toSeq.sorted
+      }
+      // retention horizon: latest 2 versions stay time-travelable
+      val maxV = actions.map(_.getLong(0)).max
+      val retained = Seq(maxV - 1, maxV)
+      val keep = retained.flatMap(live).toSet
+      val allFiles = actions.filter(_.getString(1) == "add").map(_.getString(2)).distinct
+      allFiles.filterNot(keep).foreach { f =>
+        val dir = java.nio.file.Paths.get(root, f)
+        if (java.nio.file.Files.exists(dir)) {
+          import java.util.Comparator
+          java.nio.file.Files.walk(dir)
+            .sorted(Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
+      }
+      val snapshots = retained.map { v =>
+        val files = live(v).map(f => s"$root/$f")
+        s.read.parquet(files: _*)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            sum(Det.dec(col("o_totalprice"))).cast("double").as("revenue"))
+          .withColumn("version", lit(v))
+          .select(col("version"), col("n_rows"), col("revenue"))
+      }
+      snapshots.reduce(_ unionByName _).orderBy(col("version"))
+    },
+    Some("""
+      WITH src AS (SELECT o_orderkey, o_totalprice FROM orders)
+      SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM src WHERE o_orderkey % 4 IN (0, 1)
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+      FROM src WHERE o_orderkey % 4 IN (0, 1, 2)
+      ORDER BY version
+    """)
+  )
+
   /** Bitmap-index set algebra (the OLAP bitmap/roaring pattern: O'Neil
     * 1987, Chambi et al. 2016) — `serve_inverted_index` answers
     * "docs containing BOTH tokens" with a postings join; this answers
@@ -977,5 +1056,6 @@ object Scans {
     sinkPartitionedPrune, sinkCompactedFiles, dimScd2Merge, scanJsonVariant,
     serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite,
     sinkCodecTradeoff, sinkSortedSkipping, sinkZorderSkipping,
-    sinkBloomSkipping, sinkCommitLogSnapshot, serveBitmapIndex)
+    sinkBloomSkipping, sinkCommitLogSnapshot, serveBitmapIndex,
+    sinkVacuumRetention)
 }

@@ -244,6 +244,22 @@ class PropertySpec extends AnyFunSuite {
     assert(viaCol == 0, "NFC must compose e + combining acute to one code point")
   }
 
+  test("sink_vacuum_retention: orphan deleted, retained files intact, v0 gone") {
+    Registry.queries("sink_vacuum_retention")(spark, sf).collect()
+    val root = java.nio.file.Paths.get(graft.ops.T.scratch("vacuumlog"))
+    // f0 (referenced only by the pre-horizon v0) must be vacuumed;
+    // f1/f2/f3 (the union of what v1 and v2 reference) must survive
+    assert(!java.nio.file.Files.exists(root.resolve("f0")),
+      "the compaction-orphaned file must be deleted")
+    for (f <- Seq("f1", "f2", "f3"))
+      assert(java.nio.file.Files.exists(root.resolve(f)),
+        s"retained file $f must survive the vacuum")
+    // pre-horizon time travel is genuinely gone, not just unlisted
+    intercept[Exception] {
+      spark.read.parquet(root.resolve("f0").toString).collect()
+    }
+  }
+
   test("md5fold48: native expression == declarative hex fold, null-safe") {
     graft.functions.HashFold.register(spark)
     // column-dependent input defeats constant folding, so the codegen'd
