@@ -73,7 +73,10 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_forecast_backtest",     // lag window + argmax worst-day tie-break
     "qc_freshness_lag",          // horizon window over per-type aggregate
     "graph_assortativity",       // decimal Pearson, sqrt-free division
-    "ml_ndcg_at_k")              // twin TopKPerKey heaps + decimal DCG
+    "ml_ndcg_at_k",              // twin TopKPerKey heaps + decimal DCG
+    "evt_funnel_windowed",       // µs deadline joins + 3-row lag window
+    "join_view_delta_maintain",  // gated base + delta branches + decimal sums
+    "ml_auc_by_segment")         // lang-partitioned histogram windows
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -642,6 +642,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the horizon window must ride the type aggregate: $p")
   }
 
+  test("join_view_delta_maintain: dimension deltas broadcast, base read from the gate") {
+    val p = plan("join_view_delta_maintain")
+    assert(p.sliding("BroadcastHashJoin".length).count(_ == "BroadcastHashJoin") >= 3,
+      s"all three delta branches must broadcast the dimension side: $p")
+    assert(p.contains("ivm_base"), s"the materialized base must be read back: $p")
+  }
+
+  test("ml_auc_by_segment: cumulative windows ride the (lang, score) histogram") {
+    val p = plan("ml_auc_by_segment")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"windows must consume the histogram aggregate, never raw docs: $p")
+  }
+
   test("ml_ndcg_at_k: both top-10s are TopKPerKey heaps over the checkpointed relation") {
     val p = plan("ml_ndcg_at_k")
     assert(p.sliding("TopKPerKey ".length).count(_ == "TopKPerKey ") == 2,
