@@ -755,9 +755,55 @@ object Quality {
     """)
   )
 
+  /** Join-fanout audit (r7) — the pre-flight check before any big join:
+    * output rows per key = n_left · n_right, so one hot key can turn a
+    * "join two tables" into a row explosion that no cluster survives
+    * (the accidental-many-to-many bug every data engineer has shipped).
+    * Per-key multiplicities of orders⋈lineitem on the order key from two
+    * map-side-combined counts, joined key-to-key (tiny vs the tables),
+    * total expected output + the top-20 offender keys by product — read
+    * BEFORE the join runs; `graph_degree_distribution` profiles one
+    * side's skew, this profiles the JOIN's cost. The top-20 is a
+    * TakeOrdered; the totals window rides the per-key aggregate.
+    */
+  val qcJoinFanout = Op(
+    "qc_join_fanout",
+    (s, d) => {
+      val l = T.orders(s, d).groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_left"))
+      val r = T.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_right"))
+      // the multiplicity table feeds the global total AND the top-20 —
+      // checkpointed so the two aggregate scans join once; an
+      // unpartitioned window here would single-partition the UNBOUNDED
+      // per-key table (the agg-before-window rule only covers windows
+      // over aggregates bounded by a vocabulary)
+      val m = l.join(r, Seq("k"))
+        .withColumn("out_rows", col("n_left") * col("n_right"))
+        .localCheckpoint(true)
+      val tot = m.agg(sum(col("out_rows")).as("total_out"))
+      m.crossJoin(broadcast(tot))
+        .select(col("k"), col("n_left"), col("n_right"), col("out_rows"),
+          col("total_out"))
+        .orderBy(col("out_rows").desc, col("k"))
+        .limit(20)
+    },
+    Some("""
+      WITH l AS (SELECT o_orderkey AS k, COUNT(*) AS n_left
+                 FROM orders GROUP BY 1),
+      r AS (SELECT l_orderkey AS k, COUNT(*) AS n_right
+            FROM lineitem GROUP BY 1),
+      m AS (SELECT l.k, n_left, n_right, n_left * n_right AS out_rows
+            FROM l JOIN r ON l.k = r.k)
+      SELECT k, n_left, n_right, out_rows,
+             CAST(SUM(out_rows) OVER () AS BIGINT) AS total_out
+      FROM m ORDER BY out_rows DESC, k LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
     qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad, qcSnapshotDiff,
     qcEmbeddingDrift, qcBenfordCheck, qcCusumDrift, qcTheilSenTrend,
-    qcFreshnessLag)
+    qcFreshnessLag, qcJoinFanout)
 }
