@@ -1135,8 +1135,56 @@ object Events {
     """)
   )
 
+  /** Audience-overlap matrix (r7) — which behaviors share users: the
+    * upper-triangle Jaccard of user sets for every event-type pair
+    * (searchers who purchase, clickers who error), the segmentation input
+    * every cross-sell / cannibalization analysis starts from. The log
+    * collapses ONCE to distinct (type, user) pairs (checkpointed — the
+    * pair table feeds the self-join AND the per-type sizes), the
+    * intersection is a user-keyed self-join of that matrix — shuffle
+    * \|pairs\|, never the log — and overlap lands in integer ppm. Output
+    * is the ≤\|types\|² matrix with both set sizes, exact at any scale
+    * because the type vocabulary bounds everything after the collapse.
+    */
+  val evtOverlapMatrix = Op(
+    "evt_overlap_matrix",
+    (s, d) => {
+      val pairs = T.events(s, d)
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true)
+      val sizes = pairs.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val inter = pairs.as("a").join(pairs.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      inter
+        .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+        .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+        .withColumn("jaccard_ppm", expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_both"), col("jaccard_ppm"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+    Some("""
+      WITH pairs AS (SELECT DISTINCT event_type, user_id FROM events),
+      sizes AS (SELECT event_type, COUNT(*) AS n FROM pairs GROUP BY 1),
+      inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n_both
+        FROM pairs a JOIN pairs b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+             n_both * 1000000 // (sa.n + sb.n - n_both) AS jaccard_ppm
+      FROM inter
+      JOIN sizes sa ON sa.event_type = inter.type_a
+      JOIN sizes sb ON sb.event_type = inter.type_b
+      ORDER BY type_a, type_b
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    evtForecastBacktest, evtFunnelWindowed,
+    evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
