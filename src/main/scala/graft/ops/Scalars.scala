@@ -412,8 +412,57 @@ object Scalars {
     """)
   )
 
+  /** Bitwise scalar surface (r7) — the primitive layer under the engine's
+    * own sketch/bitmap ops (serve_bitmap_index packs with bit_or,
+    * sim_hamming pairs xor + bit_count, Morton tiles shift + or): and/or/
+    * xor/not, shifts, popcount, exercised per-row over the key columns and
+    * rolled up so every operator's value actually matters to the hash.
+    * All codegen'd builtins in Spark; DuckDB twins are the same operators
+    * (xor() spelled as a function there).
+    */
+  val bitFuncs = Op(
+    "bit_funcs",
+    (s, d) =>
+      T.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .select(
+          expr("o & p").as("band"), expr("o | p").as("bor"),
+          expr("o ^ p").as("bxor"), expr("~o").as("bnot"),
+          expr("shiftleft(o, 3)").as("shl"), expr("shiftright(p, 2)").as("shr"),
+          expr("bit_count(o ^ p)").as("hamming"))
+        .agg(
+          sum(expr("band % 65536")).as("s_and"),
+          sum(expr("bor % 65536")).as("s_or"),
+          sum(expr("bxor % 65536")).as("s_xor"),
+          sum(expr("bnot % 65536")).as("s_not"),
+          sum(expr("shl % 65536")).as("s_shl"),
+          sum(expr("shr % 65536")).as("s_shr"),
+          sum(col("hamming")).cast("long").as("s_hamming"),
+          max(col("hamming")).cast("long").as("max_hamming")),
+    Some("""
+      WITH b AS (
+        SELECT l_orderkey & l_partkey AS band,
+               l_orderkey | l_partkey AS bor,
+               xor(l_orderkey, l_partkey) AS bxor,
+               ~l_orderkey AS bnot,
+               l_orderkey << 3 AS shl,
+               l_partkey >> 2 AS shr,
+               bit_count(xor(l_orderkey, l_partkey)) AS hamming
+        FROM lineitem)
+      SELECT CAST(SUM(band % 65536) AS BIGINT) AS s_and,
+             CAST(SUM(bor % 65536) AS BIGINT) AS s_or,
+             CAST(SUM(bxor % 65536) AS BIGINT) AS s_xor,
+             CAST(SUM(bnot % 65536) AS BIGINT) AS s_not,
+             CAST(SUM(shl % 65536) AS BIGINT) AS s_shl,
+             CAST(SUM(shr % 65536) AS BIGINT) AS s_shr,
+             CAST(SUM(hamming) AS BIGINT) AS s_hamming,
+             CAST(MAX(hamming) AS BIGINT) AS max_hamming
+      FROM b
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     strFuncs, strSplitRegex, strCodecs, dtFuncs, dtEpochWindow, mathFuncs,
     arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs,
-    jsonExtract, dtGapFillSpine, dtMomGrowth)
+    jsonExtract, dtGapFillSpine, dtMomGrowth, bitFuncs)
 }
