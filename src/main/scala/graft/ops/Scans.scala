@@ -849,6 +849,39 @@ object Scans {
     """)
   )
 
+  /** Corrupt-file tolerance (r7) — the ingest posture question every lake
+    * pipeline answers on day one: a 100 TB landing zone WILL contain
+    * truncated uploads and half-written files, and the job must choose
+    * between failing the batch (strict — the default, data-loss-safe) and
+    * skipping the bad file (tolerant — availability-safe, with the skip
+    * logged). This op plants a garbage file among valid parquet and reads
+    * with the per-read `ignoreCorruptFiles` option: the aggregate equals
+    * the valid slice exactly — corruption tolerance must never corrupt
+    * RESULTS, only membership. PropertySpec pins the strict half: the same
+    * read without the option throws. Per-read option, not the global conf:
+    * posture is a property of the PIPELINE STAGE, not the session.
+    */
+  val scanCorruptTolerant = Op(
+    "scan_corrupt_tolerant",
+    (s, d) => {
+      val tmp = T.scratch("corrupt_dir")
+      T.nation(s, d).write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "part-junk.parquet"),
+        "this is not a parquet file".getBytes("UTF-8"))
+      s.read.option("ignoreCorruptFiles", "true").parquet(tmp)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey")).cast("long").as("key_sum"),
+          expr("count(distinct n_regionkey)").as("n_regions"))
+    },
+    Some("""
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+             COUNT(DISTINCT n_regionkey) AS n_regions
+      FROM nation
+    """)
+  )
+
   /** Vacuum with a retention window (r7) — the storage-reclamation half of
     * the `sink_commit_log_snapshot` protocol: time travel requires keeping
     * files that only OLD versions reference, so space is only reclaimed by
@@ -1057,5 +1090,5 @@ object Scans {
     serveInvertedIndex, scanOrcRoundtrip, scanCsvGzip, sinkDynamicOverwrite,
     sinkCodecTradeoff, sinkSortedSkipping, sinkZorderSkipping,
     sinkBloomSkipping, sinkCommitLogSnapshot, serveBitmapIndex,
-    sinkVacuumRetention)
+    sinkVacuumRetention, scanCorruptTolerant)
 }

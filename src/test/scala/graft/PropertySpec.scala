@@ -260,6 +260,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("scan_corrupt_tolerant: strict read throws on the planted garbage file") {
+    // run the op first so the scratch dir holds valid parquet + the junk
+    val tolerant = Registry.queries("scan_corrupt_tolerant")(spark, sf).collect()
+    assert(tolerant.head.getAs[Long]("n_rows") > 0)
+    val dir = graft.ops.T.scratch("corrupt_dir")
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).collect()
+    }
+  }
+
   test("md5fold48: native expression == declarative hex fold, null-safe") {
     graft.functions.HashFold.register(spark)
     // column-dependent input defeats constant folding, so the codegen'd
