@@ -76,7 +76,10 @@ class DeterminismSpec extends AnyFunSuite {
     "ml_ndcg_at_k",              // twin TopKPerKey heaps + decimal DCG
     "evt_funnel_windowed",       // µs deadline joins + 3-row lag window
     "join_view_delta_maintain",  // gated base + delta branches + decimal sums
-    "ml_auc_by_segment")         // lang-partitioned histogram windows
+    "ml_auc_by_segment",         // lang-partitioned histogram windows
+    "evt_overlap_matrix",        // pair-collapse self-join + integer ppm
+    "qc_join_fanout",            // checkpointed multiplicities + top-20 tie
+    "bit_funcs")                 // commutative bitwise rollups
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
