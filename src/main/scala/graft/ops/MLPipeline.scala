@@ -1209,11 +1209,87 @@ object MLPipeline {
     """)
   )
 
+  /** Operating-point selection (r7) — the decision `ml_pr_auc`'s curve
+    * exists to feed: a deployed classifier runs at ONE threshold, and this
+    * picks it — argmax-F1 over the same score histogram (ties break to
+    * the LOWER threshold: equal F1, more recall), emitting the full
+    * confusion matrix and precision/recall/F1/accuracy in ppm at that
+    * point, i.e. the numbers that go in the model card. Same
+    * agg-before-window shape (cumulative windows over the |scores|-row
+    * histogram, never the corpus), the argmax one `max(struct)` over that
+    * histogram — no second pass, no sort.
+    */
+  private lazy val mlOperatingPoint = Op(
+    "ml_operating_point",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val scored = T.documents(s, d).select(
+        when(instr(col("text"), "customer") > 0, 1).otherwise(0).as("y"),
+        expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+              + (length(text) - length(replace(text, 'pack', ''))) div 4
+              + (length(text) - length(replace(text, 'ship', ''))) div 4
+              as bigint)""").as("s"))
+      val h = scored.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+      val desc = W.orderBy(col("s").desc)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val all = W.orderBy(col("s").desc)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+      h.withColumn("tp", sum(col("npos")).over(desc).cast("long"))
+        .withColumn("pp", sum(col("n")).over(desc).cast("long"))
+        .withColumn("p_tot", sum(col("npos")).over(all).cast("long"))
+        .withColumn("n_tot", sum(col("n")).over(all).cast("long"))
+        .withColumn("f1_ppm", expr("2 * tp * 1000000 div (pp + p_tot)"))
+        .agg(max(struct(col("f1_ppm"), (-col("s")).as("neg_thr"),
+          col("tp"), col("pp"), col("p_tot"), col("n_tot"))).as("m"))
+        .select(
+          (-col("m.neg_thr")).as("best_thr"),
+          col("m.f1_ppm").as("f1_ppm"),
+          col("m.tp").as("tp"),
+          (col("m.pp") - col("m.tp")).as("fp"),
+          (col("m.p_tot") - col("m.tp")).as("fn"),
+          (col("m.n_tot") - col("m.pp") - col("m.p_tot") + col("m.tp")).as("tn"),
+          expr("m.tp * 1000000 div m.pp").as("precision_ppm"),
+          expr("m.tp * 1000000 div m.p_tot").as("recall_ppm"),
+          expr("(m.n_tot - m.pp - m.p_tot + 2 * m.tp) * 1000000 div m.n_tot")
+            .as("accuracy_ppm"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s
+        FROM documents),
+      h AS (SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+            FROM d GROUP BY s),
+      c AS (SELECT s,
+                   CAST(SUM(npos) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS tp,
+                   CAST(SUM(n) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS pp,
+                   CAST(SUM(npos) OVER () AS BIGINT) AS p_tot,
+                   CAST(SUM(n) OVER () AS BIGINT) AS n_tot
+            FROM h),
+      f AS (SELECT *, 2 * tp * 1000000 // (pp + p_tot) AS f1_ppm FROM c),
+      best AS (SELECT * FROM f ORDER BY f1_ppm DESC, s LIMIT 1)
+      SELECT s AS best_thr, f1_ppm, tp, pp - tp AS fp, p_tot - tp AS fn,
+             n_tot - pp - p_tot + tp AS tn,
+             tp * 1000000 // pp AS precision_ppm,
+             tp * 1000000 // p_tot AS recall_ppm,
+             (n_tot - pp - p_tot + 2 * tp) * 1000000 // n_tot AS accuracy_ppm
+      FROM best
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
     mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK,
-    mlAucBySegment)
+    mlAucBySegment, mlOperatingPoint)
 }
