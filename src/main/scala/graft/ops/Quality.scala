@@ -801,9 +801,64 @@ object Quality {
     """)
   )
 
+  /** Quarantine split (r7) — the bad-row side-channel every production
+    * ingest runs: rows violating contract rules go to a QUARANTINE sink
+    * (kept for forensics and replay-after-fix), clean rows proceed, and
+    * NOTHING is silently dropped — the conservation law `clean +
+    * quarantined = input` is what distinguishes this from a filter, and
+    * the read-back makes the op prove it against the oracle rather than
+    * claim it. Rules fire by first match (severity order): value outlier
+    * (> 300 — the fat-finger tail), then late arrival (final fixture day —
+    * the beyond-horizon rows a watermark would drop silently). One pass
+    * tags each row; both sinks write partitioned by nothing (row-level
+    * routing, not partition pruning); output = per-(disposition, reason)
+    * counts + decimal value mass read back FROM THE SINKS.
+    */
+  val qcQuarantineSplit = Op(
+    "qc_quarantine_split",
+    (s, d) => {
+      val tagged = T.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+        .withColumn("reason",
+          when(col("value") > 300.0, "value_outlier")
+            .when(col("ts") >= lit("2024-01-30 00:00:00").cast("timestamp"),
+              "late_arrival")
+            .otherwise("ok"))
+      val cleanDir = T.scratch("quarantine_clean")
+      val quarDir = T.scratch("quarantine_bad")
+      tagged.filter(col("reason") === "ok")
+        .write.mode("overwrite").parquet(cleanDir)
+      tagged.filter(col("reason") =!= "ok")
+        .write.mode("overwrite").parquet(quarDir)
+      val clean = s.read.parquet(cleanDir)
+        .withColumn("disposition", lit("clean"))
+      val quar = s.read.parquet(quarDir)
+        .withColumn("disposition", lit("quarantined"))
+      clean.unionByName(quar)
+        .groupBy(col("disposition"), col("reason"))
+        .agg(count(lit(1)).as("n_rows"),
+          Det.sumDec(col("value")).as("value_mass"))
+        .orderBy(col("disposition"), col("reason"))
+    },
+    Some("""
+      WITH tagged AS (
+        SELECT value,
+               CASE WHEN value > 300.0 THEN 'value_outlier'
+                    WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN 'late_arrival'
+                    ELSE 'ok' END AS reason
+        FROM events)
+      SELECT CASE WHEN reason = 'ok' THEN 'clean' ELSE 'quarantined' END
+               AS disposition,
+             reason, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_mass
+      FROM tagged
+      GROUP BY 1, 2 ORDER BY disposition, reason
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
     qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad, qcSnapshotDiff,
     qcEmbeddingDrift, qcBenfordCheck, qcCusumDrift, qcTheilSenTrend,
-    qcFreshnessLag, qcJoinFanout)
+    qcFreshnessLag, qcJoinFanout, qcQuarantineSplit)
 }
