@@ -2017,7 +2017,59 @@ object Similarity {
     """)
   )
 
+  /** Field-level survivorship merge (r7) — the MDM golden-record rule set:
+    * `dedup_keyed_latest` keeps one whole ROW per key, but real entity
+    * resolution merges FIELDS under per-field rules — recency for status
+    * (last event_type by (ts, event_id)), extremum for amounts (max
+    * value), earliest for provenance (first seen), plus breadth (distinct
+    * sources) and decimal mass. One map-side-combinable groupBy on the
+    * entity key builds the whole golden record: the recency rule is the
+    * `max(struct(us, event_id, field))` argmax idiom — no window, no
+    * per-key sort, 24 bytes of state per field per key — so survivorship
+    * costs exactly one shuffle at any corpus size.
+    */
+  val dedupSurvivorshipMerge = Op(
+    "dedup_survivorship_merge",
+    (s, d) =>
+      T.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"))
+        .agg(
+          expr("max(struct(us, event_id, event_type)).event_type").as("last_type"),
+          expr("timestamp_micros(min(us))").as("first_seen"),
+          expr("timestamp_micros(max(us))").as("last_seen"),
+          max(col("value")).as("max_value"),
+          expr("count(distinct event_type)").as("n_sources"),
+          Det.sumDec(col("value")).as("value_mass"))
+        .orderBy(col("user_id")),
+    Some("""
+      WITH r AS (
+        SELECT user_id, event_type, event_id, value, epoch_us(ts) AS us
+        FROM events),
+      last AS (
+        SELECT user_id, event_type AS last_type FROM (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY us DESC, event_id DESC) AS rn
+          FROM r) WHERE rn = 1),
+      agg AS (
+        SELECT user_id,
+               make_timestamp(MIN(us)) AS first_seen,
+               make_timestamp(MAX(us)) AS last_seen,
+               MAX(value) AS max_value,
+               COUNT(DISTINCT event_type) AS n_sources,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_mass
+        FROM r GROUP BY user_id)
+      SELECT agg.user_id, last_type, first_seen, last_seen, max_value,
+             n_sources, value_mass
+      FROM agg JOIN last ON agg.user_id = last.user_id
+      ORDER BY agg.user_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    dedupSurvivorshipMerge,
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
