@@ -1209,10 +1209,88 @@ object TextAnalysis {
     """)
   )
 
+  /** Source-overlap audit (r7) — which SOURCES duplicate each other:
+    * doc-level dedup finds copied documents, but a training mix is
+    * composed of SOURCES, and two feeds syndicating the same upstream
+    * (two crawls of one site, a mirror, a re-scrape) must be caught at
+    * the source level before mixture weights are set — else one
+    * upstream's voice is silently double-counted. Each source collapses
+    * to its distinct 3-token shingle set (the corpus scans once,
+    * checkpointed: the set feeds sizes AND the pair join), source-pair
+    * intersection is a shingle-keyed self-join with a df ≤ 16 cap (a
+    * shingle in most sources is boilerplate, not lineage — and the cap
+    * bounds the join's fanout the way the containment op's df cap does),
+    * overlap in integer ppm of the smaller side (containment, not
+    * Jaccard: a small feed fully inside a big one must score ~1e6).
+    * Top-15 most-overlapping pairs.
+    */
+  val txtSourceOverlap = Op(
+    "txt_source_overlap",
+    (s, d) => {
+      val sh = T.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("arr"))
+        .filter(size(col("arr")) >= 3)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, size(arr) - 2), " +
+            "i -> concat(arr[i - 1], ' ', arr[i], ' ', arr[i + 1]))")).as("shingle"))
+        .distinct()
+        .localCheckpoint(true)
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val capped = sh
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+        .filter(col("df") <= 16)
+      val inter = capped.as("a").join(capped.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+        .withColumn("containment_ppm",
+          expr("n_shared * 1000000 div least(n_a, n_b)"))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_shared"), col("containment_ppm"))
+        .orderBy(col("containment_ppm").desc, col("n_shared").desc,
+          col("src_a"), col("src_b"))
+        .limit(15)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT source, string_split(text, ' ') AS arr FROM documents
+        WHERE len(string_split(text, ' ')) >= 3),
+      sh AS (
+        SELECT DISTINCT source,
+               unnest(list_transform(range(1, len(arr) - 1),
+                 i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2])) AS shingle
+        FROM docs),
+      sizes AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY 1),
+      capped AS (
+        SELECT source, shingle FROM (
+          SELECT source, shingle,
+                 COUNT(*) OVER (PARTITION BY shingle) AS df
+          FROM sh) WHERE df <= 16),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM capped a JOIN capped b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT src_a, src_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+             n_shared * 1000000 // least(sa.n, sb.n) AS containment_ppm
+      FROM inter
+      JOIN sizes sa ON sa.source = inter.src_a
+      JOIN sizes sb ON sb.source = inter.src_b
+      ORDER BY containment_ppm DESC, n_shared DESC, src_a, src_b
+      LIMIT 15
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,
-    txtHeapsLaw, txtBpeMerges, txtCharEntropy, txtCodeDetect)
+    txtHeapsLaw, txtBpeMerges, txtCharEntropy, txtCodeDetect,
+    txtSourceOverlap)
 }
