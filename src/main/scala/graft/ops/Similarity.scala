@@ -2068,8 +2068,74 @@ object Similarity {
     """)
   )
 
+  /** Per-dimension variance ranking (r7) — the exact, oracle-able cousin
+    * of `ml_pca_features`' energy question: which embedding axes carry
+    * signal and how many cover 90% of total variance (the readout that
+    * justifies — or refutes — a matryoshka truncation before paying for
+    * one). Coordinates on the µ-unit integer grid (the ml_kmeans_lloyd
+    * quantization), per-dim variance numerator n·Σx² − (Σx)² in
+    * DECIMAL(38,0) (squaring µ-units overflows a long immediately), rank
+    * and cumulative-share windows riding the 64-row per-dim aggregate
+    * (agg-before-window, dimension-bounded); share and cumulative share
+    * in integer ppm of total variance. One posexplode scan, one dim-keyed
+    * map-side-combined agg — the whole op is a 64-row problem after the
+    * first shuffle at any corpus size.
+    */
+  val embDimVarianceRank = Op(
+    "emb_dim_variance_rank",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val per = T.embeddings(s, d)
+        .select(posexplode(col("embedding")))
+        .select((col("pos") + 1).cast("long").as("dim"),
+          expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("xu"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xu").cast("decimal(38,0)")).as("sx"),
+          sum((col("xu").cast("decimal(38,0)") * col("xu"))).as("sxx"))
+        .withColumn("var_num", expr("n * sxx - sx * sx"))
+      per
+        .withColumn("rank",
+          row_number().over(W.orderBy(col("var_num").desc, col("dim")))
+            .cast("long"))
+        .withColumn("total", sum(col("var_num")).over(W.partitionBy()))
+        .withColumn("cum", sum(col("var_num")).over(
+          W.orderBy(col("var_num").desc, col("dim"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .select(col("rank"), col("dim"), col("n"),
+          expr("CAST(var_num div (n * n) AS BIGINT)").as("var_u2"),
+          expr("CAST(var_num * 1000000 div total AS BIGINT)").as("share_ppm"),
+          expr("CAST(cum * 1000000 div total AS BIGINT)").as("cum_share_ppm"))
+        .orderBy(col("rank"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xu
+        FROM embeddings),
+      per AS (
+        SELECT dim, COUNT(*) AS n,
+               CAST(SUM(CAST(xu AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(xu AS HUGEINT) * xu) AS HUGEINT) AS sxx
+        FROM x GROUP BY dim),
+      v AS (SELECT dim, n, n * sxx - sx * sx AS var_num FROM per),
+      r AS (
+        SELECT dim, n, var_num,
+               ROW_NUMBER() OVER (ORDER BY var_num DESC, dim) AS rank,
+               SUM(var_num) OVER () AS total,
+               SUM(var_num) OVER (ORDER BY var_num DESC, dim
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM v)
+      SELECT rank, dim, n,
+             CAST(var_num // (n * n) AS BIGINT) AS var_u2,
+             CAST(var_num * 1000000 // total AS BIGINT) AS share_ppm,
+             CAST(cum * 1000000 // total AS BIGINT) AS cum_share_ppm
+      FROM r ORDER BY rank
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    dedupSurvivorshipMerge,
+    dedupSurvivorshipMerge, embDimVarianceRank,
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
