@@ -572,9 +572,82 @@ object SqlShapes {
     """)
   )
 
+  /** TPC-H Q1 in full (r7) — `agg_hash_groupby` carries the Q1 SHAPE
+    * (grouped wide agg on lineitem); this is the faithful 8-aggregate
+    * pricing summary itself: sum_qty, sum_base_price, the two derived
+    * money expressions disc_price = p·(1−d) and charge = p·(1−d)·(1+t),
+    * three averages, count, under the canonical `l_shipdate ≤
+    * 1998-09-02` horizon. Every money term is composed in DECIMAL BEFORE
+    * summation (the per-row product p·(1−d)·(1+t) in DECIMAL(18,4)-land
+    * is exact and associative; summing doubles would be shuffle-order-
+    * dependent), averages divide the decimal sums by the count once at
+    * presentation (round 6). One scan, map-side combined, 6 output rows.
+    */
+  val sqlQ1PricingSummary = Op(
+    "sql_q1_pricing_summary",
+    (s, d) =>
+      T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Det.sumDec(col("l_quantity")).as("sum_qty"),
+          Det.sumDec(col("l_extendedprice")).as("sum_base_price"),
+          // derived money lands in exact integer MICRO-units: the products
+          // are exact decimals (widths capped under both engines' 38-digit
+          // ceiling: (15,4)x(16,4)->(32,8), recast (18,8), x(16,4)->(35,12))
+          // but a scale-12 decimal -> double conversion rounds DIFFERENTLY
+          // in Spark and DuckDB at the 9th decimal (measured), so each row
+          // floors to micro-units first and the sum stays in integers —
+          // through DECIMAL(38,0) so 1e9-row groups can't wrap a long
+          sum(expr("""CAST(FLOOR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,4))
+                * (CAST(1 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4)))
+                AS DECIMAL(18,8)) AS DECIMAL(30,8)) * 1000000) AS DECIMAL(38,0))"""))
+            .cast("long").as("sum_disc_price_micro"),
+          sum(expr("""CAST(FLOOR(CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,4))
+                * (CAST(1 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4)))
+                AS DECIMAL(18,8))
+                * (CAST(1 AS DECIMAL(15,4)) + CAST(l_tax AS DECIMAL(15,4)))
+                AS DECIMAL(35,12)) AS DECIMAL(30,12)) * 1000000) AS DECIMAL(38,0))"""))
+            .cast("long").as("sum_charge_micro"),
+          round(sum(Det.dec(col("l_quantity"))).cast("double")
+            / count(lit(1)), 6).as("avg_qty"),
+          round(sum(Det.dec(col("l_extendedprice"))).cast("double")
+            / count(lit(1)), 6).as("avg_price"),
+          round(sum(Det.dec(col("l_discount"))).cast("double")
+            / count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+             CAST(SUM(CAST(FLOOR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,4))
+                  * (CAST(1 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4)))
+                  AS DECIMAL(18,8)) AS DECIMAL(30,8)) * 1000000) AS HUGEINT)) AS BIGINT)
+               AS sum_disc_price_micro,
+             CAST(SUM(CAST(FLOOR(CAST(CAST(CAST(CAST(l_extendedprice AS DECIMAL(15,4))
+                  * (CAST(1 AS DECIMAL(15,4)) - CAST(l_discount AS DECIMAL(15,4)))
+                  AS DECIMAL(18,8))
+                  * (CAST(1 AS DECIMAL(15,4)) + CAST(l_tax AS DECIMAL(15,4)))
+                  AS DECIMAL(35,12)) AS DECIMAL(30,12)) * 1000000) AS HUGEINT)) AS BIGINT)
+               AS sum_charge_micro,
+             ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_qty,
+             ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_price,
+             ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     sqlQ13CustDistribution, sqlQ17SmallQtyAvg, sqlQ19DisjunctivePushdown,
     sqlQ21WaitingSuppliers, sqlQ22GlobalAcctbal, sqlQ7VolumeShipping,
     sqlQ15TopSupplier, sqlQ6ForecastRevenue, sqlQ4PriorityExists,
-    sqlQ14PromoRevenue, sqlQ8MarketShare)
+    sqlQ14PromoRevenue, sqlQ8MarketShare, sqlQ1PricingSummary)
 }
