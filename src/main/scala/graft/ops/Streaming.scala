@@ -490,6 +490,89 @@ object Streaming {
     """)
   )
 
+  /** State TTL via event-time timeout (r7) — the mechanism that keeps a
+    * stateful stream's store BOUNDED: without expiry, per-key state for a
+    * 100 TB keyspace grows forever; with `GroupStateTimeout.EventTimeTimeout`
+    * each key's state carries a deadline (last activity + 30 min) and the
+    * runtime hands the group back — `hasTimedOut`, no rows — once the
+    * WATERMARK passes it, which is when the final record emits and the
+    * state is removed. Emission happens ONLY on expiry (Append mode), so
+    * the oracle is a proof the TTL machinery fired for every key exactly
+    * once with exactly the final state: a key whose timeout never fires is
+    * a missing row, a double-fire is a duplicate — both hash mismatches.
+    * Replay is two-phase (mtime-pinned sentinel 3 h past the data, the
+    * stream_stream_outer_join idiom) so the watermark actually advances
+    * past every deadline; the sentinel key filters out of the result.
+    */
+  val streamStateTtl = Op(
+    "stream_state_ttl",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val tmp = T.scratch("state_ttl_replay")
+      val ev = T.events(s, d).filter(col("user_id") % 8 === 3)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_data")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val flushTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+      Seq((-1L, flushTs, -1L, "click"))
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b_flush")
+      val aTime = java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$tmp/a_data"))
+      val bumped = java.nio.file.attribute.FileTime.fromMillis(aTime.toMillis + 60000)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$tmp/b_flush")).forEach { p =>
+        java.nio.file.Files.setLastModifiedTime(p, bumped)
+      }
+      val src = s.readStream.schema(
+          StructType(Seq(
+            StructField("event_id", LongType), StructField("ts", TimestampType),
+            StructField("user_id", LongType), StructField("event_type", StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$tmp/*")
+        // the watermark column must SURVIVE into the grouped Dataset —
+        // projecting it away detaches the event-time watermark and
+        // EventTimeTimeout refuses to run
+        .withWatermark("ts", "10 minutes")
+        .select(col("user_id"), col("ts")).as[(Long, java.sql.Timestamp)]
+      def micros(t: java.sql.Timestamp): Long =
+        t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+      val expired = src.groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long)](
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+            (uid: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+             state: GroupState[(Long, Long, Long)]) =>
+              if (state.hasTimedOut) {
+                val (n, first, last) = state.get
+                state.remove()
+                Iterator((uid, n, (last - first) / 60000000L))
+              } else {
+                var (n, first, last) =
+                  state.getOption.getOrElse((0L, Long.MaxValue, Long.MinValue))
+                rows.foreach { case (_, t) =>
+                  val us = micros(t)
+                  n += 1
+                  if (us < first) first = us
+                  if (us > last) last = us
+                }
+                state.update((n, first, last))
+                // deadline = last activity + 30 min, re-armed every batch
+                state.setTimeoutTimestamp(last / 1000L + 30L * 60000L)
+                Iterator.empty
+              }
+        }.toDF("user_id", "n_events", "span_min")
+      runToMemory(s, expired, "graft_stream_state_ttl", mode = "append")
+        .filter(col("user_id") >= 0)
+        .orderBy(col("user_id"))
+    },
+    Some("""
+      SELECT user_id, COUNT(*) AS n_events,
+             (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 60000000 AS span_min
+      FROM events WHERE user_id % 8 = 3
+      GROUP BY user_id ORDER BY user_id
+    """)
+  )
+
   /** Stream-static enrichment — the most common production streaming shape:
     * an unbounded event stream joined to a bounded dimension table (here a
     * derived nation assignment) with the static side BROADCAST, so the
@@ -655,5 +738,6 @@ object Streaming {
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
     streamSessionWindow, streamForeachBatchSink, streamStreamJoin,
     streamStreamOuterJoin, streamCustomState, streamStaticEnrich,
-    streamIncrementalIngest, streamCdcUpsert, streamTrendingTopk)
+    streamIncrementalIngest, streamCdcUpsert, streamTrendingTopk,
+    streamStateTtl)
 }
