@@ -79,7 +79,13 @@ class DeterminismSpec extends AnyFunSuite {
     "ml_auc_by_segment",         // lang-partitioned histogram windows
     "evt_overlap_matrix",        // pair-collapse self-join + integer ppm
     "qc_join_fanout",            // checkpointed multiplicities + top-20 tie
-    "bit_funcs")                 // commutative bitwise rollups
+    "bit_funcs",                 // commutative bitwise rollups
+    "ml_operating_point",        // histogram cumsums + struct argmax
+    "qc_quarantine_split",       // tag + dual-sink write + read-back rollup
+    "dedup_survivorship_merge",  // per-field struct-argmax golden record
+    "txt_source_overlap",        // df-capped shingle self-join + containment
+    "emb_dim_variance_rank",     // decimal variance + 64-row rank windows
+    "sql_q1_pricing_summary")    // capped-width decimal micro-unit money
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
