@@ -624,6 +624,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
 
+  test("sql_q1_pricing_summary: one scan, shipdate pushed, map-side combined") {
+    val p = plan("sql_q1_pricing_summary")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+    assert(p.contains("PushedFilters: [") && p.contains("LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"wide agg must partial-aggregate before the exchange: $p")
+  }
+
+  test("dedup_survivorship_merge: one shuffle, no window, no per-key sort") {
+    val p = plan("dedup_survivorship_merge")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"survivorship must be pure aggregation, never a rank window: $p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
+  }
+
+  test("txt_source_overlap: pair join reads the checkpointed shingle sets, no re-scan") {
+    val p = plan("txt_source_overlap")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
+      s"the corpus scans once into the checkpointed shingle relation: $p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-15 must be a bounded heap: $p")
+  }
+
+  test("emb_dim_variance_rank: rank/share windows ride the 64-row dim aggregate") {
+    val p = plan("emb_dim_variance_rank")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"windows must consume the per-dim aggregate, never raw vectors: $p")
+  }
+
   test("evt_forecast_backtest: the lag window rides the daily aggregate, one events scan") {
     val p = plan("evt_forecast_backtest")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
