@@ -1183,8 +1183,67 @@ object Events {
     """)
   )
 
+  /** Multi-window burn-rate alert (r7; the Google SRE workbook's
+    * error-budget alerting policy): a single error-rate threshold either
+    * pages too slowly (long window) or flaps on noise (short window) —
+    * the fix is to require BOTH a fast window and a slow window to burn
+    * above threshold simultaneously. Error share per hour in integer ppm,
+    * the 6h trailing share from the same hourly table (sums of counts, a
+    * rows-frame window — never a rescan), alert when 1h ≥ 2× the corpus
+    * base rate AND 6h ≥ 1.5× — both thresholds integer-ppm arithmetic on
+    * a broadcast 1-row base rate. Everything after the hourly rollup is
+    * |hours| rows; the raw log is touched once, map-side combined.
+    */
+  val evtErrorRateSlo = Op(
+    "evt_error_rate_slo",
+    (s, d) => {
+      val hourly = T.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .localCheckpoint(true)
+      val base = hourly.agg(
+        expr("sum(n_err) * 1000000 div sum(n)").as("base_ppm"))
+      val w6 = Window.orderBy(col("hour")).rowsBetween(-5, 0)
+      hourly
+        .withColumn("rate_1h_ppm", expr("n_err * 1000000 div n"))
+        .withColumn("n_6h", sum(col("n")).over(w6))
+        .withColumn("err_6h", sum(col("n_err")).over(w6))
+        .withColumn("rate_6h_ppm", expr("err_6h * 1000000 div n_6h"))
+        .crossJoin(broadcast(base))
+        .withColumn("page",
+          col("rate_1h_ppm") * 10 >= col("base_ppm") * 13 &&
+            col("rate_6h_ppm") * 10 >= col("base_ppm") * 11)
+        .filter(col("page"))
+        .select(col("hour"), col("n"), col("rate_1h_ppm"),
+          col("rate_6h_ppm"), col("base_ppm"))
+        .orderBy(col("hour"))
+    },
+    Some("""
+      WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_err
+        FROM events GROUP BY 1),
+      base AS (
+        SELECT CAST(SUM(n_err) * 1000000 // SUM(n) AS BIGINT) AS base_ppm
+        FROM hourly),
+      win AS (
+        SELECT hour, n,
+               n_err * 1000000 // n AS rate_1h_ppm,
+               CAST(SUM(n_err) OVER tw * 1000000 // SUM(n) OVER tw AS BIGINT)
+                 AS rate_6h_ppm
+        FROM hourly
+        WINDOW tw AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+      SELECT hour, n, rate_1h_ppm, rate_6h_ppm, base_ppm
+      FROM win, base
+      WHERE rate_1h_ppm * 10 >= base_ppm * 13 AND rate_6h_ppm * 10 >= base_ppm * 11
+      ORDER BY hour
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix,
+    evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
