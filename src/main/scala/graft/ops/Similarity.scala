@@ -2134,8 +2134,91 @@ object Similarity {
     """)
   )
 
+  /** kNN label classification (r7; Cover & Hart 1967) — the zero-training
+    * baseline every embedding space must beat to justify a model, and the
+    * standard probe of embedding QUALITY (if neighbors don't share labels,
+    * no classifier on top will): for a bounded probe set, top-5 cosine
+    * neighbors (the `sim_cosine_knn` kernel — broadcast probes, one corpus
+    * pass, round-6 cosine with vec_id tie-break), majority label vote with
+    * ties to the smaller label via the max(struct(votes, −label)) argmax,
+    * scored against the probe's own label as a confusion matrix +
+    * integer-ppm accuracy (windows over the ≤|labels|² matrix). The vote
+    * and the scoring never touch raw vectors again — after the kNN join
+    * everything is label-vocabulary-bounded.
+    */
+  val simKnnClassify = Op(
+    "sim_knn_classify",
+    (s, d) => {
+      graft.functions.VectorDot.register(s)
+      val W = org.apache.spark.sql.expressions.Window
+      val e = T.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
+          col("embedding").as("pe"), norm(col("embedding")).as("pnorm"))
+        .localCheckpoint(true)
+      val cand = e.select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("cnorm"))
+      val knn = cand.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
+        .withColumn("cosine",
+          round(dot(col("pe"), col("embedding")) / (col("pnorm") * col("cnorm")), 6))
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))))
+        .filter(col("rn") <= 5)
+      val voted = knn.groupBy(col("probe_id"), col("true_label"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("probe_id"), col("true_label"))
+        .agg(max(struct(col("votes"), (-col("label")).as("neg_label"))).as("m"))
+        .select(col("probe_id"), col("true_label"),
+          (-col("m.neg_label")).as("pred_label"))
+      voted.groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("n_probes", sum(col("n")).over(W.partitionBy()))
+        .withColumn("accuracy_ppm", expr(
+          """sum(CASE WHEN true_label = pred_label THEN n ELSE 0 END)
+             OVER () * 1000000 div n_probes"""))
+        .orderBy(col("true_label"), col("pred_label"))
+    },
+    Some("""
+      WITH probes AS (
+        SELECT vec_id AS probe_id, label AS true_label, embedding AS pe
+        FROM embeddings WHERE vec_id < 100),
+      scored AS (
+        SELECT probe_id, true_label, vec_id, label,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(pe[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(pe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        FROM embeddings CROSS JOIN probes
+        WHERE probe_id <> vec_id),
+      knn AS (
+        SELECT probe_id, true_label, label FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY cosine DESC, vec_id) AS rn
+          FROM scored) WHERE rn <= 5),
+      votes AS (
+        SELECT probe_id, true_label, label, COUNT(*) AS v
+        FROM knn GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT probe_id, true_label, label AS pred_label FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                      ORDER BY v DESC, label) AS rk
+          FROM votes) WHERE rk = 1),
+      cm AS (
+        SELECT true_label, pred_label, COUNT(*) AS n
+        FROM pred GROUP BY 1, 2)
+      SELECT true_label, pred_label, n,
+             CAST(SUM(n) OVER () AS BIGINT) AS n_probes,
+             CAST(SUM(CASE WHEN true_label = pred_label THEN n ELSE 0 END)
+                  OVER () * 1000000 // SUM(n) OVER () AS BIGINT) AS accuracy_ppm
+      FROM cm ORDER BY true_label, pred_label
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    dedupSurvivorshipMerge, embDimVarianceRank,
+    dedupSurvivorshipMerge, embDimVarianceRank, simKnnClassify,
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
