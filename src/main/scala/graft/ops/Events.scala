@@ -1242,8 +1242,59 @@ object Events {
     """)
   )
 
+  /** Time-decayed engagement score (r7) — recency weighting, the signal
+    * every intent/engagement ranker actually uses (an event last month
+    * says less than one yesterday, and a plain count can't tell them
+    * apart): value mass decayed with a 7-day half-life toward the corpus
+    * horizon. The decay is EXACT integer math — weight_ppm = 1e6 >>
+    * (age_days div 7), value in 1e-4 units, score = Σ units·w div 1e6 —
+    * because a float 2^(−age/7) would be the one non-hash-matchable term
+    * in an otherwise exact pipeline (the day-granular step decay is the
+    * documented quantization). One broadcast 1-row horizon, one user_id
+    * groupBy, map-side combined; top-20 most-engaged users with the full
+    * tie-break, plus each user's undecayed mass so the recency effect is
+    * visible in the output.
+    */
+  val evtDecayEngagement = Op(
+    "evt_decay_engagement",
+    (s, d) => {
+      val ev = T.events(s, d)
+        .select(col("user_id"), col("ts"),
+          expr("CAST(floor(value * 10000) AS BIGINT)").as("units"))
+      val horizon = ev.agg(max(expr("CAST(ts AS DATE)")).as("h"))
+      ev.crossJoin(broadcast(horizon))
+        .withColumn("age_d", datediff(col("h"), col("ts").cast("date")))
+        .withColumn("w_ppm", expr("1000000 div shiftleft(1L, CAST(age_d div 7 AS INT))"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(expr("units * w_ppm div 1000000")).as("decayed_units"),
+          sum(col("units")).as("raw_units"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("decayed_units").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, ts, CAST(FLOOR(value * 10000) AS BIGINT) AS units
+        FROM events),
+      h AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM ev),
+      w AS (
+        SELECT user_id, units,
+               1000000 // (CAST(1 AS BIGINT) << CAST(date_diff('day', CAST(ts AS DATE), h) // 7 AS INT))
+                 AS w_ppm
+        FROM ev, h)
+      SELECT user_id,
+             CAST(SUM(units * w_ppm // 1000000) AS BIGINT) AS decayed_units,
+             CAST(SUM(units) AS BIGINT) AS raw_units,
+             COUNT(*) AS n_events
+      FROM w GROUP BY user_id
+      ORDER BY decayed_units DESC, user_id LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
+    evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,
     evtSessionsSecondarySort, evtHourlyAnomaly, evtRfmSegments, evtAbTestLift,
     evtAttributionU, evtActiveUsersRolling, evtTimeToConvert, evtCohortLtv,
