@@ -85,7 +85,10 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_survivorship_merge",  // per-field struct-argmax golden record
     "txt_source_overlap",        // df-capped shingle self-join + containment
     "emb_dim_variance_rank",     // decimal variance + 64-row rank windows
-    "sql_q1_pricing_summary")    // capped-width decimal micro-unit money
+    "sql_q1_pricing_summary",    // capped-width decimal micro-unit money
+    "evt_error_rate_slo",        // checkpointed hourly + dual ppm gates
+    "sim_knn_classify",          // cosine rank tie-break + vote argmax
+    "evt_decay_engagement")      // integer half-life weights + top-20 tie
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
