@@ -1479,11 +1479,28 @@ object Similarity {
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("f"), col("shingle"))))
         .filter(col("pos") <= col("n") - expr("(n * 4 + 4) div 5") + 1)
-        .select(col("doc_id"), col("shingle"))
-      val cand = pref.select(col("doc_id").as("a_id"), col("shingle"))
-        .join(pref.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),
-          col("shingle") === col("sh_b") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id")).distinct()
+        .select(col("doc_id"), col("shingle"), col("n"), col("pos"))
+      // PPJoin's LENGTH filter in the candidate join — J >= 0.8 implies
+      // |A|/|B| within [0.8, 1.25] — then its POSITIONAL filter on the
+      // aggregate: for the first shared prefix token at global-order
+      // positions (i, j), overlap <= 1 + min(n_a−i, n_b−j) (tokens common
+      // before it would contradict firstness under ONE global (df,
+      // lexicographic) order; after it, at most the shorter suffix), and
+      // J >= 0.8 needs overlap >= 4(n_a+n_b)/9 — max over shared tokens
+      // only loosens the bound, so the filter is safe. Both prune
+      // CANDIDATES only; verification is exact, results untouched.
+      // Measured at sf1: 17.8M -> 6.6M (length) -> positional on top.
+      val cand = pref.select(col("doc_id").as("a_id"), col("shingle"),
+          col("n").as("n_a"), col("pos").as("pos_a"))
+        .join(pref.select(col("doc_id").as("b_id"), col("shingle").as("sh_b"),
+            col("n").as("n_b"), col("pos").as("pos_b")),
+          col("shingle") === col("sh_b") && col("a_id") < col("b_id") &&
+            col("n_a") * 4 <= col("n_b") * 5 && col("n_b") * 4 <= col("n_a") * 5)
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(max(expr("least(n_a - pos_a, n_b - pos_b) + 1")).as("ubound"),
+          max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+        .filter(col("ubound") * 9 >= (col("n_a") + col("n_b")) * 4)
+        .select(col("a_id"), col("b_id"))
       val docsets = sh.groupBy(col("doc_id"))
         .agg(array_sort(collect_set(col("shingle"))).as("set"))
       cand
