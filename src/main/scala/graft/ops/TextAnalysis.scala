@@ -44,14 +44,17 @@ object TextAnalysis {
         .filter(col("rn") <= 20)
         .select(col("p_lang"), col("bg"))
       val docBg = bgs.select(col("doc_id"), col("bg")).distinct()
-      val wGuess = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("p_lang"))
+      // per-doc argmax via min(struct(-score, lang)) — lexicographic min is
+      // (score DESC, lang ASC), the LPA sort-free idiom; replaces a
+      // row_number window (sort of |docs|x|langs| rows) with a map-side-
+      // combinable aggregate
       val guess = docBg
         .join(broadcast(profile), "bg")
         .groupBy(col("doc_id"), col("p_lang"))
         .agg(count(lit(1)).as("score"))
-        .withColumn("rn", row_number().over(wGuess))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("p_lang").as("guess"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("score")).as("negs"), col("p_lang"))).as("m"))
+        .select(col("doc_id"), col("m.p_lang").as("guess"))
       docs.select(col("doc_id"), col("lang"))
         .join(guess, "doc_id")
         .groupBy(col("lang"), col("guess"))
