@@ -1264,7 +1264,11 @@ object Events {
       val horizon = ev.agg(max(expr("CAST(ts AS DATE)")).as("h"))
       ev.crossJoin(broadcast(horizon))
         .withColumn("age_d", datediff(col("h"), col("ts").cast("date")))
-        .withColumn("w_ppm", expr("1000000 div shiftleft(1L, CAST(age_d div 7 AS INT))"))
+        // exponent capped at 20: beyond ~20 half-lives the ppm weight is 0
+        // anyway, and an uncapped shift wraps at 63 (negative weight) then
+        // 64 (division by zero) on a multi-year corpus
+        .withColumn("w_ppm",
+          expr("1000000 div shiftleft(1L, CAST(least(age_d div 7, 20) AS INT))"))
         .groupBy(col("user_id"))
         .agg(
           sum(expr("units * w_ppm div 1000000")).as("decayed_units"),
@@ -1280,7 +1284,7 @@ object Events {
       h AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM ev),
       w AS (
         SELECT user_id, units,
-               1000000 // (CAST(1 AS BIGINT) << CAST(date_diff('day', CAST(ts AS DATE), h) // 7 AS INT))
+               1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(date_diff('day', CAST(ts AS DATE), h) // 7, 20) AS INT))
                  AS w_ppm
         FROM ev, h)
       SELECT user_id,

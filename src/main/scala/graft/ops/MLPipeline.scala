@@ -912,8 +912,8 @@ object MLPipeline {
                    * (CAST(a AS DECIMAL(20,0)) * ((n_docs - n_pos) - (df - a))
                       - CAST(df - a AS DECIMAL(20,0)) * (n_pos - a))
                    * 1000)
-                  div (CAST(df AS DECIMAL(20,0)) * (n_docs - df)
-                       * n_pos * (n_docs - n_pos)) AS BIGINT)"""))
+                  div nullif(CAST(df AS DECIMAL(20,0)) * (n_docs - df)
+                       * n_pos * (n_docs - n_pos), 0) AS BIGINT)"""))
         .select(col("token"), col("df"), col("a").as("df_pos"), col("chi2_milli"))
         .orderBy(col("chi2_milli").desc, col("token"))
         .limit(20)
@@ -939,8 +939,8 @@ object MLPipeline {
                    * (CAST(a AS HUGEINT) * ((n_docs - n_pos) - (df - a))
                       - CAST(df - a AS HUGEINT) * (n_pos - a))
                    * 1000)
-                  // (CAST(df AS HUGEINT) * (n_docs - df)
-                      * n_pos * (n_docs - n_pos)) AS BIGINT) AS chi2_milli
+                  // NULLIF(CAST(df AS HUGEINT) * (n_docs - df)
+                      * n_pos * (n_docs - n_pos), 0) AS BIGINT) AS chi2_milli
       FROM per, scalars
       WHERE df >= 5 AND df < n_docs
       ORDER BY chi2_milli DESC, token LIMIT 20
