@@ -856,9 +856,63 @@ object Quality {
     """)
   )
 
+  /** Candidate-key discovery (r7) — which column combinations actually
+    * identify a row: every downstream MERGE, dedup, and CDC consumer
+    * assumes a key, and an assumed-unique key that isn't is the classic
+    * silent fanout (`qc_join_fanout` prices the blast; this finds the
+    * fuse). Six combos' exact distinct counts in ONE aggregate (Spark
+    * plans multi-distinct through one Expand — the `qc_column_profile`
+    * idiom — so the table is read once however many combos are probed),
+    * unpivoted to a row per combo with uniqueness ppm and the key verdict.
+    */
+  val qcUniquenessProfile = Op(
+    "qc_uniqueness_profile",
+    (s, d) => {
+      T.events(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("count(distinct event_id)").as("c1"),
+          expr("count(distinct user_id)").as("c2"),
+          expr("count(distinct user_id, ts)").as("c3"),
+          expr("count(distinct user_id, event_type)").as("c4"),
+          expr("count(distinct ts)").as("c5"),
+          expr("count(distinct event_type, ts)").as("c6"))
+        .select(expr(
+          """stack(6,
+               'event_id', c1, 'user_id', c2, 'user_id+ts', c3,
+               'user_id+event_type', c4, 'ts', c5, 'event_type+ts', c6)
+             AS (combo, n_distinct)"""), col("n_rows"))
+        .withColumn("uniqueness_ppm", expr("n_distinct * 1000000 div n_rows"))
+        .withColumn("is_candidate_key", col("n_distinct") === col("n_rows"))
+        .orderBy(col("combo"))
+    },
+    Some("""
+      WITH a AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT event_id) AS c1,
+               COUNT(DISTINCT user_id) AS c2,
+               COUNT(DISTINCT (user_id, ts)) AS c3,
+               COUNT(DISTINCT (user_id, event_type)) AS c4,
+               COUNT(DISTINCT ts) AS c5,
+               COUNT(DISTINCT (event_type, ts)) AS c6
+        FROM events)
+      SELECT combo, n_distinct, n_rows,
+             n_distinct * 1000000 // n_rows AS uniqueness_ppm,
+             n_distinct = n_rows AS is_candidate_key
+      FROM (
+        SELECT 'event_id' AS combo, c1 AS n_distinct, n_rows FROM a
+        UNION ALL SELECT 'user_id', c2, n_rows FROM a
+        UNION ALL SELECT 'user_id+ts', c3, n_rows FROM a
+        UNION ALL SELECT 'user_id+event_type', c4, n_rows FROM a
+        UNION ALL SELECT 'ts', c5, n_rows FROM a
+        UNION ALL SELECT 'event_type+ts', c6, n_rows FROM a)
+      ORDER BY combo
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     qcColumnProfile, qcFkOrphans, qcObserveMetrics, qcDistributionDrift,
     qcExpectationSuite, qcDatasetFingerprint, qcAnomalyMad, qcSnapshotDiff,
     qcEmbeddingDrift, qcBenfordCheck, qcCusumDrift, qcTheilSenTrend,
-    qcFreshnessLag, qcJoinFanout, qcQuarantineSplit)
+    qcFreshnessLag, qcJoinFanout, qcQuarantineSplit, qcUniquenessProfile)
 }
