@@ -1219,6 +1219,82 @@ object MLPipeline {
     * histogram, never the corpus), the argmax one `max(struct)` over that
     * histogram — no second pass, no sort.
     */
+  /** Cross-validated AUC stability (r7) — the variance read a single AUC
+    * hides: per-fold AUC over the `ml_kfold_assign` partition (same Knuth
+    * multiplicative-hash folds — recomputable anywhere) with the
+    * Mann-Whitney histogram kernel PARTITIONED BY FOLD; a model whose
+    * fold-AUCs span 0.15 isn't a 0.7-AUC model, it's an unstable one
+    * (the decision CV exists to inform). One (fold, score) histogram from
+    * one scan, fold-partitioned cumulative windows over the bounded
+    * aggregate, integer-ppm per-fold AUC plus the mean and worst−best
+    * spread every reviewer reads first.
+    */
+  private val mlCvAucStability = Op(
+    "ml_cv_auc_stability",
+    (s, d) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val fold = pmod(pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)), lit(5))
+      val h = T.documents(s, d).select(
+          fold.cast("int").as("fold"),
+          when(instr(col("text"), "customer") > 0, 1).otherwise(0).as("y"),
+          expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+                + (length(text) - length(replace(text, 'pack', ''))) div 4
+                + (length(text) - length(replace(text, 'ship', ''))) div 4
+                as bigint)""").as("s"))
+        .groupBy(col("fold"), col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+      val before = W.partitionBy(col("fold")).orderBy(col("s"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      h.withColumn("cum_before", coalesce(sum(col("n")).over(before), lit(0L)))
+        .groupBy(col("fold"))
+        .agg(
+          sum(col("npos") * (lit(2) * col("cum_before") + col("n") + lit(1)))
+            .cast("long").as("two_r_pos"),
+          sum(col("npos")).cast("long").as("n_pos"),
+          sum(col("n") - col("npos")).cast("long").as("n_neg"))
+        .withColumn("auc_ppm",
+          expr("(two_r_pos - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"))
+        .withColumn("mean_auc_ppm",
+          expr("sum(auc_ppm) OVER () div count(1) OVER ()"))
+        .withColumn("spread_ppm",
+          max(col("auc_ppm")).over(W.partitionBy())
+            - min(col("auc_ppm")).over(W.partitionBy()))
+        .select(col("fold"), col("n_pos"), col("n_neg"), col("auc_ppm"),
+          col("mean_auc_ppm"), col("spread_ppm"))
+        .orderBy(col("fold"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CAST(((doc_id * 2654435761) % 4294967296) % 5 AS INT) AS fold,
+               CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s
+        FROM documents),
+      h AS (SELECT fold, s, COUNT(*) AS n, SUM(y) AS npos FROM d GROUP BY 1, 2),
+      c AS (SELECT fold, s, n, npos,
+                   CAST(COALESCE(SUM(n) OVER (PARTITION BY fold ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM h),
+      per AS (
+        SELECT fold,
+               CAST(SUM(npos * (2 * cum_before + n + 1)) AS BIGINT) AS two_r_pos,
+               CAST(SUM(npos) AS BIGINT) AS n_pos,
+               CAST(SUM(n - npos) AS BIGINT) AS n_neg
+        FROM c GROUP BY fold),
+      scored AS (
+        SELECT fold, n_pos, n_neg,
+               (two_r_pos - n_pos * (n_pos + 1)) * 500000 // (n_pos * n_neg) AS auc_ppm
+        FROM per)
+      SELECT fold, n_pos, n_neg, auc_ppm,
+             CAST(SUM(auc_ppm) OVER () // COUNT(*) OVER () AS BIGINT) AS mean_auc_ppm,
+             MAX(auc_ppm) OVER () - MIN(auc_ppm) OVER () AS spread_ppm
+      FROM scored ORDER BY fold
+    """)
+  )
+
   private lazy val mlOperatingPoint = Op(
     "ml_operating_point",
     (s, d) => {
@@ -1291,5 +1367,5 @@ object MLPipeline {
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
     mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK,
-    mlAucBySegment, mlOperatingPoint)
+    mlAucBySegment, mlOperatingPoint, mlCvAucStability)
 }
