@@ -88,7 +88,9 @@ class DeterminismSpec extends AnyFunSuite {
     "sql_q1_pricing_summary",    // capped-width decimal micro-unit money
     "evt_error_rate_slo",        // checkpointed hourly + dual ppm gates
     "sim_knn_classify",          // cosine rank tie-break + vote argmax
-    "evt_decay_engagement")      // integer half-life weights + top-20 tie
+    "evt_decay_engagement",      // integer half-life weights + top-20 tie
+    "qc_uniqueness_profile",     // one-Expand multi-distinct + stack
+    "ml_cv_auc_stability")       // fold-partitioned histogram windows
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
