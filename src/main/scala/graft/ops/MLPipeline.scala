@@ -1361,11 +1361,67 @@ object MLPipeline {
     """)
   )
 
+  /** Per-group feature standardization (r7) — the (x−μ)/σ transform every
+    * numeric feature crosses before training, as an explicit oracled op
+    * (the spark.ml StandardScaler inside `ml_feature_pipeline` is
+    * exempt-tier; this is the exact contract it implements): per-language
+    * moments from DECIMAL-exact sums (μ and σ² are ratios of exact sums —
+    * the only floating steps are two divisions and one sqrt, and IEEE
+    * sqrt is correctly rounded in BOTH engines, unlike ln/pow — which is
+    * what makes z-scores hash-matchable while perplexities need the
+    * decimal-sum discipline), then the standardized value re-aggregated
+    * as a per-group z-bucket histogram: broadcast the ≤|langs|-row moment
+    * table back, never a second scan shape — one corpus pass + one
+    * broadcast join at any scale.
+    */
+  private val mlFeatureStandardize = Op(
+    "ml_feature_standardize",
+    (s, d) => {
+      val moments = T.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("decimal(28,0)")).as("sx"),
+          sum((col("n_chars") * col("n_chars")).cast("decimal(28,0)")).as("sxx"))
+        .select(col("lang"), col("n"),
+          (col("sx").cast("double") / col("n")).as("mu"),
+          sqrt((col("sxx").cast("double") / col("n"))
+            - (col("sx").cast("double") / col("n"))
+              * (col("sx").cast("double") / col("n"))).as("sigma"))
+      T.documents(s, d).select(col("lang"), col("n_chars"))
+        .join(broadcast(moments), Seq("lang"))
+        .withColumn("z", (col("n_chars") - col("mu")) / col("sigma"))
+        .groupBy(col("lang"),
+          expr("CAST(floor(z * 2) AS BIGINT)").as("half_z_bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("z")), 6).as("z_min"),
+          round(max(col("z")), 6).as("z_max"))
+        .orderBy(col("lang"), col("half_z_bucket"))
+    },
+    Some("""
+      WITH m AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) / COUNT(*) AS mu,
+               SQRT(CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS DOUBLE) / COUNT(*)
+                    - (CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) / COUNT(*))
+                      * (CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) / COUNT(*)))
+                 AS sigma
+        FROM documents GROUP BY lang),
+      z AS (
+        SELECT d.lang, (n_chars - mu) / sigma AS z
+        FROM documents d JOIN m ON d.lang = m.lang)
+      SELECT lang, CAST(FLOOR(z * 2) AS BIGINT) AS half_z_bucket,
+             COUNT(*) AS n_docs,
+             ROUND(MIN(z), 6) AS z_min, ROUND(MAX(z), 6) AS z_max
+      FROM z GROUP BY 1, 2 ORDER BY lang, half_z_bucket
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
     mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK,
-    mlAucBySegment, mlOperatingPoint, mlCvAucStability)
+    mlAucBySegment, mlOperatingPoint, mlCvAucStability,
+    mlFeatureStandardize)
 }
