@@ -90,7 +90,8 @@ class DeterminismSpec extends AnyFunSuite {
     "sim_knn_classify",          // cosine rank tie-break + vote argmax
     "evt_decay_engagement",      // integer half-life weights + top-20 tie
     "qc_uniqueness_profile",     // one-Expand multi-distinct + stack
-    "ml_cv_auc_stability")       // fold-partitioned histogram windows
+    "ml_cv_auc_stability",       // fold-partitioned histogram windows
+    "ml_feature_standardize")    // exact moments + IEEE sqrt z buckets
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
