@@ -1296,7 +1296,140 @@ object Events {
     """)
   )
 
+  /** Activity concentration via an exact grouped-data Gini coefficient
+    * (r8) — "do 1% of users generate 90% of events?", the inequality
+    * audit every consumer pipeline runs before trusting per-user
+    * averages. Per-user event counts collapse to a count-of-counts
+    * HISTOGRAM h(c, m) (≤ |distinct counts| rows — bounded by max
+    * activity, never |users|), and the Gini rank sum uses the closed
+    * form for tied groups: users in a bucket occupy ranks
+    * (cum_lo, cum_hi], and 2·Σranks = m·(cum_lo + cum_hi + 1), so
+    * 2·Σ rank·c = Σ_buckets c·m·(cum_lo+cum_hi+1) — pure integer
+    * arithmetic, shuffle-order-independent, identical in both engines.
+    * gini_ppm = (2Σrank·c − (N+1)·S)·1e6 div (N·S). The window runs over
+    * the tiny histogram (agg-before-window); at 100 TB the only wide
+    * shuffle is the per-user count. Long math: c·m·(2N+1) ≤ S·(2N+1) —
+    * holds to ~2e9 users × 1e3 events.
+    */
+  val evtGiniConcentration = Op(
+    "evt_gini_concentration",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = T.events(s, d)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      val h = counts.groupBy(col("c")).agg(count(lit(1)).as("m"))
+      val asc = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum_hi", sum(col("m")).over(asc).cast("long"))
+        .agg(
+          sum(col("m")).cast("long").as("n_users"),
+          sum(col("c") * col("m")).cast("long").as("total_events"),
+          max(col("c")).cast("long").as("max_user_events"),
+          sum(col("c") * col("m") * (lit(2) * col("cum_hi") - col("m") + lit(1)))
+            .cast("long").as("two_rc"))
+        .select(col("n_users"), col("total_events"), col("max_user_events"),
+          expr("(two_rc - (n_users + 1) * total_events) * 1000000 " +
+            "div (n_users * total_events)").as("gini_ppm"))
+    },
+    Some("""
+      WITH counts AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id),
+      h AS (SELECT c, COUNT(*) AS m FROM counts GROUP BY c),
+      w AS (SELECT c, m,
+                   CAST(SUM(m) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_hi
+            FROM h),
+      agg AS (
+        SELECT CAST(SUM(m) AS BIGINT) AS n_users,
+               CAST(SUM(c * m) AS BIGINT) AS total_events,
+               CAST(MAX(c) AS BIGINT) AS max_user_events,
+               CAST(SUM(c * m * (2 * cum_hi - m + 1)) AS BIGINT) AS two_rc
+        FROM w)
+      SELECT n_users, total_events, max_user_events,
+             (two_rc - (n_users + 1) * total_events) * 1000000
+               // (n_users * total_events) AS gini_ppm
+      FROM agg
+    """)
+  )
+
+  /** Difference-in-differences (r8) — the observational-causal twin of
+    * `evt_ab_test_lift`: a hash-bucketed "treatment" cohort, the fixture
+    * timeline split at its midpoint into pre/post, and the DiD estimate
+    * (treat_post − treat_pre) − (ctrl_post − ctrl_pre) on mean per-user
+    * purchase value. Money rides in floor(value·1e4) integer units (the
+    * evt_decay_engagement idiom — IEEE multiply then truncate is
+    * bit-identical in both engines) and means are integer floor divisions,
+    * so the whole 2×2 panel is exact. The midpoint is a 1-row broadcast
+    * scalar from a min/max agg, never a driver value; the panel collapses
+    * via conditional aggregation to one row — at 100 TB: one scan to the
+    * user-cell agg, one 4-row shuffle after it.
+    */
+  val evtDiffInDiff = Op(
+    "evt_diff_in_diff",
+    (s, d) => {
+      val p = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("CAST(floor(value * 10000) AS BIGINT)").as("units"))
+      // integer floor-div midpoint: `/` would go through double, where
+      // Spark's cast truncates but DuckDB's rounds — div agrees exactly
+      val mid = p.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+        .select(expr("(mn + mx) div 2").as("mid_us"))
+      val cells = p.crossJoin(broadcast(mid))
+        .withColumn("treat",
+          when(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) <
+            lit(2147483648L), 1).otherwise(0))
+        .withColumn("post", when(col("us") >= col("mid_us"), 1).otherwise(0))
+        .groupBy(col("treat"), col("post"), col("user_id"))
+        .agg(sum(col("units")).as("user_units"))
+        .groupBy(col("treat"), col("post"))
+        .agg(count(lit(1)).as("n_users"), sum(col("user_units")).as("units"))
+        .withColumn("mean_units", expr("units div n_users"))
+      cells.agg(
+          sum(when(col("treat") === 1 && col("post") === 1, col("mean_units"))
+            .otherwise(0L)).as("treat_post"),
+          sum(when(col("treat") === 1 && col("post") === 0, col("mean_units"))
+            .otherwise(0L)).as("treat_pre"),
+          sum(when(col("treat") === 0 && col("post") === 1, col("mean_units"))
+            .otherwise(0L)).as("ctrl_post"),
+          sum(when(col("treat") === 0 && col("post") === 0, col("mean_units"))
+            .otherwise(0L)).as("ctrl_pre"))
+        .select(col("treat_pre"), col("treat_post"), col("ctrl_pre"),
+          col("ctrl_post"),
+          ((col("treat_post") - col("treat_pre")) -
+            (col("ctrl_post") - col("ctrl_pre"))).as("did_units"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS units
+        FROM events WHERE event_type = 'purchase'),
+      mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid_us FROM p),
+      cells AS (
+        SELECT treat, post, COUNT(*) AS n_users,
+               CAST(SUM(user_units) AS BIGINT) AS units
+        FROM (
+          SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                      THEN 1 ELSE 0 END AS treat,
+                 CASE WHEN us >= (SELECT mid_us FROM mid) THEN 1 ELSE 0 END AS post,
+                 user_id, SUM(units) AS user_units
+          FROM p GROUP BY 1, 2, user_id)
+        GROUP BY treat, post),
+      m AS (SELECT treat, post, units // n_users AS mean_units FROM cells)
+      SELECT
+        CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN mean_units ELSE 0 END) AS BIGINT) AS treat_pre,
+        CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN mean_units ELSE 0 END) AS BIGINT) AS treat_post,
+        CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN mean_units ELSE 0 END) AS BIGINT) AS ctrl_pre,
+        CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN mean_units ELSE 0 END) AS BIGINT) AS ctrl_post,
+        CAST((SUM(CASE WHEN treat = 1 AND post = 1 THEN mean_units ELSE 0 END)
+         - SUM(CASE WHEN treat = 1 AND post = 0 THEN mean_units ELSE 0 END))
+        - (SUM(CASE WHEN treat = 0 AND post = 1 THEN mean_units ELSE 0 END)
+           - SUM(CASE WHEN treat = 0 AND post = 0 THEN mean_units ELSE 0 END)) AS BIGINT) AS did_units
+      FROM m
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    evtGiniConcentration, evtDiffInDiff,
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,

@@ -614,7 +614,151 @@ object Graph {
     """)
   )
 
+  /** Per-vertex local clustering coefficient (r8) — "how tightly knit is
+    * each supplier's neighborhood": coeff(v) = 2·tri(v) / (deg(v)·(deg(v)−1))
+    * over the same support-thresholded co-supply graph as
+    * `graph_triangle_count`. The wedge-join triangle kernel and the degree
+    * aggregate both read the checkpointed `pairs` relation (the
+    * sim_prefix_filter_join fanout discipline: pairs feeds the self-join
+    * twice, the closing-edge probe, AND the degree agg — checkpoint once,
+    * never recompute the support self-join). All math is exact integer ppm
+    * floor division, so the result is shuffle-order-independent. At 100 TB:
+    * triangles shuffle on the wedge apex and the (u,v) probe key only; the
+    * per-vertex join is |V|-sized. Global transitivity (3·closed/open
+    * wedges) would be a one-row variant of the same aggregates.
+    */
+  val graphClusteringCoeff = Op(
+    "graph_clustering_coeff",
+    (s, d) => {
+      val orderSupp = T.lineitem(s, d)
+        .filter(col("l_suppkey") < 250)
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val pairs = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
+        .filter(col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+      val deg = pairs.select(col("a").as("v"))
+        .unionByName(pairs.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val wedges = pairs.as("e1").join(pairs.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.b").as("u"), col("e2.b").as("v"), col("e1.a").as("apex"))
+      val tris = wedges.join(pairs.as("e3"),
+          col("u") === col("e3.a") && col("v") === col("e3.b"))
+        .select(col("apex"), col("u"), col("v"))
+      val perVertex = tris.select(explode(array(col("apex"), col("u"), col("v"))).as("tv"))
+        .groupBy(col("tv")).agg(count(lit(1)).as("n_tri"))
+      deg.join(perVertex, col("v") === col("tv"), "left")
+        .filter(col("deg") >= 2)
+        .select(col("v"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("coeff_ppm",
+          expr("(2 * n_tri * 1000000) div (deg * (deg - 1))"))
+        .orderBy(col("coeff_ppm").desc, col("deg").desc, col("v"))
+        .limit(20)
+    },
+    Some("""
+      WITH os AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                  FROM lineitem WHERE l_suppkey < 250),
+      pairs AS (
+        SELECT x.sk AS a, y.sk AS b
+        FROM os x JOIN os y ON x.ok = y.ok AND x.sk < y.sk
+        GROUP BY x.sk, y.sk HAVING COUNT(*) >= 2),
+      deg AS (
+        SELECT v, COUNT(*) AS deg
+        FROM (SELECT a AS v FROM pairs UNION ALL SELECT b FROM pairs)
+        GROUP BY v),
+      tris AS (
+        SELECT e1.a AS apex, e1.b AS u, e2.b AS v
+        FROM pairs e1
+        JOIN pairs e2 ON e1.a = e2.a AND e1.b < e2.b
+        JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+      pv AS (
+        SELECT tv, COUNT(*) AS n_tri
+        FROM (SELECT apex AS tv FROM tris
+              UNION ALL SELECT u FROM tris
+              UNION ALL SELECT v FROM tris)
+        GROUP BY tv)
+      SELECT deg.v, deg.deg, COALESCE(pv.n_tri, 0) AS n_tri,
+             (2 * COALESCE(pv.n_tri, 0) * 1000000) // (deg.deg * (deg.deg - 1)) AS coeff_ppm
+      FROM deg LEFT JOIN pv ON deg.v = pv.tv
+      WHERE deg.deg >= 2
+      ORDER BY coeff_ppm DESC, deg DESC, v LIMIT 20
+    """)
+  )
+
+  /** HITS hubs & authorities (Kleinberg 1999, public-knowledge algorithm,
+    * r8) over the DIRECTED customer→supplier purchase graph — the one
+    * genuinely directed relation in the fixtures (pagerank doubles it into
+    * an undirected walk; HITS is the algorithm whose two scores only make
+    * sense directed: customers are hubs, suppliers authorities). Two full
+    * mutual-reinforcement rounds in scaled integers: auth(v) = Σ_{u→v}
+    * hub(u), hub(u) = Σ_{u→v} auth(v), each side renormalized to max=1e6
+    * by integer division after every half-step — renormalization bounds
+    * the magnitude (no overflow at any |E|) and keeps every value exact,
+    * so the oracle is a finite CTE chain and the result is
+    * shuffle-order-independent. At 100 TB the per-round cost is one
+    * shuffle join per side on the edge key with map-side-combinable sums —
+    * the pagerank plan with two score columns. The max-scalar is a 1-row
+    * broadcast crossJoin, never a driver collect.
+    */
+  val graphHits = Op(
+    "graph_hits",
+    (s, d) => {
+      val edges = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct()
+        .localCheckpoint(true)
+      def renorm(df: org.apache.spark.sql.DataFrame, key: String, v: String) = {
+        val mx = df.agg(max(col(v)).as("mx"))
+        df.crossJoin(broadcast(mx))
+          .select(col(key), expr(s"($v * 1000000) div mx").as(v))
+      }
+      // round 1: auth = indeg (hub0 = 1), hub = Σ auth over the row
+      val a1 = renorm(
+        edges.groupBy(col("supp")).agg(count(lit(1)).cast("long").as("auth")),
+        "supp", "auth").localCheckpoint(true)
+      val h1 = renorm(
+        edges.join(a1, "supp")
+          .groupBy(col("cust")).agg(sum(col("auth")).as("hub")),
+        "cust", "hub").localCheckpoint(true)
+      // round 2: re-score authorities from the round-1 hubs
+      val a2 = renorm(
+        edges.join(h1, "cust")
+          .groupBy(col("supp")).agg(sum(col("hub")).as("auth")),
+        "supp", "auth")
+      // edges/a1/h1 blocks stay alive (the returned frame reads them
+      // lazily); Verify/Bench free them via sweepJvmState between queries,
+      // the same lifecycle as sim_containment_pairs' shingle checkpoint.
+      a2.orderBy(col("auth").desc, col("supp")).limit(15)
+    },
+    Some("""
+      WITH e AS (
+        SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      a1r AS (SELECT supp, COUNT(*) AS auth FROM e GROUP BY supp),
+      a1 AS (SELECT supp, CAST(auth * 1000000 // (SELECT MAX(auth) FROM a1r) AS BIGINT) AS auth
+             FROM a1r),
+      h1r AS (SELECT cust, SUM(auth) AS hub
+              FROM e JOIN a1 USING (supp) GROUP BY cust),
+      h1 AS (SELECT cust, CAST(hub * 1000000 // (SELECT MAX(hub) FROM h1r) AS BIGINT) AS hub
+             FROM h1r),
+      a2r AS (SELECT supp, SUM(hub) AS auth
+              FROM e JOIN h1 USING (cust) GROUP BY supp),
+      a2 AS (SELECT supp, CAST(auth * 1000000 // (SELECT MAX(auth) FROM a2r) AS BIGINT) AS auth
+             FROM a2r)
+      SELECT supp, auth FROM a2 ORDER BY auth DESC, supp LIMIT 15
+    """)
+  )
+
   val ops: Vector[Op] = Vector(graphPagerank, graphTriangleCount,
     graphBfsReachability, graphDegreeDistribution, graphLabelPropagation,
-    graphKCore, graphCommonNeighbors, graphAssortativity)
+    graphKCore, graphCommonNeighbors, graphAssortativity,
+    graphClusteringCoeff, graphHits)
 }

@@ -1416,6 +1416,108 @@ object MLPipeline {
     """)
   )
 
+  /** Cumulative gains / lift deciles (r8) — the campaign-targeting read of
+    * the same scored corpus as `ml_roc_auc`/`ml_pr_auc`: rank by score,
+    * split into 10 equal-population deciles, report per-decile positives,
+    * cumulative capture rate, and lift vs the base rate. Built entirely on
+    * the per-score HISTOGRAM (|distinct scores| rows, never the corpus):
+    * decile boundary ranks b_k = k·N div 10 land inside histogram buckets,
+    * and positives at an interior rank use the exact grouped-data (Lorenz)
+    * interpolation pos_at(r) = pos_cum_lo + (r − cum_lo)·npos div n — floor
+    * division, so the apportionment is deterministic integer math in both
+    * engines and telescopes to exactly P at b_10 (how grouped gains charts
+    * are defined when ties span boundaries; a per-row NTILE would need a
+    * corpus-wide SinglePartition sort). The histogram is checkpointed once
+    * because it feeds both the totals scalar and the boundary window; all
+    * windows run over ≤ max(|scores|, 11) rows. Long math holds to ~9e12
+    * docs (P·1e6 < 2^63).
+    */
+  private val mlGainLiftDeciles = Op(
+    "ml_gain_lift_deciles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = T.documents(s, d).select(
+        when(instr(col("text"), "customer") > 0, 1).otherwise(0).as("y"),
+        expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+              + (length(text) - length(replace(text, 'pack', ''))) div 4
+              + (length(text) - length(replace(text, 'ship', ''))) div 4
+              as bigint)""").as("s"))
+      val h = scored.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+        .localCheckpoint(true)
+      val desc = Window.orderBy(col("s").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = h
+        .withColumn("cum_hi", sum(col("n")).over(desc).cast("long"))
+        .withColumn("pos_cum_hi", sum(col("npos")).over(desc).cast("long"))
+        .select(col("n"), col("npos"),
+          (col("cum_hi") - col("n")).as("cum_lo"), col("cum_hi"),
+          (col("pos_cum_hi") - col("npos")).as("pos_cum_lo"))
+      val tot = h.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("npos")).cast("long").as("pp"))
+      val bounds = tot
+        .select(explode(sequence(lit(0), lit(10))).as("k"), col("nn"), col("pp"))
+        .withColumn("b", expr("k * nn div 10"))
+      val pa = bounds.join(c, col("b") > col("cum_lo") && col("b") <= col("cum_hi"), "left")
+        .select(col("k"), col("nn"), col("pp"), col("b"),
+          coalesce(col("pos_cum_lo") +
+            expr("(b - cum_lo) * npos div n"), lit(0L)).as("pos_at"))
+      val wk = Window.orderBy(col("k"))
+      pa.withColumn("b_prev", lag(col("b"), 1).over(wk))
+        .withColumn("pos_prev", lag(col("pos_at"), 1).over(wk))
+        .filter(col("k") >= 1)
+        .select(col("k").cast("int").as("decile"),
+          (col("b") - col("b_prev")).as("n_docs"),
+          (col("pos_at") - col("pos_prev")).as("n_pos"),
+          expr("pos_at * 1000000 div pp").as("cum_capture_ppm"),
+          expr("((pos_at - pos_prev) * 1000000 div nullif(b - b_prev, 0)) * nn div pp")
+            .as("lift_ppm"))
+        .orderBy(col("decile"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s
+        FROM documents),
+      h AS (SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+            FROM d GROUP BY s),
+      c AS (SELECT n, npos,
+                   CAST(SUM(n) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                     AS BIGINT) AS cum_lo,
+                   CAST(SUM(n) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS BIGINT) AS cum_hi,
+                   CAST(SUM(npos) OVER (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - npos
+                     AS BIGINT) AS pos_cum_lo
+            FROM h),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(npos) AS BIGINT) AS pp
+              FROM h),
+      bounds AS (SELECT unnest(generate_series(0, 10)) AS k, nn, pp FROM tot),
+      pa AS (
+        SELECT k, nn, pp, b,
+               COALESCE(pos_cum_lo + (b - cum_lo) * npos // n, 0) AS pos_at
+        FROM (SELECT k, nn, pp, k * nn // 10 AS b FROM bounds) bd
+        LEFT JOIN c ON bd.b > c.cum_lo AND bd.b <= c.cum_hi),
+      w AS (
+        SELECT k, nn, pp, b, pos_at,
+               LAG(b) OVER (ORDER BY k) AS b_prev,
+               LAG(pos_at) OVER (ORDER BY k) AS pos_prev
+        FROM pa)
+      SELECT CAST(k AS INTEGER) AS decile,
+             b - b_prev AS n_docs,
+             pos_at - pos_prev AS n_pos,
+             pos_at * 1000000 // pp AS cum_capture_ppm,
+             ((pos_at - pos_prev) * 1000000 // NULLIF(b - b_prev, 0)) * nn // pp AS lift_ppm
+      FROM w WHERE k >= 1
+      ORDER BY decile
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
@@ -1423,5 +1525,5 @@ object MLPipeline {
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
     mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK,
     mlAucBySegment, mlOperatingPoint, mlCvAucStability,
-    mlFeatureStandardize)
+    mlFeatureStandardize, mlGainLiftDeciles)
 }

@@ -91,7 +91,12 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_decay_engagement",      // integer half-life weights + top-20 tie
     "qc_uniqueness_profile",     // one-Expand multi-distinct + stack
     "ml_cv_auc_stability",       // fold-partitioned histogram windows
-    "ml_feature_standardize")    // exact moments + IEEE sqrt z buckets
+    "ml_feature_standardize",    // exact moments + IEEE sqrt z buckets
+    "graph_clustering_coeff",    // checkpointed wedge joins + integer ppm
+    "graph_hits",                // integer mutual reinforcement + renorm
+    "ml_gain_lift_deciles",      // histogram Lorenz interpolation + lag
+    "evt_gini_concentration",    // count-of-counts integer rank sum
+    "evt_diff_in_diff")          // integer-unit 2x2 panel + broadcast mid
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
