@@ -461,8 +461,59 @@ object Scalars {
     """)
   )
 
+  /** Business-day lead time (r8) — order-to-ship latency counted in
+    * weekdays, the SLA arithmetic every fulfillment dashboard needs and
+    * naive datediff gets wrong by ~2/7. Closed form, no calendar table:
+    * with d = days since an anchor Monday (1970-01-05), the weekdays
+    * before day d are f(d) = (d div 7)·5 + least(d mod 7, 5), so the
+    * business days in [order, ship) are f(d_ship) − f(d_order) — pure
+    * integer arithmetic on the codegen'd datediff, identical in both
+    * engines (no UDF, no generate-series explode per row, which at 100 TB
+    * would multiply the scan by the mean lead time). Emits the lead-time
+    * histogram + per-bucket calendar-day contrast. (This fixture's ship
+    * dates are generated independently of order dates, so the histogram
+    * spans negative leads too — the closed form is sign-correct either
+    * way: f is monotone and exact for all non-negative anchor offsets.)
+    */
+  val dtBusinessDays = Op(
+    "dt_business_days",
+    (s, d) => {
+      val anchor = to_date(lit("1970-01-05")) // a Monday
+      val joined = T.lineitem(s, d)
+        .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship"))
+        .join(T.orders(s, d)
+          .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(datediff(col("ship"), anchor).as("ds"),
+          datediff(col("ord"), anchor).as("dord"))
+        .select(
+          (expr("(ds div 7) * 5 + least(ds % 7, 5)") -
+            expr("(dord div 7) * 5 + least(dord % 7, 5)")).cast("long").as("busdays"),
+          (col("ds") - col("dord")).cast("long").as("caldays"))
+      joined.groupBy(col("busdays"))
+        .agg(count(lit(1)).as("n_lines"),
+          min(col("caldays")).as("min_caldays"),
+          max(col("caldays")).as("max_caldays"))
+        .orderBy(col("busdays"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT date_diff('day', DATE '1970-01-05', CAST(l_shipdate AS DATE)) AS ds,
+               date_diff('day', DATE '1970-01-05', CAST(o_orderdate AS DATE)) AS dord
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      b AS (
+        SELECT ((ds // 7) * 5 + least(ds % 7, 5))
+               - ((dord // 7) * 5 + least(dord % 7, 5)) AS busdays,
+               ds - dord AS caldays
+        FROM d)
+      SELECT busdays, COUNT(*) AS n_lines,
+             MIN(caldays) AS min_caldays, MAX(caldays) AS max_caldays
+      FROM b GROUP BY busdays ORDER BY busdays
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     strFuncs, strSplitRegex, strCodecs, dtFuncs, dtEpochWindow, mathFuncs,
     arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs,
-    jsonExtract, dtGapFillSpine, dtMomGrowth, bitFuncs)
+    jsonExtract, dtGapFillSpine, dtMomGrowth, bitFuncs, dtBusinessDays)
 }

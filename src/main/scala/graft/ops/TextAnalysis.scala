@@ -1289,7 +1289,162 @@ object TextAnalysis {
     """)
   )
 
+  /** Gopher-style hard quality rules (r8; Rae et al. 2021 "Scaling
+    * Language Models: ... Gopher", the published rule set behind MassiveWeb
+    * — thresholds adapted to the fixture corpus) — the PASS/FAIL gate that
+    * complements `txt_quality_score`'s blended score: a curation pipeline
+    * drops a document when ANY rule fires, and the audit you actually read
+    * is per-rule failure counts (which rule is doing the filtering?).
+    * Five integer rules per doc (token count in range, mean word length
+    * ×10 in range, ≥2 stopwords, distinct-token ppm floor, top-token
+    * share ppm cap — the repetition screen), all computed with
+    * codegen'd array functions in ONE scan, rolled up by conditional
+    * aggregation, and unpivoted via stack to (rule, n_fail, fail_ppm)
+    * rows. The top-token share is O(u·n) per doc via
+    * transform+filter — bounded by doc length, no per-doc shuffle.
+    */
+  val txtGopherFilter = Op(
+    "txt_gopher_filter",
+    (s, d) => {
+      val per = T.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars_t"),
+          split(col("text"), " ").as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tok"),
+          (col("n_chars_t") - (size(col("toks")) - 1)).cast("long").as("wchars"),
+          expr(s"size(filter(toks, t -> t IN (${stoplist.map(w => s"'$w'").mkString(", ")})))")
+            .cast("long").as("n_stop"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          expr("array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))")
+            .cast("long").as("top_cnt"))
+        .select(col("doc_id"), col("n_tok"),
+          when(col("n_tok") < 20 || col("n_tok") > 400, 1L).otherwise(0L).as("f_len"),
+          when(expr("wchars * 10 div n_tok") < 20 ||
+            expr("wchars * 10 div n_tok") > 80, 1L).otherwise(0L).as("f_wl"),
+          when(col("n_stop") < 2, 1L).otherwise(0L).as("f_stop"),
+          when(expr("n_uniq * 1000000 div n_tok") < 200000, 1L).otherwise(0L).as("f_uniq"),
+          when(expr("top_cnt * 1000000 div n_tok") > 200000, 1L).otherwise(0L).as("f_rep"))
+      per.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("f_len")).as("s_len"), sum(col("f_wl")).as("s_wl"),
+          sum(col("f_stop")).as("s_stop"), sum(col("f_uniq")).as("s_uniq"),
+          sum(col("f_rep")).as("s_rep"),
+          sum(when(col("f_len") + col("f_wl") + col("f_stop") + col("f_uniq") +
+            col("f_rep") > 0, 1L).otherwise(0L)).as("s_any"))
+        .selectExpr("""stack(6,
+            'len_range',  s_len,  s_len  * 1000000 div n_docs,
+            'word_len',   s_wl,   s_wl   * 1000000 div n_docs,
+            'stopwords',  s_stop, s_stop * 1000000 div n_docs,
+            'uniq_floor', s_uniq, s_uniq * 1000000 div n_docs,
+            'repetition', s_rep,  s_rep  * 1000000 div n_docs,
+            'any_rule',   s_any,  s_any  * 1000000 div n_docs
+          ) as (rule, n_fail, fail_ppm)""")
+        .orderBy(col("rule"))
+    },
+    Some(s"""
+      WITH per AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tok,
+               CAST(len(text) - (len(toks) - 1) AS BIGINT) AS wchars,
+               CAST(len(list_filter(toks, t -> t IN (${stoplist.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+               CAST(list_max(list_transform(list_distinct(toks),
+                 t -> len(list_filter(toks, x -> x = t)))) AS BIGINT) AS top_cnt
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)),
+      fl AS (
+        SELECT CASE WHEN n_tok < 20 OR n_tok > 400 THEN 1 ELSE 0 END AS f_len,
+               CASE WHEN wchars * 10 // n_tok < 20 OR wchars * 10 // n_tok > 80
+                    THEN 1 ELSE 0 END AS f_wl,
+               CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+               CASE WHEN n_uniq * 1000000 // n_tok < 200000 THEN 1 ELSE 0 END AS f_uniq,
+               CASE WHEN top_cnt * 1000000 // n_tok > 200000 THEN 1 ELSE 0 END AS f_rep
+        FROM per),
+      agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(f_len) AS BIGINT) AS s_len, CAST(SUM(f_wl) AS BIGINT) AS s_wl,
+               CAST(SUM(f_stop) AS BIGINT) AS s_stop, CAST(SUM(f_uniq) AS BIGINT) AS s_uniq,
+               CAST(SUM(f_rep) AS BIGINT) AS s_rep,
+               CAST(SUM(CASE WHEN f_len + f_wl + f_stop + f_uniq + f_rep > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS s_any
+        FROM fl)
+      SELECT rule, n_fail, n_fail * 1000000 // n_docs AS fail_ppm FROM (
+        SELECT 'len_range' AS rule, s_len AS n_fail, n_docs FROM agg
+        UNION ALL SELECT 'word_len', s_wl, n_docs FROM agg
+        UNION ALL SELECT 'stopwords', s_stop, n_docs FROM agg
+        UNION ALL SELECT 'uniq_floor', s_uniq, n_docs FROM agg
+        UNION ALL SELECT 'repetition', s_rep, n_docs FROM agg
+        UNION ALL SELECT 'any_rule', s_any, n_docs FROM agg)
+      ORDER BY rule
+    """)
+  )
+
+  /** Boilerplate-span coverage (r8; the CCNet/C4 boilerplate-removal step
+    * as a per-document TRANSFORM, where `txt_substring_dedup` only reports
+    * per-source duplication stats): a 5-gram occurring in > 3 distinct
+    * documents is boilerplate, and every token position covered by any
+    * boilerplate occurrence is removable. Positions arrive by exploding
+    * each flagged gram's [i, i+4] span and de-duplicating (doc, pos) —
+    * overlapping spans never double-count. The positioned gram relation is
+    * checkpointed once (it feeds the document-frequency agg AND the
+    * coverage join — the sim_prefix_filter_join fanout discipline); only
+    * 16-byte md5 hashes shuffle, never gram text. Emits the 20 most
+    * boilerplate-laden docs with exact integer keep_ppm.
+    */
+  val txtBoilerplateCoverage = Op(
+    "txt_boilerplate_coverage",
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 5)
+      val grams = docs
+        .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 4)")).as("i"),
+          col("toks"))
+        .select(col("doc_id"), col("i"),
+          md5(expr("array_join(slice(toks, i, 5), ' ')")).as("h"))
+        .localCheckpoint(true)
+      val bp = grams.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") > 3)
+        .select(col("h"))
+      val cover = grams.join(bp, "h")
+        .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("p"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov"))
+      docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+        .join(cover, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_cov"), lit(0L)).as("n_cov"))
+        .withColumn("keep_ppm", expr("(n_tok - n_cov) * 1000000 div n_tok"))
+        .orderBy(col("keep_ppm"), col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+      grams AS (
+        SELECT doc_id, i,
+               md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' ||
+                   arr[i+3] || ' ' || arr[i+4]) AS h
+        FROM docs, UNNEST(generate_series(1, len(arr) - 4)) AS t(i)),
+      bp AS (SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) > 3),
+      cover AS (
+        SELECT doc_id, COUNT(*) AS n_cov FROM (
+          SELECT DISTINCT doc_id, p FROM (
+            SELECT g.doc_id, UNNEST(generate_series(g.i, g.i + 4)) AS p
+            FROM grams g JOIN bp USING (h)))
+        GROUP BY doc_id)
+      SELECT d.doc_id, CAST(len(d.arr) AS BIGINT) AS n_tok,
+             CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS n_cov,
+             (CAST(len(d.arr) AS BIGINT) - COALESCE(c.n_cov, 0)) * 1000000
+               // len(d.arr) AS keep_ppm
+      FROM docs d LEFT JOIN cover c USING (doc_id)
+      ORDER BY keep_ppm, doc_id LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    txtGopherFilter, txtBoilerplateCoverage,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,

@@ -96,7 +96,10 @@ class DeterminismSpec extends AnyFunSuite {
     "graph_hits",                // integer mutual reinforcement + renorm
     "ml_gain_lift_deciles",      // histogram Lorenz interpolation + lag
     "evt_gini_concentration",    // count-of-counts integer rank sum
-    "evt_diff_in_diff")          // integer-unit 2x2 panel + broadcast mid
+    "evt_diff_in_diff",          // integer-unit 2x2 panel + broadcast mid
+    "dt_business_days",          // closed-form weekday integer arithmetic
+    "txt_gopher_filter",         // per-doc integer rules + stack rollup
+    "txt_boilerplate_coverage")  // checkpointed positioned grams + ppm
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
