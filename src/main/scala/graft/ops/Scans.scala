@@ -1082,7 +1082,43 @@ object Scans {
     None
   )
 
+  /** Native DataSource V2 connector (r8) — the engine-extension leg of the
+    * scan tier: `graft.sources.RangeLedger` is a from-scratch TableProvider
+    * whose ScanBuilder implements SupportsPushDownFilters AND
+    * SupportsPushDownRequiredColumns, planned as 8 contiguous id-range
+    * input partitions. The query's bucket/day predicates are ACCEPTED by
+    * the source and evaluated inside the partition readers (non-matching
+    * ids are skipped before an InternalRow exists — the connector analog
+    * of parquet row-group pruning), and only the 2 referenced columns are
+    * generated (pruned schema in Spark's field order). The ledger is a
+    * deterministic pure function of the row id, so DuckDB's range() twin
+    * reproduces it exactly — a fully ORACLED custom connector.
+    * PlanShapeSpec pins the pushdown + pruning in the scan description;
+    * sfDir-independent by design (the data is synthesized, not read).
+    */
+  val scanCustomDsv2 = Op(
+    "scan_custom_dsv2",
+    (s, _) =>
+      s.read.format("graft.sources.RangeLedger")
+        .option("rows", "1000000").option("slices", "8").load()
+        .filter(col("bucket") === 7 && col("day") < 100)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("units")).as("sum_units"))
+        .orderBy(col("day")),
+    Some("""
+      SELECT day, COUNT(*) AS n, CAST(SUM(units) AS BIGINT) AS sum_units
+      FROM (
+        SELECT CAST(range % 97 AS INTEGER) AS bucket,
+               CAST(range % 365 AS INTEGER) AS day,
+               (range * 2654435761) % 1000000 AS units
+        FROM range(0, 1000000))
+      WHERE bucket = 7 AND day < 100
+      GROUP BY day ORDER BY day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    scanCustomDsv2,
     scanTextLines, scanFileMetadata,
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,

@@ -99,7 +99,8 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_diff_in_diff",          // integer-unit 2x2 panel + broadcast mid
     "dt_business_days",          // closed-form weekday integer arithmetic
     "txt_gopher_filter",         // per-doc integer rules + stack rollup
-    "txt_boilerplate_coverage")  // checkpointed positioned grams + ppm
+    "txt_boilerplate_coverage",  // checkpointed positioned grams + ppm
+    "scan_custom_dsv2")          // DSv2 readers: pure function of row id
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

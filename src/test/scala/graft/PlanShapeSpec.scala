@@ -695,4 +695,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the scored relation is checkpointed once: $p")
     assert(!p.contains("WindowExec"), s"no rank window may replace the heaps: $p")
   }
+
+  test("scan_custom_dsv2: predicates and pruning reach the custom connector") {
+    val p = plan("scan_custom_dsv2")
+    assert(p.contains("RangeLedger"), s"the DSv2 scan must plan: $p")
+    // both query predicates accepted by pushFilters and visible in the
+    // scan description — evaluated in the partition readers
+    assert(p.contains("EqualTo(bucket,7)"), s"bucket filter not pushed: $p")
+    assert(p.contains("LessThan(day,100)"), s"day filter not pushed: $p")
+    // column pruning: id and units… units+day survive, id must not
+    val desc = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(desc.contains("day") && desc.contains("units") && !desc.contains("id:"),
+      s"read schema must prune to the referenced columns: $desc")
+  }
+
+  test("scan_custom_dsv2: the source plans its 8 range slices") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft.sources.RangeLedger")
+      .option("rows", "1000000").option("slices", "8").load()
+      .select(col("id"))
+    assert(df.rdd.getNumPartitions == 8,
+      s"expected 8 input partitions, got ${df.rdd.getNumPartitions}")
+  }
 }
