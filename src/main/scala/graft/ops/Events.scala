@@ -1428,8 +1428,57 @@ object Events {
     """)
   )
 
+  /** DAU/MAU stickiness (r8) — the engagement ratio product dashboards
+    * live on: of the users active in a month, what fraction shows up on
+    * an average day. One distinct (month, day, user) relation feeds BOTH
+    * aggregations (daily actives and monthly actives are different
+    * distincts over the same triples — checkpointed once, the fanout
+    * discipline), then stickiness_ppm = Σdau·1e6 div (n_days·mau) in
+    * exact integer ppm. At 100 TB the wide shuffle is the triple
+    * distinct; everything after runs on calendar-bounded rows.
+    */
+  val evtStickinessRatio = Op(
+    "evt_stickiness_ratio",
+    (s, d) => {
+      val base = T.events(s, d)
+        .select(date_format(col("ts"), "yyyy-MM").as("month"),
+          to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true)
+      val dau = base.groupBy(col("month"), col("day"))
+        .agg(count(lit(1)).as("dau"))
+        .groupBy(col("month"))
+        .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("sum_dau"))
+      val mau = base.select(col("month"), col("user_id")).distinct()
+        .groupBy(col("month")).agg(count(lit(1)).as("mau"))
+      dau.join(mau, "month")
+        .select(col("month"), col("n_days"), col("mau"), col("sum_dau"),
+          expr("sum_dau * 1000000 div (n_days * mau)").as("stickiness_ppm"))
+        .orderBy(col("month"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT DISTINCT strftime(ts, '%Y-%m') AS month,
+               CAST(ts AS DATE) AS day, user_id
+        FROM events),
+      dau AS (
+        SELECT month, CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(dau) AS BIGINT) AS sum_dau
+        FROM (SELECT month, day, COUNT(*) AS dau FROM base GROUP BY month, day)
+        GROUP BY month),
+      mau AS (
+        SELECT month, CAST(COUNT(*) AS BIGINT) AS mau
+        FROM (SELECT DISTINCT month, user_id FROM base)
+        GROUP BY month)
+      SELECT month, n_days, mau, sum_dau,
+             sum_dau * 1000000 // (n_days * mau) AS stickiness_ppm
+      FROM dau JOIN mau USING (month)
+      ORDER BY month
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    evtGiniConcentration, evtDiffInDiff,
+    evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,

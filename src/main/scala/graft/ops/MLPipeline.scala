@@ -1518,7 +1518,131 @@ object MLPipeline {
     """)
   )
 
+  /** Weight-of-Evidence encoding + information value (r8; the standard
+    * credit-scoring feature transform, Siddiqi 2006) — per-category
+    * woe = ln((pos_share)/(neg_share)) with the 0.5 Laplace smoothing that
+    * keeps empty cells finite, and the IV term (pos_share − neg_share)·woe
+    * whose sum ranks feature predictiveness. Complements ml_target_encode
+    * (posterior mean) with the log-odds encoding a scorecard needs. One
+    * scan to the (lang, n, pos) contingency, totals broadcast back as a
+    * 1-row scalar; ln agrees between the JDK and DuckDB on these operands
+    * (precedent: txt_collocation_pmi), results rounded to 6 decimals.
+    */
+  private val mlWoeEncoding = Op(
+    "ml_woe_encoding",
+    (s, d) => {
+      val bins = T.documents(s, d)
+        .select(col("lang"),
+          when(instr(col("text"), "customer") > 0, 1L).otherwise(0L).as("y"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+        .withColumn("n_neg", col("n") - col("n_pos"))
+      val tot = bins.agg(sum(col("n_pos")).as("tp"), sum(col("n_neg")).as("tn"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"), col("n_pos"), col("n_neg"),
+          round(log(((col("n_pos") + lit(0.5)) / col("tp")) /
+            ((col("n_neg") + lit(0.5)) / col("tn"))), 6).as("woe"),
+          round((((col("n_pos") + lit(0.5)) / col("tp")) -
+            ((col("n_neg") + lit(0.5)) / col("tn"))) *
+            log(((col("n_pos") + lit(0.5)) / col("tp")) /
+              ((col("n_neg") + lit(0.5)) / col("tn"))), 6).as("iv_term"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH bins AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        FROM documents GROUP BY lang),
+      b2 AS (SELECT lang, n, n_pos, n - n_pos AS n_neg FROM bins),
+      tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS tp, CAST(SUM(n_neg) AS BIGINT) AS tn FROM b2)
+      SELECT lang, n, n_pos, n_neg,
+             ROUND(LN(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS woe,
+             ROUND((((n_pos + 0.5) / tp) - ((n_neg + 0.5) / tn)) *
+                   LN(((n_pos + 0.5) / tp) / ((n_neg + 0.5) / tn)), 6) AS iv_term
+      FROM b2, tot
+      ORDER BY lang
+    """)
+  )
+
+  /** Brier-score Murphy decomposition (r8; Murphy 1973) — reliability,
+    * resolution, uncertainty: WHY a probabilistic classifier's Brier score
+    * is what it is (miscalibration vs discrimination), the diagnosis the
+    * single calibration curve doesn't quantify. Everything rides the
+    * per-score histogram: predicted prob p_k = s·1e6 div max_s (broadcast
+    * max), per-bin observed rate and the global base rate as exact ppm
+    * floor divisions, and the three components as Σ n·Δppm² div N in
+    * ppm²-scale (e-12) integers — DECIMAL(38,0) sums (Δ² reaches 1e12, a
+    * long overflows past ~9e6 rows), emitted as BIGINT. Quantization is
+    * the documented contract (both engines floor identically);
+    * brier_e12 = rel − res + unc by Murphy's identity.
+    */
+  private val mlBrierDecomposition = Op(
+    "ml_brier_decomposition",
+    (s, d) => {
+      val scored = T.documents(s, d).select(
+        when(instr(col("text"), "customer") > 0, 1L).otherwise(0L).as("y"),
+        expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+              + (length(text) - length(replace(text, 'pack', ''))) div 4
+              + (length(text) - length(replace(text, 'ship', ''))) div 4
+              as bigint)""").as("s"))
+      val h = scored.groupBy(col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"))
+        .localCheckpoint(true)
+      val tot = h.agg(sum(col("n")).as("nn"), sum(col("npos")).as("pp"),
+        max(col("s")).as("smax"))
+      h.crossJoin(broadcast(tot))
+        .select(col("n"), col("npos"), col("nn"),
+          expr("s * 1000000 div smax").as("p_ppm"),
+          expr("npos * 1000000 div n").as("obar_k_ppm"),
+          expr("pp * 1000000 div nn").as("obar_ppm"))
+        .groupBy(col("nn"), col("obar_ppm"))
+        .agg(
+          sum((col("p_ppm") - col("obar_k_ppm")) * (col("p_ppm") - col("obar_k_ppm"))
+            .cast("decimal(38,0)") * col("n")).as("rel_sum"),
+          sum((col("obar_k_ppm") - col("obar_ppm")) * (col("obar_k_ppm") - col("obar_ppm"))
+            .cast("decimal(38,0)") * col("n")).as("res_sum"))
+        .select(col("nn").as("n_docs"), col("obar_ppm"),
+          expr("cast(rel_sum div nn as bigint)").as("rel_e12"),
+          expr("cast(res_sum div nn as bigint)").as("res_e12"),
+          expr("obar_ppm * (1000000 - obar_ppm)").as("unc_e12"))
+        .withColumn("brier_e12",
+          col("rel_e12") - col("res_e12") + col("unc_e12"))
+    },
+    Some("""
+      WITH d AS (
+        SELECT CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s
+        FROM documents),
+      h AS (SELECT s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+            FROM d GROUP BY s),
+      tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(npos) AS BIGINT) AS pp,
+                     MAX(s) AS smax FROM h),
+      e AS (
+        SELECT n, npos, nn,
+               s * 1000000 // smax AS p_ppm,
+               npos * 1000000 // n AS obar_k_ppm,
+               pp * 1000000 // nn AS obar_ppm
+        FROM h, tot),
+      agg AS (
+        SELECT nn, obar_ppm,
+               SUM(CAST((p_ppm - obar_k_ppm) * (p_ppm - obar_k_ppm) AS HUGEINT) * n) AS rel_sum,
+               SUM(CAST((obar_k_ppm - obar_ppm) * (obar_k_ppm - obar_ppm) AS HUGEINT) * n) AS res_sum
+        FROM e GROUP BY nn, obar_ppm)
+      SELECT nn AS n_docs, obar_ppm,
+             CAST(rel_sum // nn AS BIGINT) AS rel_e12,
+             CAST(res_sum // nn AS BIGINT) AS res_e12,
+             obar_ppm * (1000000 - obar_ppm) AS unc_e12,
+             CAST(rel_sum // nn AS BIGINT) - CAST(res_sum // nn AS BIGINT)
+               + obar_ppm * (1000000 - obar_ppm) AS brier_e12
+      FROM agg
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    mlWoeEncoding, mlBrierDecomposition,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,

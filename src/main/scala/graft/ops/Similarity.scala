@@ -2234,7 +2234,67 @@ object Similarity {
     """)
   )
 
+  /** URL canonicalization dedup (r8) — the first step of every web-corpus
+    * pipeline (C4/CCNet dedupe BY URL before any content hash): raw URLs
+    * differing only in host case, tracking params (utm_*), and fragments
+    * are one logical page. Raw URLs are synthesized deterministically from
+    * events (mixed-case host, a varying utm_source, an unsorted query, a
+    * fragment), then canonicalized THROUGH Spark's real URL machinery —
+    * parse_url(HOST/PATH/QUERY), lowercase host, higher-order
+    * filter() to drop tracking params, array_sort for query-order
+    * normalization — while the oracle derives the canonical form directly
+    * from the same generating fields, so a parse or normalization bug on
+    * either side is a hash mismatch. Per-canonical event count + distinct
+    * raw variants, top-20. At 100 TB this is one groupBy on the canonical
+    * string — the scan-heavy step is codegen'd string work.
+    */
+  val dedupUrlCanonicalize = Op(
+    "dedup_url_canonicalize",
+    (s, d) => {
+      val raw = T.events(s, d).select(
+        concat(
+          lit("https://"),
+          when(pmod(col("user_id"), lit(2)) === 0, "EX.com").otherwise("ex.com"),
+          lit("/"), col("event_type"), lit("/item"), pmod(col("event_id"), lit(50)),
+          lit("?utm_source=s"), pmod(col("user_id"), lit(5)),
+          lit("&b="), pmod(col("user_id"), lit(7)),
+          lit("&a="), pmod(col("event_id"), lit(13)),
+          lit("#f"), pmod(col("event_id"), lit(9))).as("url"))
+      raw
+        .withColumn("kept", expr(
+          "array_sort(filter(split(parse_url(url, 'QUERY'), '&'), " +
+            "p -> NOT (p LIKE 'utm_%' OR p LIKE 'fbclid=%')))"))
+        .withColumn("canonical", concat(
+          lower(expr("parse_url(url, 'HOST')")),
+          expr("parse_url(url, 'PATH')"),
+          lit("?"), array_join(col("kept"), "&")))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("url")).as("n_raw_variants"))
+        .orderBy(col("n_events").desc, col("canonical"))
+        .limit(20)
+    },
+    Some("""
+      WITH raw AS (
+        SELECT 'https://' ||
+               CASE WHEN user_id % 2 = 0 THEN 'EX.com' ELSE 'ex.com' END ||
+               '/' || event_type || '/item' || (event_id % 50) ||
+               '?utm_source=s' || (user_id % 5) ||
+               '&b=' || (user_id % 7) ||
+               '&a=' || (event_id % 13) ||
+               '#f' || (event_id % 9) AS url,
+               'ex.com/' || event_type || '/item' || (event_id % 50) ||
+               '?a=' || (event_id % 13) || '&b=' || (user_id % 7) AS canonical
+        FROM events)
+      SELECT canonical, COUNT(*) AS n_events,
+             CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+      FROM raw GROUP BY canonical
+      ORDER BY n_events DESC, canonical LIMIT 20
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    dedupUrlCanonicalize,
     dedupSurvivorshipMerge, embDimVarianceRank, simKnnClassify,
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,

@@ -100,7 +100,11 @@ class DeterminismSpec extends AnyFunSuite {
     "dt_business_days",          // closed-form weekday integer arithmetic
     "txt_gopher_filter",         // per-doc integer rules + stack rollup
     "txt_boilerplate_coverage",  // checkpointed positioned grams + ppm
-    "scan_custom_dsv2")          // DSv2 readers: pure function of row id
+    "scan_custom_dsv2",          // DSv2 readers: pure function of row id
+    "ml_woe_encoding",           // broadcast totals + ln + round(6)
+    "ml_brier_decomposition",    // decimal ppm^2 sums over the histogram
+    "dedup_url_canonicalize",    // parse_url + sorted-params groupBy
+    "evt_stickiness_ratio")      // checkpointed triple distinct + ppm
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
