@@ -47,6 +47,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // codegen'd VectorDot automatically (exact-semantics rewrite)
     ext.injectOptimizerRule(_ => functions.DotProductFusion)
     // the TopKPerKey whole-operator extension (bounded-heap per-key top-k)
+    // plus its key-predicate pushdown rule (whole-group filters sink below
+    // the operator, shrinking the shuffle map-side)
     ext.injectPlannerStrategy(_ => plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => plans.PushFilterThroughTopKPerKey)
   }
 }

@@ -171,6 +171,37 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("PushFilterThroughTopKPerKey sinks key predicates, keeps the rest above") {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import graft.plans.{PushFilterThroughTopKPerKey, TopKPerKey}
+    graft.plans.TopKStrategy.ensureRegistered(spark)
+    val ev = graft.ops.T.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("user_id"))
+    val lp = ev.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).get
+    def topk = TopKPerKey(3, Seq(attr("event_type")),
+      Seq(SortOrder(attr("event_id"), Ascending)), lp)
+    def query = org.apache.spark.sql.GraftBridge.ofRows(spark, topk)
+      .filter(col("event_type") === "click" && col("user_id") >= 0 && col("rn") <= 2)
+    // baseline with the rule INACTIVE
+    val base = query.collect().map(_.toString).sorted.toSeq
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ PushFilterThroughTopKPerKey
+    try {
+      val opt = query.queryExecution.optimizedPlan
+      val below = opt.collectFirst { case t: TopKPerKey => t.child.toString }.get
+      assert(below.contains("event_type") && below.contains("Filter"),
+        s"key predicate must sink below TopKPerKey: $opt")
+      // the rn predicate is on the MINTED column — it must stay above
+      assert(!below.contains("rn"), s"rn predicate illegally sank: $opt")
+      val above = opt.toString
+      assert(above.indexOf("rn") < above.indexOf("TopKPerKey"),
+        s"residual filter must remain above the operator: $opt")
+      assert(query.collect().map(_.toString).sorted.toSeq == base,
+        "pushdown changed the result")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("token_ngrams matches the declarative zip_with/concat form") {
     graft.functions.NGrams.register(spark)
     val docs = graft.ops.T.documents(spark, sf)
