@@ -1641,8 +1641,71 @@ object MLPipeline {
     """)
   )
 
+  /** Group-fairness audit (r8; demographic parity + equalized odds,
+    * Hardt et al. 2016) — the per-group report a deployed classifier owes
+    * its model card: at the fixed deployment threshold (score ≥ 2),
+    * per-language selection rate (demographic parity), TPR and FPR
+    * (equalized odds), plus the corpus-wide max−min parity gaps. One scan
+    * to the per-lang 2×2 cells; the gap columns are unbounded-frame
+    * windows over the ≤ |langs| aggregate rows (agg-before-window). All
+    * rates exact integer ppm — a fairness number that moves only when the
+    * data does, never with partitioning.
+    */
+  private val mlFairnessParity = Op(
+    "ml_fairness_parity",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = T.documents(s, d).select(col("lang"),
+          when(instr(col("text"), "customer") > 0, 1L).otherwise(0L).as("y"),
+          when(expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+              + (length(text) - length(replace(text, 'pack', ''))) div 4
+              + (length(text) - length(replace(text, 'ship', ''))) div 4
+              as bigint)""") >= 2, 1L).otherwise(0L).as("pred"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"),
+          sum(col("pred")).as("pp"),
+          sum(col("y") * col("pred")).as("tp"))
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .select(col("lang"), col("n"), col("npos"), col("pp"), col("tp"),
+          expr("pp * 1000000 div n").as("sel_ppm"),
+          expr("tp * 1000000 div npos").as("tpr_ppm"),
+          expr("(pp - tp) * 1000000 div (n - npos)").as("fpr_ppm"))
+        .withColumn("parity_gap_ppm",
+          max(col("sel_ppm")).over(w) - min(col("sel_ppm")).over(w))
+        .withColumn("tpr_gap_ppm",
+          max(col("tpr_ppm")).over(w) - min(col("tpr_ppm")).over(w))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH cells AS (
+        SELECT lang, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos,
+               CAST(SUM(CASE WHEN (len(text) - len(replace(text, 'order', ''))) // 5
+                      + (len(text) - len(replace(text, 'pack', ''))) // 4
+                      + (len(text) - len(replace(text, 'ship', ''))) // 4 >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pp,
+               CAST(SUM(CASE WHEN strpos(text, 'customer') > 0
+                         AND (len(text) - len(replace(text, 'order', ''))) // 5
+                           + (len(text) - len(replace(text, 'pack', ''))) // 4
+                           + (len(text) - len(replace(text, 'ship', ''))) // 4 >= 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        FROM documents GROUP BY lang),
+      r AS (
+        SELECT lang, n, npos, pp, tp,
+               pp * 1000000 // n AS sel_ppm,
+               tp * 1000000 // npos AS tpr_ppm,
+               (pp - tp) * 1000000 // (n - npos) AS fpr_ppm
+        FROM cells)
+      SELECT lang, n, npos, pp, tp, sel_ppm, tpr_ppm, fpr_ppm,
+             MAX(sel_ppm) OVER () - MIN(sel_ppm) OVER () AS parity_gap_ppm,
+             MAX(tpr_ppm) OVER () - MIN(tpr_ppm) OVER () AS tpr_gap_ppm
+      FROM r ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    mlWoeEncoding, mlBrierDecomposition,
+    mlWoeEncoding, mlBrierDecomposition, mlFairnessParity,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,

@@ -1117,8 +1117,38 @@ object Scans {
     """)
   )
 
+  /** DSv2 AGGREGATE pushdown (r8) — the second connector capability on
+    * `graft.sources.RangeLedger`: `SupportsPushDownAggregates` accepts
+    * ungrouped COUNT/MIN/MAX (after the bucket/day filters are already
+    * pushed), so each slice reader emits ONE pre-aggregated row and the
+    * exchange moves 8 rows instead of ~2,800 — the same contract a JDBC
+    * or warehouse connector uses to turn a full-table COUNT into a
+    * metadata read. Spark's final aggregate merges the partials (COUNT
+    * partials summed by the planner's own rewrite). PlanShapeSpec pins
+    * `PushedAggregates` in the scan description + the collapsed agg-row
+    * ReadSchema; the oracle is the same range() twin.
+    */
+  val scanDsv2AggPushdown = Op(
+    "scan_dsv2_agg_pushdown",
+    (s, _) =>
+      s.read.format("graft.sources.RangeLedger")
+        .option("rows", "1000000").option("slices", "8").load()
+        .filter(col("bucket") === 7 && col("day") < 100)
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id")),
+    Some("""
+      SELECT COUNT(*) AS n, MIN(id) AS min_id, MAX(id) AS max_id
+      FROM (
+        SELECT range AS id,
+               CAST(range % 97 AS INTEGER) AS bucket,
+               CAST(range % 365 AS INTEGER) AS day
+        FROM range(0, 1000000))
+      WHERE bucket = 7 AND day < 100
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    scanCustomDsv2,
+    scanCustomDsv2, scanDsv2AggPushdown,
     scanTextLines, scanFileMetadata,
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,

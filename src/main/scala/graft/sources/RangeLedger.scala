@@ -100,9 +100,15 @@ private[sources] class RangeLedgerTable(rows: Long, slices: Int)
 private[sources] class RangeLedgerScanBuilder(rows: Long, slices: Int)
     extends ScanBuilder
     with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = RangeLedger.schema
+  // (op, col) per pushed aggregate, in Spark's requested order
+  private var aggs: Seq[(String, String)] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, residual) = filters.partition(RangeLedger.pushable)
@@ -112,19 +118,65 @@ private[sources] class RangeLedgerScanBuilder(rows: Long, slices: Int)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new RangeLedgerScan(rows, slices, pushed, required)
+
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+        RangeLedger.schema.fieldNames.contains(nr.fieldNames.head) =>
+        Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  /** Partial aggregate pushdown: each slice reader emits ONE pre-aggregated
+    * row (count / min / max over its filtered ids) instead of the rows
+    * themselves; Spark's final aggregate merges the ≤ `slices` partials
+    * (COUNT partials via SUM — the planner rewrites that itself). Only
+    * ungrouped COUNT(*) / MIN(col) / MAX(col) are accepted — anything else
+    * (AVG, SUM, group-by) returns false and Spark falls back to row scans.
+    * supportCompletePushDown stays false: readers are per-slice, so the
+    * source can't produce the single global row complete pushdown promises.
+    */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions.nonEmpty) return false
+    val mapped = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(("count", "id"))
+      // every ledger column is non-null, so COUNT(col) ≡ COUNT(*)
+      case c: org.apache.spark.sql.connector.expressions.aggregate.Count
+          if !c.isDistinct => fieldOf(c.column).map(_ => ("count", "id"))
+      case m: Min       => fieldOf(m.column).map(("min", _))
+      case m: Max       => fieldOf(m.column).map(("max", _))
+      case _            => None
+    }
+    if (mapped.exists(_.isEmpty)) return false
+    aggs = mapped.flatten
+    // the scan's output becomes the aggregate row: count → long, min/max →
+    // the column's own type (all four ledger columns are int/long)
+    required = StructType(aggs.zipWithIndex.map {
+      case (("count", _), i) => StructField(s"agg_$i", LongType, nullable = false)
+      case ((_, c), i) =>
+        StructField(s"agg_$i", RangeLedger.schema(c).dataType, nullable = true)
+    })
+    true
+  }
+
+  override def build(): Scan =
+    new RangeLedgerScan(rows, slices, pushed, required, aggs)
 }
 
 private[sources] case class RangeLedgerSlice(lo: Long, hi: Long) extends InputPartition
 
 private[sources] class RangeLedgerScan(
-    rows: Long, slices: Int, pushed: Array[Filter], required: StructType)
+    rows: Long, slices: Int, pushed: Array[Filter], required: StructType,
+    aggs: Seq[(String, String)] = Nil)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"RangeLedger rows=$rows slices=$slices " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
+      (if (aggs.nonEmpty)
+        s"PushedAggregates: [${aggs.map { case (o, c) => s"$o($c)" }.mkString(", ")}], "
+      else "") +
       s"ReadSchema: ${required.catalogString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -135,7 +187,54 @@ private[sources] class RangeLedgerScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    RangeLedgerReaderFactory(pushed, required.fieldNames)
+    if (aggs.isEmpty) RangeLedgerReaderFactory(pushed, required.fieldNames)
+    else RangeLedgerAggReaderFactory(pushed, aggs)
+}
+
+/** Aggregate-pushdown reader: one pre-aggregated row per slice. A slice
+  * with zero filtered ids still emits (0, null, null, …) — null partials
+  * vanish in Spark's final min/max merge, and the zero count sums away.
+  */
+private[sources] case class RangeLedgerAggReaderFactory(
+    pushed: Array[Filter], aggs: Seq[(String, String)]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[RangeLedgerSlice]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        var n = 0L
+        val mins = Array.fill[Long](aggs.size)(Long.MaxValue)
+        val maxs = Array.fill[Long](aggs.size)(Long.MinValue)
+        var i = slice.lo
+        while (i < slice.hi) {
+          if (pushed.forall(RangeLedger.eval(_, i))) {
+            n += 1
+            var a = 0
+            while (a < aggs.size) {
+              val v = RangeLedger.colValue(i, aggs(a)._2)
+              if (v < mins(a)) mins(a) = v
+              if (v > maxs(a)) maxs(a) = v
+              a += 1
+            }
+          }
+          i += 1
+        }
+        InternalRow.fromSeq(aggs.zipWithIndex.map {
+          case (("count", _), _) => n
+          case (("min", c), a) =>
+            if (n == 0L) null
+            else if (RangeLedger.schema(c).dataType == LongType) mins(a)
+            else mins(a).toInt
+          case (("max", c), a) =>
+            if (n == 0L) null
+            else if (RangeLedger.schema(c).dataType == LongType) maxs(a)
+            else maxs(a).toInt
+        })
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 /** Explicit case class (not a SAM lambda) — it is serialized to executors. */

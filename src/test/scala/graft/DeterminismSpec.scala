@@ -104,7 +104,9 @@ class DeterminismSpec extends AnyFunSuite {
     "ml_woe_encoding",           // broadcast totals + ln + round(6)
     "ml_brier_decomposition",    // decimal ppm^2 sums over the histogram
     "dedup_url_canonicalize",    // parse_url + sorted-params groupBy
-    "evt_stickiness_ratio")      // checkpointed triple distinct + ppm
+    "evt_stickiness_ratio",      // checkpointed triple distinct + ppm
+    "ml_fairness_parity",        // 2x2 integer cells + bounded gap windows
+    "scan_dsv2_agg_pushdown")    // per-slice partial aggs, merge-invariant
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -709,6 +709,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"read schema must prune to the referenced columns: $desc")
   }
 
+  test("scan_dsv2_agg_pushdown: COUNT/MIN/MAX collapse into the connector") {
+    val p = plan("scan_dsv2_agg_pushdown")
+    assert(p.contains("PushedAggregates: [count(id), min(id), max(id)]"),
+      s"aggregates not pushed into the source: $p")
+    // the scan's output is the 3-column agg row, not ledger rows
+    val desc = p.linesIterator.find(_.contains("PushedAggregates")).getOrElse("")
+    assert(desc.contains("agg_0") && desc.contains("agg_2"),
+      s"scan must read the collapsed agg schema: $desc")
+  }
+
   test("scan_custom_dsv2: the source plans its 8 range slices") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("graft.sources.RangeLedger")
