@@ -733,7 +733,63 @@ object Streaming {
     """)
   )
 
+  /** Custom DSv2 source in STREAMING mode (r8) — `graft.sources.RangeLedger`
+    * read via `readStream`: offsets are plain id positions, each trigger
+    * admits `batchRows` ids (ReadLimit.maxRows admission control, honored
+    * by Trigger.AvailableNow through SupportsTriggerAvailableNow), so the
+    * 100k-row ledger drains in 3 micro-batches of ≤ 40k through the SAME
+    * range-partition readers the batch scan uses — one source definition,
+    * both execution modes, and replayable offsets (planInputPartitions is
+    * a pure function of the offset pair, which is what exactly-once
+    * recovery asks of a source). The sink parquet is then batch-aggregated;
+    * the oracle is the range() twin of the whole drain. A §5 test pins the
+    * 3-batch offset log.
+    */
+  val streamDsv2Source = Op(
+    "stream_dsv2_source",
+    (s, d) => {
+      import java.nio.file.{Files, Path, Paths}
+      val root = Paths.get(T.scratch("dsv2_stream"))
+      if (Files.exists(root)) {
+        import java.util.Comparator
+        val walk = Files.walk(root)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
+      val q = s.readStream.format("graft.sources.RangeLedger")
+        .option("rows", "100000").option("slices", "4")
+        .option("batchRows", "40000").load()
+        .filter(col("day") < 50)
+        .writeStream.format("parquet")
+        .option("path", s"$root/sink")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.read.parquet(s"$root/sink")
+        .groupBy((col("bucket") % 10).as("b10"))
+        .agg(count(lit(1)).as("n"), sum(col("units")).as("sum_units"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("b10"))
+    },
+    Some("""
+      SELECT CAST(bucket % 10 AS INTEGER) AS b10, COUNT(*) AS n,
+             CAST(SUM(units) AS BIGINT) AS sum_units,
+             MIN(id) AS min_id, MAX(id) AS max_id
+      FROM (
+        SELECT range AS id,
+               CAST(range % 97 AS INTEGER) AS bucket,
+               CAST(range % 365 AS INTEGER) AS day,
+               (range * 2654435761) % 1000000 AS units
+        FROM range(0, 100000))
+      WHERE day < 50
+      GROUP BY 1 ORDER BY b10
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    streamDsv2Source,
     streamTumbling1h, streamSliding1h15m, streamSessionize30m,
     streamStructuredTumbling, streamDedupWatermark, streamLateDataPolicy,
     streamSessionWindow, streamForeachBatchSink, streamStreamJoin,

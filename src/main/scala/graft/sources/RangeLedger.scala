@@ -41,7 +41,8 @@ class RangeLedger extends TableProvider {
       properties: util.Map[String, String]): Table =
     new RangeLedgerTable(
       properties.getOrDefault("rows", "1000000").toLong,
-      properties.getOrDefault("slices", "8").toInt)
+      properties.getOrDefault("slices", "8").toInt,
+      Option(properties.get("batchRows")).map(_.toLong))
 }
 
 object RangeLedger {
@@ -87,17 +88,19 @@ object RangeLedger {
   }
 }
 
-private[sources] class RangeLedgerTable(rows: Long, slices: Int)
+private[sources] class RangeLedgerTable(rows: Long, slices: Int,
+    batchRows: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"range_ledger($rows)"
   override def schema(): StructType = RangeLedger.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new RangeLedgerScanBuilder(rows, slices)
+    new RangeLedgerScanBuilder(rows, slices, batchRows)
 }
 
-private[sources] class RangeLedgerScanBuilder(rows: Long, slices: Int)
+private[sources] class RangeLedgerScanBuilder(rows: Long, slices: Int,
+    batchRows: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
@@ -160,17 +163,21 @@ private[sources] class RangeLedgerScanBuilder(rows: Long, slices: Int)
   }
 
   override def build(): Scan =
-    new RangeLedgerScan(rows, slices, pushed, required, aggs)
+    new RangeLedgerScan(rows, slices, pushed, required, aggs, batchRows)
 }
 
 private[sources] case class RangeLedgerSlice(lo: Long, hi: Long) extends InputPartition
 
 private[sources] class RangeLedgerScan(
     rows: Long, slices: Int, pushed: Array[Filter], required: StructType,
-    aggs: Seq[(String, String)] = Nil)
+    aggs: Seq[(String, String)] = Nil, batchRows: Option[Long] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new RangeLedgerMicroBatch(rows, slices, batchRows.getOrElse(rows),
+      pushed, required.fieldNames)
   override def description(): String =
     s"RangeLedger rows=$rows slices=$slices " +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
@@ -261,4 +268,59 @@ private[sources] case class RangeLedgerReaderFactory(
       override def close(): Unit = ()
     }
   }
+}
+
+/** Micro-batch STREAMING face of the ledger (the third connector
+  * capability after batch pushdown and aggregate pushdown): offsets are
+  * plain id positions, each trigger admits `batchRows` ids (admission
+  * control via ReadLimit.maxRows, honored by Trigger.AvailableNow through
+  * SupportsTriggerAvailableNow), and a batch's [start, end) range is
+  * planned as the same `slices` range partitions the batch scan uses —
+  * so one source definition serves both execution modes, the DSv2 design
+  * point. Offsets are trivially replayable: planInputPartitions(a, b) is
+  * a pure function, which is exactly what exactly-once recovery asks of a
+  * source (re-planning a committed range yields identical rows).
+  */
+private[sources] class RangeLedgerMicroBatch(
+    rows: Long, slices: Int, batchRows: Long,
+    pushed: Array[Filter], cols: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  private case class LedgerOffset(pos: Long) extends Offset {
+    override def json(): String = pos.toString
+  }
+
+  override def initialOffset(): Offset = LedgerOffset(0L)
+  override def deserializeOffset(json: String): Offset = LedgerOffset(json.toLong)
+  override def latestOffset(): Offset = LedgerOffset(rows)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[LedgerOffset].pos
+    val step = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _               => batchRows
+    }
+    LedgerOffset(math.min(from + step, rows))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[LedgerOffset].pos
+    val hi = end.asInstanceOf[LedgerOffset].pos
+    if (lo >= hi) Array.empty
+    else {
+      val per = (hi - lo + slices - 1) / slices
+      (0 until slices).map { k =>
+        RangeLedgerSlice(lo + k * per, math.min(lo + (k + 1) * per, hi))
+      }.filter(s => s.lo < s.hi).toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    RangeLedgerReaderFactory(pushed, cols)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }

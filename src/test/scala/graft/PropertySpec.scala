@@ -202,6 +202,19 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("stream_dsv2_source drains through exactly 3 admitted micro-batches") {
+    import java.nio.file.{Files, Paths}
+    // run the op, then read the offset log the custom source produced
+    assert(graft.ops.Registry.queries("stream_dsv2_source")(spark, TestSession.sf)
+      .collect().nonEmpty)
+    val offsets = Paths.get(graft.ops.T.scratch("dsv2_stream"), "ckpt", "offsets")
+    val batches = Files.list(offsets)
+    val n = try batches.filter(p => !p.getFileName.toString.startsWith(".")).count()
+    finally batches.close()
+    // 100k rows admitted 40k per trigger => offsets 0, 1, 2
+    assert(n == 3, s"expected 3 micro-batches in the offset log, saw $n")
+  }
+
   test("token_ngrams matches the declarative zip_with/concat form") {
     graft.functions.NGrams.register(spark)
     val docs = graft.ops.T.documents(spark, sf)
