@@ -797,8 +797,110 @@ object Aggs {
     """)
   )
 
+  /** KMV sketch INTERSECTION (r8; the theta-sketch set operation, Dasgupta
+    * et al. 2016) — "how many users did both X and Y" answered from two
+    * 128-row sketches instead of a user-level join, the rollup-table set
+    * algebra at 100 TB. θ of a sketch = its k-th minimum (or 2^48−1 when
+    * the sketch holds the whole set), θ* = min(θ_A, θ_B), and
+    * est = |{h ∈ S_A ∩ S_B : h ≤ θ*}| · 2^48 div (θ*+1) — which
+    * degenerates to the EXACT intersection when both sets fit their
+    * sketches (sub-k is exact by construction, same as agg_kmv_distinct).
+    * Deterministic md5fold48 hashes make the whole estimator
+    * hash-oracled, unlike HLL intersection by inclusion-exclusion. Both
+    * bottom-k sketches ride the custom TopKPerKey operator over the
+    * once-checkpointed (type, user) pairs; exact truth via one self-join
+    * for the error column production would not compute.
+    */
+  val aggKmvIntersect = Op(
+    "agg_kmv_intersect",
+    (s, d) => {
+      import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+      graft.plans.TopKStrategy.ensureRegistered(s)
+      graft.functions.HashFold.register(s)
+      val pairs = T.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"), col("user_id")).distinct()
+        .localCheckpoint(true)
+      val hashes = pairs.select(col("event_type"),
+        call_function("md5fold48", col("user_id").cast("string")).as("h"))
+      val lp = hashes.queryExecution.analyzed
+      def attr(n: String) = lp.output.find(_.name == n).get
+      val topk = org.apache.spark.sql.GraftBridge.ofRows(s,
+          graft.plans.TopKPerKey(128, Seq(attr("event_type")),
+            Seq(SortOrder(attr("h"), Ascending)), lp))
+        .select(col("event_type"), col("h"))
+        .localCheckpoint(true)
+      val stats = topk.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("sketch_n"), max(col("h")).as("kth_h"))
+        .withColumn("theta",
+          when(col("sketch_n") < 128, lit(281474976710655L)).otherwise(col("kth_h")))
+      val tstar = stats.agg(min(col("theta")).as("theta_star"),
+        sum(when(col("event_type") === "click", col("sketch_n")).otherwise(0L))
+          .as("sk_a"),
+        sum(when(col("event_type") === "purchase", col("sketch_n")).otherwise(0L))
+          .as("sk_b"))
+      val common = topk.filter(col("event_type") === "click").select(col("h"))
+        .join(topk.filter(col("event_type") === "purchase").select(col("h")), "h")
+        .crossJoin(broadcast(tstar))
+        .filter(col("h") <= col("theta_star"))
+        .groupBy(col("theta_star"), col("sk_a"), col("sk_b"))
+        .agg(count(lit(1)).as("common"))
+      val exact = pairs.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("nt"))
+        .filter(col("nt") === 2)
+        .agg(count(lit(1)).as("exact_inter"))
+      common.crossJoin(broadcast(exact))
+        .select(col("sk_a"), col("sk_b"), col("exact_inter"), col("common"),
+          expr("common * 281474976710656 div (theta_star + 1)").as("est"),
+          expr("abs(common * 281474976710656 div (theta_star + 1) - exact_inter) " +
+            "* 1000000 div exact_inter").as("err_ppm"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_type IN ('click', 'purchase')),
+      hs AS (
+        SELECT event_type,
+               list_reduce(
+                 list_transform(range(1, 13),
+                   i -> CAST(strpos('0123456789abcdef',
+                          substring(md5(CAST(user_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+                 (acc, v) -> acc * 16 + v) AS h
+        FROM pairs),
+      r AS (SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM hs),
+      topk AS (SELECT event_type, h FROM r WHERE rn <= 128),
+      stats AS (
+        SELECT event_type, COUNT(*) AS sketch_n, MAX(h) AS kth_h,
+               CASE WHEN COUNT(*) < 128 THEN 281474976710655 ELSE MAX(h) END AS theta
+        FROM topk GROUP BY event_type),
+      ts AS (
+        SELECT MIN(theta) AS theta_star,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN sketch_n ELSE 0 END) AS BIGINT) AS sk_a,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN sketch_n ELSE 0 END) AS BIGINT) AS sk_b
+        FROM stats),
+      cm AS (
+        SELECT ts.theta_star, ts.sk_a, ts.sk_b, COUNT(*) AS common
+        FROM (SELECT h FROM topk WHERE event_type = 'click') a
+        JOIN (SELECT h FROM topk WHERE event_type = 'purchase') b USING (h)
+        CROSS JOIN ts
+        WHERE h <= ts.theta_star
+        GROUP BY 1, 2, 3),
+      ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter FROM (
+          SELECT user_id FROM pairs GROUP BY user_id
+          HAVING COUNT(DISTINCT event_type) = 2))
+      SELECT sk_a, sk_b, exact_inter, common,
+             common * 281474976710656 // (theta_star + 1) AS est,
+             abs(common * 281474976710656 // (theta_star + 1) - exact_inter)
+               * 1000000 // exact_inter AS err_ppm
+      FROM cm, ex
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    aggKmvDistinct,
+    aggKmvDistinct, aggKmvIntersect,
     aggIncrementalRollup,
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
     aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,

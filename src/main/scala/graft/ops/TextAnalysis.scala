@@ -1443,8 +1443,48 @@ object TextAnalysis {
     """)
   )
 
+  /** Deflate compression ratio as a quality signal (r8; the zlib-ratio
+    * screen CCNet/Gopher-era pipelines run: machine-generated and
+    * boilerplate text compresses far below prose, high-entropy garbage
+    * barely compresses at all). Per-doc ratio_ppm = deflate_len·1e6 div
+    * raw_len with a fixed level-6 Deflater (nowrap, per-row instance —
+    * zlib output for a fixed input/level/strategy is deterministic),
+    * rolled up per source as exact integer ppm of sums. Oracle-exempt:
+    * DuckDB has no deflate — §5 pins determinism across runs, the
+    * repetitive≪random separation on closed-form inputs, and ratio
+    * bounds. The UDF is the honest cost here: one pass of byte-local CPU
+    * per doc, embarrassingly parallel, no shuffle until the 20-row
+    * source rollup.
+    */
+  val txtCompressionRatio = Op(
+    "txt_compression_ratio",
+    (s, d) => {
+      val deflateLen = udf { (t: String) =>
+        val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val dfl = new java.util.zip.Deflater(6, true)
+        try {
+          dfl.setInput(bytes); dfl.finish()
+          val buf = new Array[Byte](bytes.length + 64)
+          var total = 0L
+          while (!dfl.finished()) total += dfl.deflate(buf)
+          total
+        } finally dfl.end()
+      }
+      T.documents(s, d)
+        .select(col("source"), octet_length(col("text")).cast("long").as("raw_len"),
+          deflateLen(col("text")).as("comp_len"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("raw_len")).as("raw_bytes"),
+          sum(col("comp_len")).as("comp_bytes"))
+        .withColumn("ratio_ppm", expr("comp_bytes * 1000000 div raw_bytes"))
+        .orderBy(col("source"))
+    },
+    None
+  )
+
   val ops: Vector[Op] = Vector(
-    txtGopherFilter, txtBoilerplateCoverage,
+    txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,

@@ -106,7 +106,8 @@ class DeterminismSpec extends AnyFunSuite {
     "dedup_url_canonicalize",    // parse_url + sorted-params groupBy
     "evt_stickiness_ratio",      // checkpointed triple distinct + ppm
     "ml_fairness_parity",        // 2x2 integer cells + bounded gap windows
-    "scan_dsv2_agg_pushdown")    // per-slice partial aggs, merge-invariant
+    "scan_dsv2_agg_pushdown",    // per-slice partial aggs, merge-invariant
+    "agg_kmv_intersect")         // bottom-k sketches + theta intersection
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

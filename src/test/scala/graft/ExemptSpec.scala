@@ -612,4 +612,44 @@ class ExemptSpec extends AnyFunSuite {
       assert(r.getAs[String]("file_name").nonEmpty && r.getAs[Long]("file_size") > 0L)
     }
   }
+  test("txt_compression_ratio: deterministic, bounded, separates repetitive from random") {
+    val a = Registry.queries("txt_compression_ratio")(spark, sf).collect().map(_.toString).toSeq
+    val b = Registry.queries("txt_compression_ratio")(spark, sf).collect().map(_.toString).toSeq
+    assert(a == b, "deflate ratios must be reproducible run-to-run")
+    val rows = Registry.queries("txt_compression_ratio")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ratio = r.getAs[Long]("ratio_ppm")
+      // deflate never exceeds input + small framing; fixture prose compresses
+      assert(ratio > 0L && ratio < 1100000L, s"ratio out of bounds: $r")
+    }
+    // closed-form separation: a constant run must compress far below a
+    // high-entropy hex string of the same length
+    import spark.implicits._
+    val probe = Seq(
+      ("const", "a" * 512),
+      ("hex", (1 to 16).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes).map("%02x".format(_)).mkString).mkString)
+    ).toDF("source", "text")
+    probe.createOrReplaceTempView("cr_probe")
+    val fn = org.apache.spark.sql.functions.udf { (t: String) =>
+      val bytes = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val dfl = new java.util.zip.Deflater(6, true)
+      try {
+        dfl.setInput(bytes); dfl.finish()
+        val buf = new Array[Byte](bytes.length + 64)
+        var total = 0L
+        while (!dfl.finished()) total += dfl.deflate(buf)
+        total
+      } finally dfl.end()
+    }
+    val m = probe.select($"source", fn($"text").as("c"),
+        org.apache.spark.sql.functions.octet_length($"text").cast("long").as("raw"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("c") * 1000000L / r.getAs[Long]("raw"))
+      .toMap
+    assert(m("const") < m("hex") / 5,
+      s"constant run must compress far below high-entropy text: $m")
+  }
 }

@@ -27,7 +27,8 @@ class RegistrySpec extends AnyFunSuite {
       "sink_bloom_skipping",
       "sim_brp_lsh", "sim_ivf_knn", "sim_ivf_pq",
       "sem_dedup_clusters", "mm_decode_real", "mm_phash_dedup",
-      "agg_countmin_freq", "udaf_misra_gries", "scan_file_metadata")
+      "agg_countmin_freq", "udaf_misra_gries", "scan_file_metadata",
+      "txt_compression_ratio")
     assert(exempt == expectedExempt, s"unexpected oracle-exempt set: $exempt")
   }
 
