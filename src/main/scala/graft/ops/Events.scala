@@ -1477,8 +1477,162 @@ object Events {
     """)
   )
 
+  /** Kaplan–Meier survival in log space (r8; Kaplan & Meier 1958) — the
+    * churn curve with CORRECT censoring: users still active on the
+    * corpus's last day haven't churned, they're right-censored, and
+    * averaging their lifetimes in would bias retention down (the mistake
+    * the KM estimator exists to fix). Lifetimes collapse to a duration
+    * histogram; at-risk counts come from one descending cumulative window
+    * over it; and instead of the floating product Π(1−d/n) — which no
+    * engine pair reproduces bit-for-bit — the op emits LOG-survival: each
+    * hazard term ln((n−d)/n) cast to DECIMAL(18,12) (the
+    * txt_unigram_logprob discipline) and cumulatively summed in duration
+    * order, so every row is an exact decimal sum rounded once at the
+    * edge. NULLIF guards the everyone-churns bucket (ln 0). All windows
+    * ride the ≤ |distinct durations| histogram; the only wide shuffle is
+    * the per-user min/max.
+    */
+  val evtSurvivalKm = Op(
+    "evt_survival_km",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val days = T.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+      val horizon = days.agg(max(col("day")).as("h_day"))
+      val life = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"), max(col("day")).as("last_day"))
+        .crossJoin(broadcast(horizon))
+        .select(datediff(col("last_day"), col("first_day")).cast("long").as("dur"),
+          when(col("last_day") < col("h_day"), 1L).otherwise(0L).as("churned"))
+      val h = life.groupBy(col("dur"))
+        .agg(count(lit(1)).as("m"), sum(col("churned")).as("d"))
+      val before = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val all = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = Window.orderBy(col("dur"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("n_at_risk",
+          (sum(col("m")).over(all) - coalesce(sum(col("m")).over(before), lit(0L)))
+            .cast("long"))
+        .withColumn("ln_term",
+          log(expr("cast(nullif(n_at_risk - d, 0) as double)") / col("n_at_risk"))
+            .cast("decimal(18,12)"))
+        .select(col("dur"), col("m"), col("d"), col("n_at_risk"),
+          round(sum(col("ln_term")).over(cum).cast("double"), 6).as("log_surv"))
+        .orderBy(col("dur"))
+    },
+    Some("""
+      WITH days AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      hz AS (SELECT MAX(day) AS h_day FROM days),
+      life AS (
+        SELECT date_diff('day', MIN(day), MAX(day)) AS dur,
+               CASE WHEN MAX(day) < (SELECT h_day FROM hz) THEN 1 ELSE 0 END AS churned
+        FROM days GROUP BY user_id),
+      h AS (SELECT dur, COUNT(*) AS m, CAST(SUM(churned) AS BIGINT) AS d
+            FROM life GROUP BY dur),
+      w AS (
+        SELECT dur, m, d,
+               CAST(SUM(m) OVER () -
+                    COALESCE(SUM(m) OVER (ORDER BY dur
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS n_at_risk
+        FROM h),
+      t AS (
+        SELECT dur, m, d, n_at_risk,
+               CAST(LN(CAST(NULLIF(n_at_risk - d, 0) AS DOUBLE) / n_at_risk)
+                 AS DECIMAL(18,12)) AS ln_term
+        FROM w)
+      SELECT dur, m, d, n_at_risk,
+             ROUND(CAST(SUM(ln_term) OVER (ORDER BY dur
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+               AS log_surv
+      FROM t ORDER BY dur
+    """)
+  )
+
+  /** Peak concurrency by sweep line (r8) — "how many sessions were open at
+    * once", the capacity number a serving tier is provisioned against:
+    * 30-minute-gap sessionization (the stream_sessionize_30m rule in
+    * batch), then each session contributes a +1 at its start and a −1 at
+    * its end, and the per-day maximum of the running sum is the peak. Tie
+    * discipline makes it deterministic: at an equal microsecond, starts
+    * sort before ends (touching sessions count as concurrent), and the
+    * MAX of a running sum is invariant to permuting rows with equal
+    * (time, delta) — monotone within each tied block — so no further
+    * tiebreak is needed for the per-day AGGREGATE even though per-row
+    * running values are not unique. A session crossing midnight posts its
+    * endpoints to their own days (no clipping) — the documented
+    * simplification; both engines apply it identically. Day-partitioned
+    * windows throughout; the wide shuffles are the per-user sessionize
+    * and the per-day sweep.
+    */
+  val evtPeakConcurrency = Op(
+    "evt_peak_concurrency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = T.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val sess = ev
+        .withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(wu) > 1800000000L ||
+            lag(col("us"), 1).over(wu).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val points = sess
+        .select(col("s_us").as("us"), lit(1L).as("delta"))
+        .unionByName(sess.select(col("e_us").as("us"), lit(-1L).as("delta")))
+        .withColumn("day", to_date(timestamp_micros(col("us"))))
+      val wd = Window.partitionBy(col("day"))
+        .orderBy(col("us"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      points
+        .withColumn("running", sum(col("delta")).over(wd))
+        .groupBy(col("day"))
+        .agg(max(col("running")).as("peak_concurrent"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      flags AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > 1800000000
+                    OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev),
+      sid AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flags),
+      sess AS (
+        SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
+        FROM sid GROUP BY user_id, sid),
+      points AS (
+        SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
+        UNION ALL SELECT e_us, -1 FROM sess),
+      run AS (
+        SELECT CAST(make_timestamp(us) AS DATE) AS day, us, delta,
+               SUM(delta) OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
+                 ORDER BY us, delta DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        FROM points)
+      SELECT day,
+             CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_sessions_started
+      FROM run GROUP BY day ORDER BY day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
+    evtSurvivalKm, evtPeakConcurrency,
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,

@@ -107,7 +107,9 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_stickiness_ratio",      // checkpointed triple distinct + ppm
     "ml_fairness_parity",        // 2x2 integer cells + bounded gap windows
     "scan_dsv2_agg_pushdown",    // per-slice partial aggs, merge-invariant
-    "agg_kmv_intersect")         // bottom-k sketches + theta intersection
+    "agg_kmv_intersect",         // bottom-k sketches + theta intersection
+    "evt_survival_km",           // decimal-ln cumsum over duration histogram
+    "evt_peak_concurrency")      // sweep-line max, tie-block invariant
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
