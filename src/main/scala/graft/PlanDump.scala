@@ -73,7 +73,15 @@ object PlanDump {
     "qc_cusum_drift" ->
       "stacked prefix-sum/prefix-min windows over the ~30-row daily aggregate (agg-before-window)",
     "txt_bigram_logprob" ->
-      "LM-count topology: pair/context counts joined back by their own keys, decimal-summed score, TakeOrdered top-20")
+      "LM-count topology: pair/context counts joined back by their own keys, decimal-summed score, TakeOrdered top-20",
+    "scan_custom_dsv2" ->
+      "custom DSv2 connector: BatchScan with PushedFilters evaluated in the readers + pruned ReadSchema, 8 range slices",
+    "scan_dsv2_agg_pushdown" ->
+      "connector aggregate offload: PushedAggregates [count,min,max], scan emits one partial row per slice, final agg merges 8 rows",
+    "graph_hits" ->
+      "two integer mutual-reinforcement rounds: per-side edge-key shuffle + map-side-combined sums, 1-row broadcast renorm scalars",
+    "ml_gain_lift_deciles" ->
+      "gains deciles from the histogram: checkpointed score histogram, boundary window over <=11 rows, no corpus NTILE sort")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
