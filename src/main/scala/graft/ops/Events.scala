@@ -1630,9 +1630,64 @@ object Events {
     """)
   )
 
+  /** Association rules over per-user behavior baskets (r8; Agrawal &
+    * Srikant 1994's support/confidence/lift, at the pair level a
+    * clickstream actually needs) — "users who sign up also purchase":
+    * baskets are per-user distinct event-type sets, candidate pairs come
+    * from a self-join of the once-checkpointed (user, type) relation
+    * (fan-out bounded by basket size ≤ |types|, never a type×type
+    * product), and support / both-direction confidence / lift are exact
+    * integer ppm against broadcast singleton counts. lift stays in range
+    * as (conf·N) div n_b (≤ 1e6·N — no N² term, safe to ~9e12 users).
+    */
+  val evtAssocRules = Op(
+    "evt_assoc_rules",
+    (s, d) => {
+      val ut = T.events(s, d).select(col("user_id"), col("event_type"))
+        .distinct().localCheckpoint(true)
+      val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      val totals = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val pairs = ut.as("x").join(ut.as("y"), Seq("user_id"))
+        .filter(col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("a"), col("y.event_type").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(singles.select(col("event_type").as("a"), col("n").as("n_a")), "a")
+        .join(singles.select(col("event_type").as("b"), col("n").as("n_b")), "b")
+        .crossJoin(broadcast(totals))
+        .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * 1000000 div n_users").as("support_ppm"),
+          expr("n_ab * 1000000 div n_a").as("conf_a_to_b_ppm"),
+          expr("n_ab * 1000000 div n_b").as("conf_b_to_a_ppm"),
+          expr("(n_ab * 1000000 div n_a) * n_users div n_b").as("lift_ppm"))
+        .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+    },
+    Some("""
+      WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      singles AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+      totals AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM ut),
+      pairs AS (
+        SELECT x.event_type AS a, y.event_type AS b, COUNT(*) AS n_ab
+        FROM ut x JOIN ut y ON x.user_id = y.user_id
+          AND x.event_type < y.event_type
+        GROUP BY 1, 2)
+      SELECT a, b, n_ab, sa.n AS n_a, sb.n AS n_b,
+             n_ab * 1000000 // n_users AS support_ppm,
+             n_ab * 1000000 // sa.n AS conf_a_to_b_ppm,
+             n_ab * 1000000 // sb.n AS conf_b_to_a_ppm,
+             (n_ab * 1000000 // sa.n) * n_users // sb.n AS lift_ppm
+      FROM pairs
+      JOIN singles sa ON sa.event_type = pairs.a
+      JOIN singles sb ON sb.event_type = pairs.b
+      CROSS JOIN totals
+      ORDER BY lift_ppm DESC, a, b
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
-    evtSurvivalKm, evtPeakConcurrency,
+    evtSurvivalKm, evtPeakConcurrency, evtAssocRules,
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,

@@ -1147,8 +1147,65 @@ object Scans {
     """)
   )
 
+  /** Quoted multi-line CSV round trip (r8) — the CSV posture the format
+    * matrix was missing: fields with EMBEDDED NEWLINES are legal CSV
+    * (RFC 4180 quoting) but force `multiLine=true`, and that option makes
+    * files NON-SPLITTABLE — one task per file, because a record boundary
+    * can no longer be found at an arbitrary split offset. That is the
+    * 100 TB lesson this op encodes: multi-line CSV parallelizes by FILE
+    * COUNT only, so big corpora must arrive sharded (or be converted on
+    * ingest); the single-line reader's byte-offset splitting is the
+    * exception, not the default contract. The op writes doc payloads with
+    * an injected newline, reads them back multiLine, and proves the round
+    * trip lossless with per-lang count + exact char-mass aggregates; the
+    * oracle computes the same aggregates from the parquet original.
+    */
+  val scanCsvMultiline = Op(
+    "scan_csv_multiline",
+    (s, d) => {
+      val out = T.scratch("csv_multiline")
+      T.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          concat(substring(col("text"), 1, 40), lit("\n"),
+            substring(col("text"), 41, 40)).as("payload"))
+        .coalesce(2)
+        .write.mode("overwrite")
+        .option("quoteAll", "true").option("escape", "\"")
+        // the WRITER trims field whitespace by default
+        // (ignoreLeading/TrailingWhiteSpace=true on write, unlike read) —
+        // a payload segment ending in a space would silently lose it
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(out)
+      s.read
+        .schema("doc_id LONG, lang STRING, payload STRING")
+        .option("multiLine", "true").option("escape", "\"")
+        .csv(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload"))).as("payload_chars"),
+          sum(expr("conv(substring(md5(payload), 1, 12), 16, 10)").cast("long"))
+            .as("payload_md5_mass"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(payload)) AS BIGINT) AS payload_chars,
+             CAST(SUM(list_reduce(
+               list_transform(range(1, 13),
+                 i -> CAST(strpos('0123456789abcdef',
+                        substring(md5(payload), i, 1)) - 1 AS BIGINT)),
+               (acc, v) -> acc * 16 + v)) AS BIGINT) AS payload_md5_mass
+      FROM (
+        SELECT lang,
+               substring(text, 1, 40) || chr(10) || substring(text, 41, 40) AS payload
+        FROM documents)
+      GROUP BY lang ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    scanCustomDsv2, scanDsv2AggPushdown,
+    scanCustomDsv2, scanDsv2AggPushdown, scanCsvMultiline,
     scanTextLines, scanFileMetadata,
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,

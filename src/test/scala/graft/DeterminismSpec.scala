@@ -109,7 +109,9 @@ class DeterminismSpec extends AnyFunSuite {
     "scan_dsv2_agg_pushdown",    // per-slice partial aggs, merge-invariant
     "agg_kmv_intersect",         // bottom-k sketches + theta intersection
     "evt_survival_km",           // decimal-ln cumsum over duration histogram
-    "evt_peak_concurrency")      // sweep-line max, tie-block invariant
+    "evt_peak_concurrency",      // sweep-line max, tie-block invariant
+    "evt_assoc_rules",           // basket self-join + integer ppm
+    "scan_csv_multiline")        // multiLine round trip + mass aggregates
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -709,6 +709,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"read schema must prune to the referenced columns: $desc")
   }
 
+  test("txt_boilerplate_coverage: the positioned grams are checkpointed once") {
+    val p = plan("txt_boilerplate_coverage")
+    // grams feed the df agg AND the coverage join from blocks; only the
+    // per-doc n_tok branch re-touches parquet
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 1,
+      s"gram subtree must not recompute from parquet: $p")
+  }
+
+  test("ml_gain_lift_deciles: windows ride the checkpointed histogram, never the corpus") {
+    val p = plan("ml_gain_lift_deciles")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
+      s"the score histogram is checkpointed once: $p")
+    assert(p.contains("Window"), s"boundary windows expected: $p")
+  }
+
+  test("evt_gini_concentration: the window consumes the count-of-counts aggregate") {
+    val p = plan("evt_gini_concentration")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && aggIdx > winIdx,
+      s"cumulative window must run over the histogram, never per-user rows: $p")
+  }
+
   test("scan_dsv2_agg_pushdown: COUNT/MIN/MAX collapse into the connector") {
     val p = plan("scan_dsv2_agg_pushdown")
     assert(p.contains("PushedAggregates: [count(id), min(id), max(id)]"),
