@@ -958,8 +958,49 @@ object Joins {
     """)
   )
 
+  /** Connector statistics driving join strategy (r8) — the capability
+    * that closes the DSv2 story: `graft.sources.RangeLedger` implements
+    * SupportsReportStatistics with PREDICATE-AWARE estimates (the column
+    * moduli are known, so `day < 50` reports ~rows·50/365 — selectivity a
+    * file source can only guess). Without the interface, a v2 relation
+    * defaults to `spark.sql.defaultSizeInBytes` = Long.Max and this join
+    * would sort-merge; with it, the ~2.7k-row filtered ledger reports
+    * ~87 KB and Catalyst BROADCASTS it against lineitem unhinted — the
+    * plan guard pins BroadcastHashJoin with the connector on the build
+    * side. Fact side shuffles nothing; revenue through the decimal
+    * discipline.
+    */
+  val joinDsv2StatsBroadcast = Op(
+    "join_dsv2_stats_broadcast",
+    (s, d) => {
+      val ledger = s.read.format("graft.sources.RangeLedger")
+        .option("rows", "20000").option("slices", "4").load()
+        .filter(col("day") < 50)
+        .select(col("id"), col("bucket"))
+      T.lineitem(s, d)
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ledger, col("l_partkey") === col("id"))
+        .groupBy((col("bucket") % 10).as("b10"))
+        .agg(count(lit(1)).as("n_lines"),
+          Det.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("b10"))
+    },
+    Some("""
+      SELECT CAST(bucket % 10 AS INTEGER) AS b10, COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN (
+        SELECT range AS id, CAST(range % 97 AS INTEGER) AS bucket
+        FROM range(0, 20000)
+        WHERE CAST(range % 365 AS INTEGER) < 50) ledger
+        ON l_partkey = ledger.id
+      GROUP BY 1 ORDER BY b10
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    joinViewDeltaMaintain,
+    joinViewDeltaMaintain, joinDsv2StatsBroadcast,
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,

@@ -672,10 +672,82 @@ object Windows {
     """)
   )
 
+  /** Rolling Pearson correlation (r8) — "are revenue and volume moving
+    * together this week?", the co-movement diagnostic `agg_corr_covar`
+    * answers only globally. Per-nation daily (revenue, quantity) series
+    * in exact 1e-4 integer units; all five power sums (Σx, Σy, Σxy, Σxx,
+    * Σyy) over a 7-row trailing frame in DECIMAL(38,0) (products reach
+    * ~1e20 — past a long, inside both decimal38 and HUGEINT), so every
+    * input to the correlation is EXACT; the only floating steps are the
+    * final casts, one divide, and one sqrt (correctly rounded in both
+    * engines — the ml_feature_standardize precedent), rounded to 6.
+    * NULLIF guards zero-variance windows. Partial leading windows are
+    * dropped (n = 7 only). One nation-key shuffle shared by the daily
+    * rollup and the windows.
+    */
+  val winRollingCorr = Op(
+    "win_rolling_corr",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = T.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995 && col("l_suppkey") < 50)
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+        .agg(
+          expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT)")
+            .as("xu"),
+          expr("CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT)").as("yu"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rowsBetween(-6, 0)
+      daily
+        .withColumn("x", col("xu").cast("decimal(38,0)"))
+        .withColumn("y", col("yu").cast("decimal(38,0)"))
+        .withColumn("n", count(lit(1)).over(w))
+        .withColumn("sx", sum(col("x")).over(w))
+        .withColumn("sy", sum(col("y")).over(w))
+        .withColumn("sxy", sum(col("x") * col("y")).over(w))
+        .withColumn("sxx", sum(col("x") * col("x")).over(w))
+        .withColumn("syy", sum(col("y") * col("y")).over(w))
+        .filter(col("n") === 7)
+        .select(col("l_suppkey"), col("day"),
+          round(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0)),
+            6).as("corr7"))
+        .orderBy(col("l_suppkey"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS xu,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) * 10000 AS BIGINT) AS yu
+        FROM lineitem
+        WHERE year(l_shipdate) = 1995 AND l_suppkey < 50
+        GROUP BY 1, 2),
+      win AS (
+        SELECT l_suppkey, day,
+               COUNT(*) OVER w AS n,
+               SUM(CAST(xu AS HUGEINT)) OVER w AS sx,
+               SUM(CAST(yu AS HUGEINT)) OVER w AS sy,
+               SUM(CAST(xu AS HUGEINT) * yu) OVER w AS sxy,
+               SUM(CAST(xu AS HUGEINT) * xu) OVER w AS sxx,
+               SUM(CAST(yu AS HUGEINT) * yu) OVER w AS syy
+        FROM daily
+        WINDOW w AS (PARTITION BY l_suppkey ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      SELECT l_suppkey, day,
+             ROUND(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   NULLIF(SQRT(CAST(n * sxx - sx * sx AS DOUBLE) *
+                               CAST(n * syy - sy * sy AS DOUBLE)), 0.0), 6) AS corr7
+      FROM win WHERE n = 7
+      ORDER BY l_suppkey, day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
     winCumulative, winRankDistributed, winGapIslands, winFillForward,
     winNthCume, winRollingSlope, winEwmaTrailing, winTopkHeap,
-    winMedianSliding, winBollingerBands, winDrawdown)
+    winMedianSliding, winBollingerBands, winDrawdown, winRollingCorr)
 }

@@ -171,8 +171,39 @@ private[sources] case class RangeLedgerSlice(lo: Long, hi: Long) extends InputPa
 private[sources] class RangeLedgerScan(
     rows: Long, slices: Int, pushed: Array[Filter], required: StructType,
     aggs: Seq[(String, String)] = Nil, batchRows: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Planner statistics — the connector capability that decides JOIN
+    * STRATEGY: with an accurate post-filter row count, Catalyst broadcasts
+    * a small ledger side instead of shuffling both inputs. The estimate
+    * accounts for the pushed equality/range predicates exactly (the
+    * column moduli are known: bucket has period 97, day 365), so a
+    * `bucket = k` filter reports ~rows/97 — the selectivity a file source
+    * can only guess at. Size = rows × 8 bytes per emitted column.
+    */
+  override def estimateStatistics(): Statistics = {
+    val selectivity = pushed.foldLeft(1.0) { (acc, f) =>
+      acc * (f match {
+        case EqualTo("bucket", _) => 1.0 / 97.0
+        case EqualTo("day", _)    => 1.0 / 365.0
+        case EqualTo("id", _)     => 1.0 / math.max(rows, 1).toDouble
+        case LessThan("day", v: Number) =>
+          math.min(math.max(v.longValue(), 0), 365).toDouble / 365.0
+        case GreaterThanOrEqual("day", v: Number) =>
+          math.min(math.max(365L - v.longValue(), 0), 365).toDouble / 365.0
+        case _ => 1.0
+      })
+    }
+    val estRows = math.max(1L, (rows * selectivity).toLong)
+    val width = math.max(1, required.fields.length) * 8L
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(estRows * width)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(estRows)
+    }
+  }
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =

@@ -111,7 +111,9 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_survival_km",           // decimal-ln cumsum over duration histogram
     "evt_peak_concurrency",      // sweep-line max, tie-block invariant
     "evt_assoc_rules",           // basket self-join + integer ppm
-    "scan_csv_multiline")        // multiLine round trip + mass aggregates
+    "scan_csv_multiline",        // multiLine round trip + mass aggregates
+    "join_dsv2_stats_broadcast", // stats-driven broadcast, decimal revenue
+    "win_rolling_corr")          // decimal(38) power-sum frames + sqrt
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -742,6 +742,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"scan must read the collapsed agg schema: $desc")
   }
 
+  test("join_dsv2_stats_broadcast: connector statistics produce an unhinted broadcast") {
+    val p = plan("join_dsv2_stats_broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the stats-reported small side must broadcast: $p")
+    assert(p.contains("RangeLedger"), s"connector scan must plan: $p")
+    // the BroadcastExchange must sit on the ledger subtree, not lineitem
+    val bx = p.indexOf("BroadcastExchange")
+    assert(bx >= 0 && p.indexOf("RangeLedger", bx) >= 0,
+      s"broadcast must wrap the connector side: $p")
+    assert(!p.contains("SortMergeJoin"), s"stats must avert the sort-merge: $p")
+  }
+
   test("scan_custom_dsv2: the source plans its 8 range slices") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("graft.sources.RangeLedger")
