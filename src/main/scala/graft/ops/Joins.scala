@@ -999,8 +999,43 @@ object Joins {
     """)
   )
 
+  /** DSv2 RUNTIME filtering (r8) — dynamic pruning for a connector: the
+    * ledger scan declares `id` runtime-filterable, and when the selective
+    * part dimension's build side materializes, Spark hands the scan an
+    * In(id, …) filter MID-EXECUTION; readers then skip every id outside
+    * the join key set before a row exists — the DSv2 analog of dynamic
+    * partition pruning, and what a Cassandra/Iceberg connector does with
+    * a join's key set at 100 TB. Semantics are unchanged by the callback
+    * (it is purely an efficiency contract), so the op stays fully
+    * oracled; the §5 test pins that the callback actually fired with an
+    * In filter and that results match with the queue cleared first.
+    */
+  val joinDsv2RuntimeFilter = Op(
+    "join_dsv2_runtime_filter",
+    (s, d) => {
+      val ledger = s.read.format("graft.sources.RangeLedger")
+        .option("rows", "1000000").option("slices", "8").load()
+      val dim = T.part(s, d)
+        .filter(col("p_size") <= 2)
+        .select(col("p_partkey"), col("p_size"))
+      ledger.join(dim, col("id") === col("p_partkey"))
+        .groupBy(col("p_size"))
+        .agg(count(lit(1)).as("n"), sum(col("units")).as("sum_units"))
+        .orderBy(col("p_size"))
+    },
+    Some("""
+      SELECT p_size, COUNT(*) AS n, CAST(SUM(units) AS BIGINT) AS sum_units
+      FROM (
+        SELECT range AS id, (range * 2654435761) % 1000000 AS units
+        FROM range(0, 1000000)) ledger
+      JOIN (SELECT p_partkey, p_size FROM part WHERE p_size <= 2) dim
+        ON ledger.id = dim.p_partkey
+      GROUP BY p_size ORDER BY p_size
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    joinViewDeltaMaintain, joinDsv2StatsBroadcast,
+    joinViewDeltaMaintain, joinDsv2StatsBroadcast, joinDsv2RuntimeFilter,
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,
     joinLeftSemi, joinLeftAnti, joinCrossBounded, joinThetaRange,

@@ -69,6 +69,8 @@ object RangeLedger {
     */
   private[sources] def pushable(f: Filter): Boolean = f match {
     case IsNotNull(c)                 => schema.fieldNames.contains(c)
+    case org.apache.spark.sql.sources.In(c, vs) =>
+      schema.fieldNames.contains(c) && vs != null && vs.forall(_.isInstanceOf[Number])
     case EqualTo(c, v: Number)        => schema.fieldNames.contains(c) && v != null
     case LessThan(c, v: Number)       => schema.fieldNames.contains(c) && v != null
     case LessThanOrEqual(c, v: Number) => schema.fieldNames.contains(c) && v != null
@@ -77,8 +79,14 @@ object RangeLedger {
     case _                            => false
   }
 
+  /** Runtime filters delivered by Spark during execution (observed by the
+    * §5 test; cleared by it before each run). */
+  val runtimeFiltersSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private[sources] def eval(f: Filter, i: Long): Boolean = f match {
     case IsNotNull(_)              => true
+    case org.apache.spark.sql.sources.In(c, vs) =>
+      vs.exists(v => v != null && colValue(i, c) == v.asInstanceOf[Number].longValue())
     case EqualTo(c, v: Number)     => colValue(i, c) == v.longValue()
     case LessThan(c, v: Number)    => colValue(i, c) < v.longValue()
     case LessThanOrEqual(c, v: Number) => colValue(i, c) <= v.longValue()
@@ -171,8 +179,26 @@ private[sources] case class RangeLedgerSlice(lo: Long, hi: Long) extends InputPa
 private[sources] class RangeLedgerScan(
     rows: Long, slices: Int, pushed: Array[Filter], required: StructType,
     aggs: Seq[(String, String)] = Nil, batchRows: Option[Long] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  /** DPP-style RUNTIME filtering — the fifth connector capability: after a
+    * selective join build side materializes, Spark hands the scan an
+    * In(id, ...) filter mid-execution; readers then skip every id outside
+    * the join's key set BEFORE materializing a row, the DSv2 analog of
+    * dynamic partition pruning. Purely an efficiency contract — results
+    * are identical with or without the callback, which is why the op
+    * stays fully oracled.
+    */
+  @volatile private var runtime: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("id"))
+  override def filter(filters: Array[Filter]): Unit = {
+    val accepted = filters.filter(RangeLedger.pushable)
+    runtime = accepted
+    accepted.foreach(f => RangeLedger.runtimeFiltersSeen.add(f.toString.take(120)))
+  }
 
   /** Planner statistics — the connector capability that decides JOIN
     * STRATEGY: with an accurate post-filter row count, Catalyst broadcasts
@@ -225,8 +251,8 @@ private[sources] class RangeLedgerScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    if (aggs.isEmpty) RangeLedgerReaderFactory(pushed, required.fieldNames)
-    else RangeLedgerAggReaderFactory(pushed, aggs)
+    if (aggs.isEmpty) RangeLedgerReaderFactory(pushed ++ runtime, required.fieldNames)
+    else RangeLedgerAggReaderFactory(pushed ++ runtime, aggs)
 }
 
 /** Aggregate-pushdown reader: one pre-aggregated row per slice. A slice

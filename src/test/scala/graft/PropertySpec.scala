@@ -215,6 +215,21 @@ class PropertySpec extends AnyFunSuite {
     assert(n == 3, s"expected 3 micro-batches in the offset log, saw $n")
   }
 
+  test("join_dsv2_runtime_filter: Spark delivers an In(id) filter mid-execution") {
+    graft.sources.RangeLedger.runtimeFiltersSeen.clear()
+    val rows = graft.ops.Registry.queries("join_dsv2_runtime_filter")(spark, TestSession.sf)
+      .collect()
+    assert(rows.nonEmpty, "join must produce rows")
+    val seen = {
+      val it = graft.sources.RangeLedger.runtimeFiltersSeen.iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(seen.exists(_.startsWith("In(id")),
+      s"runtime In(id, ...) filter never reached the connector; saw: $seen")
+  }
+
   test("token_ngrams matches the declarative zip_with/concat form") {
     graft.functions.NGrams.register(spark)
     val docs = graft.ops.T.documents(spark, sf)
