@@ -512,8 +512,70 @@ object Scalars {
     """)
   )
 
+  /** 4-4-5 fiscal (retail) calendar rollup (r8) — the NRF calendar every
+    * retail BI stack reports on: 52-week fiscal years of four 13-week
+    * quarters split 4+4+5, anchored here at Monday 1992-01-06. Entirely
+    * closed-form integer arithmetic on the day offset (week = d div 7,
+    * quarter = week-in-year div 13, month-in-quarter by the 4/8 split) —
+    * no calendar dimension table, no UDF, both engines bit-identical.
+    * (The real NRF calendar inserts a 53rd week every 5-6 years; the
+    * fixed-52 form is the documented simplification — the restatement
+    * logic lives in which anchor you choose, not in this arithmetic.)
+    * Revenue through the decimal discipline, one scan, one rollup.
+    */
+  val dtFiscalCalendar = Op(
+    "dt_fiscal_calendar",
+    (s, d) => {
+      val anchor = to_date(lit("1992-01-06")) // a Monday
+      T.lineitem(s, d)
+        .select(datediff(to_date(col("l_shipdate")), anchor).as("dd"),
+          col("l_extendedprice"), col("l_discount"))
+        .filter(col("dd") >= 0)
+        .select(expr("dd div 7").as("wk"),
+          col("l_extendedprice"), col("l_discount"))
+        .select(expr("wk div 52").cast("long").as("fy"),
+          expr("(wk % 52) div 13").cast("long").as("fq0"),
+          expr("(wk % 52) % 13").cast("long").as("wq"),
+          col("l_extendedprice"), col("l_discount"))
+        .select(col("fy"), (col("fq0") + 1).as("fiscal_quarter"),
+          (col("fq0") * 3 +
+            when(col("wq") < 4, 1).when(col("wq") < 8, 2).otherwise(3))
+            .as("fiscal_month"),
+          col("l_extendedprice"), col("l_discount"))
+        .groupBy(col("fy"), col("fiscal_quarter"), col("fiscal_month"))
+        .agg(count(lit(1)).as("n_lines"),
+          Det.sumDec(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+        .orderBy(col("fy"), col("fiscal_quarter"), col("fiscal_month"))
+    },
+    Some("""
+      WITH base AS (
+        SELECT date_diff('day', DATE '1992-01-06', CAST(l_shipdate AS DATE)) AS dd,
+               l_extendedprice, l_discount
+        FROM lineitem),
+      wk AS (
+        SELECT dd // 7 AS wk, l_extendedprice, l_discount
+        FROM base WHERE dd >= 0),
+      f AS (
+        SELECT wk // 52 AS fy,
+               (wk % 52) // 13 AS fq0,
+               (wk % 52) % 13 AS wq,
+               l_extendedprice, l_discount
+        FROM wk)
+      SELECT fy, fq0 + 1 AS fiscal_quarter,
+             fq0 * 3 + CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END
+               AS fiscal_month,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM f
+      GROUP BY 1, 2, 3
+      ORDER BY fy, fiscal_quarter, fiscal_month
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     strFuncs, strSplitRegex, strCodecs, dtFuncs, dtEpochWindow, mathFuncs,
     arrExplodeTokens, arrFuncs, arrExplodeOuter, arrHigherOrder, mapFuncs,
-    jsonExtract, dtGapFillSpine, dtMomGrowth, bitFuncs, dtBusinessDays)
+    jsonExtract, dtGapFillSpine, dtMomGrowth, bitFuncs, dtBusinessDays,
+    dtFiscalCalendar)
 }

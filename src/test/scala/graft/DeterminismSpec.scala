@@ -114,7 +114,8 @@ class DeterminismSpec extends AnyFunSuite {
     "scan_csv_multiline",        // multiLine round trip + mass aggregates
     "join_dsv2_stats_broadcast", // stats-driven broadcast, decimal revenue
     "win_rolling_corr",          // decimal(38) power-sum frames + sqrt
-    "join_dsv2_runtime_filter")  // runtime In-filter is efficiency-only
+    "join_dsv2_runtime_filter",  // runtime In-filter is efficiency-only
+    "dt_fiscal_calendar")        // integer 4-4-5 closed form + decimal
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
