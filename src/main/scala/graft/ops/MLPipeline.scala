@@ -1704,8 +1704,181 @@ object MLPipeline {
     """)
   )
 
+  /** Champion/challenger shadow evaluation (r8) — the side-by-side a model
+    * rollout gate actually reads: the incumbent scorer and a challenger
+    * (different keyword weights) scored on the SAME corpus in one scan,
+    * each graded by the tie-corrected Mann-Whitney histogram kernel
+    * (ml_roc_auc's, PARTITIONED BY MODEL — two histograms, one shuffle),
+    * plus the decision-level disagreement rate at the deployment
+    * threshold. Everything integer ppm; the per-model AUC windows ride
+    * the (model, score) histogram, never the corpus.
+    */
+  private val mlChampionChallenger = Op(
+    "ml_champion_challenger",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = T.documents(s, d).select(
+        when(instr(col("text"), "customer") > 0, 1L).otherwise(0L).as("y"),
+        expr("""cast((length(text) - length(replace(text, 'order', ''))) div 5
+              + (length(text) - length(replace(text, 'pack', ''))) div 4
+              + (length(text) - length(replace(text, 'ship', ''))) div 4
+              as bigint)""").as("s_champ"),
+        expr("""cast((length(text) - length(replace(text, 'order', ''))) div 4
+              + (length(text) - length(replace(text, 'window', ''))) div 6
+              + (length(text) - length(replace(text, 'ship', ''))) div 5
+              as bigint)""").as("s_chall"))
+        .localCheckpoint(true)
+      val dis = scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when((col("s_champ") >= 2) =!= (col("s_chall") >= 2), 1L)
+          .otherwise(0L)).as("n_disagree"))
+        .select(col("n_docs"), col("n_disagree"),
+          expr("n_disagree * 1000000 div n_docs").as("disagree_ppm"))
+      val long = scored.select(lit("champion").as("model"), col("y"), col("s_champ").as("s"))
+        .unionByName(scored.select(lit("challenger").as("model"), col("y"),
+          col("s_chall").as("s")))
+      val h = long.groupBy(col("model"), col("s"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
+      val before = Window.partitionBy(col("model")).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("cum_before", coalesce(sum(col("n")).over(before), lit(0L)))
+        .groupBy(col("model"))
+        .agg(
+          sum(col("npos") * (lit(2) * col("cum_before") + col("n") + lit(1)))
+            .cast("long").as("two_r_pos"),
+          sum(col("npos")).cast("long").as("n_pos"),
+          sum(col("n") - col("npos")).cast("long").as("n_neg"))
+        .withColumn("auc_ppm",
+          expr("(two_r_pos - n_pos * (n_pos + 1)) * 500000 div (n_pos * n_neg)"))
+        .crossJoin(broadcast(dis))
+        .select(col("model"), col("n_pos"), col("n_neg"), col("auc_ppm"),
+          col("n_disagree"), col("disagree_ppm"))
+        .orderBy(col("model"))
+    },
+    Some("""
+      WITH scored AS (
+        SELECT CASE WHEN strpos(text, 'customer') > 0 THEN 1 ELSE 0 END AS y,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 5
+                  + (len(text) - len(replace(text, 'pack', ''))) // 4
+                  + (len(text) - len(replace(text, 'ship', ''))) // 4
+                 AS BIGINT) AS s_champ,
+               CAST((len(text) - len(replace(text, 'order', ''))) // 4
+                  + (len(text) - len(replace(text, 'window', ''))) // 6
+                  + (len(text) - len(replace(text, 'ship', ''))) // 5
+                 AS BIGINT) AS s_chall
+        FROM documents),
+      dis AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN (s_champ >= 2) <> (s_chall >= 2)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree
+        FROM scored),
+      lng AS (
+        SELECT 'champion' AS model, y, s_champ AS s FROM scored
+        UNION ALL SELECT 'challenger', y, s_chall FROM scored),
+      h AS (SELECT model, s, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS npos
+            FROM lng GROUP BY model, s),
+      c AS (SELECT model, s, n, npos,
+                   CAST(COALESCE(SUM(n) OVER (PARTITION BY model ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS BIGINT) AS cum_before
+            FROM h),
+      agg AS (
+        SELECT model,
+               CAST(SUM(npos * (2 * cum_before + n + 1)) AS BIGINT) AS two_r_pos,
+               CAST(SUM(npos) AS BIGINT) AS n_pos,
+               CAST(SUM(n - npos) AS BIGINT) AS n_neg
+        FROM c GROUP BY model)
+      SELECT model, n_pos, n_neg,
+             (two_r_pos - n_pos * (n_pos + 1)) * 500000 // (n_pos * n_neg) AS auc_ppm,
+             n_disagree, n_disagree * 1000000 // n_docs AS disagree_ppm
+      FROM agg, dis
+      ORDER BY model
+    """)
+  )
+
+  /** Coarsened exact matching (r8; Iacus, King & Porro 2012) — the
+    * observational-causal estimate that SCALES where per-unit nearest-
+    * neighbor matching can't: coarsen the propensity proxy (per-user
+    * activity count, log2-binned) into strata, keep only strata holding
+    * BOTH treated and control users, and weight each stratum's
+    * control-vs-treated outcome gap by its treated count. The whole
+    * estimator is stratum-level aggregation — no per-unit match, no
+    * global sort, one user rollup + one ≤ |bins| rollup — and every
+    * number is an exact integer (outcomes in 1e-4 units, ATT as the
+    * treated-weighted floor-division mean). Also emits the balance
+    * audit (per-stratum counts) a matching analysis must publish.
+    */
+  private val mlCemMatching = Op(
+    "ml_cem_matching",
+    (s, d) => {
+      val users = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("activity"),
+          sum(when(col("event_type") === "purchase",
+            expr("CAST(floor(value * 10000) AS BIGINT)")).otherwise(0L))
+            .as("outcome_units"))
+        .withColumn("treat",
+          when(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) <
+            lit(2147483648L), 1L).otherwise(0L))
+        // floor(log2(n)) as an INTEGER bit-length — a float log2 would put
+        // exact powers of two on a rounding boundary where the engines'
+        // libm results can straddle the floor
+        .withColumn("stratum", expr("CAST(length(bin(activity)) - 1 AS BIGINT)"))
+      val strata = users.groupBy(col("stratum"))
+        .agg(
+          sum(col("treat")).as("n_t"),
+          sum(lit(1L) - col("treat")).as("n_c"),
+          sum(when(col("treat") === 1L, col("outcome_units")).otherwise(0L)).as("y_t"),
+          sum(when(col("treat") === 0L, col("outcome_units")).otherwise(0L)).as("y_c"))
+        .filter(col("n_t") > 0 && col("n_c") > 0)
+        .select(col("stratum"), col("n_t"), col("n_c"),
+          expr("y_t div n_t").as("mean_t"), expr("y_c div n_c").as("mean_c"),
+          expr("n_t * (y_t div n_t - y_c div n_c)").as("w_gap"))
+      val att = strata.agg(sum(col("n_t")).as("tot_t"), sum(col("w_gap")).as("sum_gap"))
+        .select(expr("sum_gap div tot_t").as("att_units"))
+      strata.crossJoin(broadcast(att))
+        .select(col("stratum"), col("n_t"), col("n_c"), col("mean_t"),
+          col("mean_c"), col("att_units"))
+        .orderBy(col("stratum"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id, COUNT(*) AS activity,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(FLOOR(value * 10000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS outcome_units,
+               CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                    THEN 1 ELSE 0 END AS treat
+        FROM events GROUP BY user_id),
+      b AS (
+        SELECT CAST(length(bin(activity)) - 1 AS BIGINT) AS stratum,
+               treat, outcome_units
+        FROM users),
+      strata AS (
+        SELECT stratum,
+               CAST(SUM(treat) AS BIGINT) AS n_t,
+               CAST(SUM(1 - treat) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN treat = 1 THEN outcome_units ELSE 0 END) AS BIGINT) AS y_t,
+               CAST(SUM(CASE WHEN treat = 0 THEN outcome_units ELSE 0 END) AS BIGINT) AS y_c
+        FROM b GROUP BY stratum
+        HAVING SUM(treat) > 0 AND SUM(1 - treat) > 0),
+      m AS (
+        SELECT stratum, n_t, n_c,
+               y_t // n_t AS mean_t, y_c // n_c AS mean_c,
+               n_t * (y_t // n_t - y_c // n_c) AS w_gap
+        FROM strata),
+      att AS (
+        SELECT CAST(SUM(w_gap) AS BIGINT) // CAST(SUM(n_t) AS BIGINT) AS att_units
+        FROM m)
+      SELECT stratum, n_t, n_c, mean_t, mean_c, att_units
+      FROM m, att
+      ORDER BY stratum
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlWoeEncoding, mlBrierDecomposition, mlFairnessParity,
+    mlChampionChallenger, mlCemMatching,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,

@@ -115,7 +115,9 @@ class DeterminismSpec extends AnyFunSuite {
     "join_dsv2_stats_broadcast", // stats-driven broadcast, decimal revenue
     "win_rolling_corr",          // decimal(38) power-sum frames + sqrt
     "join_dsv2_runtime_filter",  // runtime In-filter is efficiency-only
-    "dt_fiscal_calendar")        // integer 4-4-5 closed form + decimal
+    "dt_fiscal_calendar",        // integer 4-4-5 closed form + decimal
+    "ml_champion_challenger",    // model-partitioned histogram AUC
+    "ml_cem_matching")           // integer strata + weighted-gap rollup
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
