@@ -1483,8 +1483,76 @@ object TextAnalysis {
     None
   )
 
+  /** Winnowing fingerprints (r8; Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local document fingerprinting algorithm): hash every 4-gram,
+    * slide a 4-hash window, keep each window's MINIMUM — the guarantee
+    * winnowing adds over plain min-hashing is LOCALITY: any shared
+    * substring of ≥ 7 tokens shares a fingerprint, so matches can be
+    * located, not just detected. Grams hash through the codegen'd
+    * md5fold48; the window minimum is a per-doc 4-row frame (partitioned
+    * by doc — bounded, no global sort), and the distinct fingerprint set
+    * per doc gives the density audit (selected/total ≈ 2/(w+1) in
+    * expectation — the paper's bound, visible in the output). Only
+    * 48-bit hashes shuffle.
+    */
+  val txtWinnowing = Op(
+    "txt_winnowing",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.HashFold.register(s)
+      val grams = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 7)
+        .select(col("doc_id"), explode(expr("sequence(1, size(toks) - 3)")).as("i"),
+          col("toks"))
+        .select(col("doc_id"), col("i"),
+          call_function("md5fold48",
+            expr("array_join(slice(toks, i, 4), ' ')")).as("h"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(-3, 0)
+      val fps = grams
+        .withColumn("wmin", min(col("h")).over(w))
+        .filter(col("i") >= 4)
+        .select(col("doc_id"), col("wmin")).distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fingerprints"))
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(fps, "doc_id")
+        .withColumn("density_ppm", expr("n_fingerprints * 1000000 div n_grams"))
+        .orderBy(col("doc_id")).limit(50)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE len(string_split(text, ' ')) >= 7),
+      grams AS (
+        SELECT doc_id, i,
+               list_reduce(
+                 list_transform(range(1, 13),
+                   j -> CAST(strpos('0123456789abcdef',
+                          substring(md5(arr[i] || ' ' || arr[i+1] || ' ' ||
+                                        arr[i+2] || ' ' || arr[i+3]), j, 1)) - 1
+                        AS BIGINT)),
+                 (acc, v) -> acc * 16 + v) AS h
+        FROM docs, UNNEST(generate_series(1, len(arr) - 3)) AS t(i)),
+      wm AS (
+        SELECT doc_id, i, h,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM grams),
+      fps AS (
+        SELECT doc_id, COUNT(*) AS n_fingerprints FROM (
+          SELECT DISTINCT doc_id, wmin FROM wm WHERE i >= 4)
+        GROUP BY doc_id),
+      g AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id)
+      SELECT g.doc_id, g.n_grams, fps.n_fingerprints,
+             fps.n_fingerprints * 1000000 // g.n_grams AS density_ppm
+      FROM g JOIN fps USING (doc_id)
+      ORDER BY doc_id LIMIT 50
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio,
+    txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio, txtWinnowing,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,

@@ -744,10 +744,67 @@ object Windows {
     """)
   )
 
+  /** Hampel outlier filter (r8; Hampel 1974, the robust despiking filter
+    * process monitoring uses where z-scores fail — one spike inflates a
+    * mean AND its stddev, masking itself; the rolling median and MAD are
+    * 50%-breakdown robust): per supplier-day revenue series, a CENTERED
+    * 7-row frame collects into an array, and the exact median / MAD come
+    * from sort_array + element_at — integer micro-units end to end, so
+    * flagging is bit-exact (threshold: |x − med| > 3·1.4826·MAD, scaled
+    * to avoid the float constant: 10000·|x−med| > 44478·MAD). The
+    * collect-sort is O(w log w) per row with w = 7 — the right trade
+    * below w ≈ 100; emits flagged spikes with their window stats.
+    */
+  val winHampelOutliers = Op(
+    "win_hampel_outliers",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = T.lineitem(s, d)
+        .filter(year(col("l_shipdate")) === 1995 && col("l_suppkey") < 80)
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT)")
+          .as("xu"))
+      val w = Window.partitionBy(col("l_suppkey")).orderBy(col("day"))
+        .rowsBetween(-3, 3)
+      daily
+        .withColumn("win", collect_list(col("xu")).over(w))
+        .filter(size(col("win")) === 7)
+        .withColumn("med", expr("element_at(array_sort(win), 4)"))
+        .withColumn("mad", expr(
+          "element_at(array_sort(transform(win, v -> abs(v - med))), 4)"))
+        .filter(expr("10000 * abs(xu - med) > 44478 * mad"))
+        .select(col("l_suppkey"), col("day"), col("xu"), col("med"), col("mad"))
+        .orderBy(col("l_suppkey"), col("day"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS xu
+        FROM lineitem
+        WHERE year(l_shipdate) = 1995 AND l_suppkey < 80
+        GROUP BY 1, 2),
+      win AS (
+        SELECT l_suppkey, day, xu,
+               list(xu) OVER (PARTITION BY l_suppkey ORDER BY day
+                 ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS w
+        FROM daily),
+      st AS (
+        SELECT l_suppkey, day, xu,
+               list_sort(w)[4] AS med,
+               list_sort(list_transform(w, v -> abs(v - list_sort(w)[4])))[4] AS mad
+        FROM win WHERE len(w) = 7)
+      SELECT l_suppkey, day, xu, med, mad
+      FROM st
+      WHERE 10000 * abs(xu - med) > 44478 * mad
+      ORDER BY l_suppkey, day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     winRowNumberTopk, winRankDense, winLagLead, winMovingRows,
     winRangeTime, winRangeNumeric, winNtilePctrank, winFirstLast,
     winCumulative, winRankDistributed, winGapIslands, winFillForward,
     winNthCume, winRollingSlope, winEwmaTrailing, winTopkHeap,
-    winMedianSliding, winBollingerBands, winDrawdown, winRollingCorr)
+    winMedianSliding, winBollingerBands, winDrawdown, winRollingCorr,
+    winHampelOutliers)
 }

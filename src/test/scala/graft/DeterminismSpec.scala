@@ -117,7 +117,9 @@ class DeterminismSpec extends AnyFunSuite {
     "join_dsv2_runtime_filter",  // runtime In-filter is efficiency-only
     "dt_fiscal_calendar",        // integer 4-4-5 closed form + decimal
     "ml_champion_challenger",    // model-partitioned histogram AUC
-    "ml_cem_matching")           // integer strata + weighted-gap rollup
+    "ml_cem_matching",           // integer strata + weighted-gap rollup
+    "win_hampel_outliers",       // exact array median/MAD in micro-units
+    "txt_winnowing")             // frame minima over positioned hashes
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
