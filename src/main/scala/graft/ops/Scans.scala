@@ -1204,8 +1204,52 @@ object Scans {
     """)
   )
 
+  /** Recursive directory discovery + glob filtering (r8) — the lake-layout
+    * ingest posture: data arriving under nested date/tenant directories
+    * WITHOUT hive `k=v` naming (so partition discovery can't help) is
+    * readable only with `recursiveFileLookup`, and `pathGlobFilter`
+    * restricts discovery to matching leaf files without listing-then-
+    * filtering in user code. The op writes three nested generations
+    * (two parquet, one decoy with a different extension glob must skip),
+    * reads the tree back recursively, and proves discovery semantics by
+    * exact per-lang aggregates: recursive read = gen1 ∪ gen2, decoy
+    * excluded. At 100 TB the discovery cost is the directory listing —
+    * O(files), parallelized by Spark's InMemoryFileIndex — and the glob
+    * prunes at LISTING time, before any footer is opened.
+    */
+  val scanRecursiveGlob = Op(
+    "scan_recursive_glob",
+    (s, d) => {
+      val root = T.scratch("recursive_glob")
+      val docs = T.documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.filter(col("doc_id") % 3 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/2024/01/batch")
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/2024/02/deep/batch")
+      // decoy generation: same rows, different extension — the glob must
+      // exclude it or every aggregate double-counts
+      docs.filter(col("doc_id") % 3 === 1).coalesce(1)
+        .write.mode("overwrite").option("compression", "none")
+        .json(s"$root/2024/03/json_decoy")
+      s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents
+      WHERE doc_id % 3 IN (0, 1)
+      GROUP BY lang ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    scanCustomDsv2, scanDsv2AggPushdown, scanCsvMultiline,
+    scanCustomDsv2, scanDsv2AggPushdown, scanCsvMultiline, scanRecursiveGlob,
     scanTextLines, scanFileMetadata,
     scanParquetProject, scanCsvRoundtrip, scanUnionSf, scanJsonlProps,
     scanJsonStruct, scanCsvMalformed, scanSchemaEvolution, servePointLookup,

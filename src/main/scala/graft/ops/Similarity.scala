@@ -2293,8 +2293,67 @@ object Similarity {
     """)
   )
 
+  /** Sorted Neighborhood Method (r8; Hernández & Stolfo 1995 — the classic
+    * alternative to hash blocking for fuzzy dedup: SORT on a discriminating
+    * key, then compare only records within a small sliding window, so the
+    * candidate count is O(n·w) regardless of how ragged the clusters are).
+    * Here: per-source blocks (the block bound also keeps the sort
+    * partition-local — SNM at 100 TB is range-partition + window, never a
+    * global sort), docs ordered by (text, doc_id), each compared to its
+    * next 2 neighbors via lead(), pairs kept when levenshtein over the
+    * 60-char prefix ≤ 20. Emits per-source candidate/match counts plus
+    * the matched pairs — the shape dedup_blocked_fuzzy gets from hash
+    * blocking, reached by ordering instead.
+    */
+  val dedupSortedNeighborhood = Op(
+    "dedup_sorted_neighborhood",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("source"), substring(col("text"), 1, 60).as("key"))
+      val w = Window.partitionBy(col("source")).orderBy(col("key"), col("doc_id"))
+      val cand = docs
+        .withColumn("n1_id", lead(col("doc_id"), 1).over(w))
+        .withColumn("n1_key", lead(col("key"), 1).over(w))
+        .withColumn("n2_id", lead(col("doc_id"), 2).over(w))
+        .withColumn("n2_key", lead(col("key"), 2).over(w))
+        .select(col("source"), col("doc_id"), col("key"),
+          explode(array(
+            struct(col("n1_id").as("nid"), col("n1_key").as("nkey")),
+            struct(col("n2_id").as("nid"), col("n2_key").as("nkey")))).as("n"))
+        .filter(col("n.nid").isNotNull)
+        .select(col("source"), col("doc_id"), col("n.nid").as("nid"),
+          levenshtein(col("key"), col("n.nkey")).as("dist"))
+      cand.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("dist") <= 20, 1L).otherwise(0L)).as("n_matches"),
+          min(col("dist")).cast("long").as("min_dist"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, substring(text, 1, 60) AS key FROM documents),
+      nb AS (
+        SELECT source, doc_id, key,
+               LEAD(doc_id, 1) OVER w AS n1_id, LEAD(key, 1) OVER w AS n1_key,
+               LEAD(doc_id, 2) OVER w AS n2_id, LEAD(key, 2) OVER w AS n2_key
+        FROM docs
+        WINDOW w AS (PARTITION BY source ORDER BY key, doc_id)),
+      cand AS (
+        SELECT source, doc_id, n1_id AS nid, levenshtein(key, n1_key) AS dist
+        FROM nb WHERE n1_id IS NOT NULL
+        UNION ALL
+        SELECT source, doc_id, n2_id, levenshtein(key, n2_key)
+        FROM nb WHERE n2_id IS NOT NULL)
+      SELECT source, COUNT(*) AS n_candidates,
+             CAST(SUM(CASE WHEN dist <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+             CAST(MIN(dist) AS BIGINT) AS min_dist
+      FROM cand GROUP BY source ORDER BY source
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    dedupUrlCanonicalize,
+    dedupUrlCanonicalize, dedupSortedNeighborhood,
     dedupSurvivorshipMerge, embDimVarianceRank, simKnnClassify,
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,

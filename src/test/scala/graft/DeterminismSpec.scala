@@ -119,7 +119,9 @@ class DeterminismSpec extends AnyFunSuite {
     "ml_champion_challenger",    // model-partitioned histogram AUC
     "ml_cem_matching",           // integer strata + weighted-gap rollup
     "win_hampel_outliers",       // exact array median/MAD in micro-units
-    "txt_winnowing")             // frame minima over positioned hashes
+    "txt_winnowing",             // frame minima over positioned hashes
+    "dedup_sorted_neighborhood", // partitioned lead windows + levenshtein
+    "scan_recursive_glob")       // listing-time glob + union aggregates
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
