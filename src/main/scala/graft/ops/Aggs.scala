@@ -899,8 +899,72 @@ object Aggs {
     """)
   )
 
+  /** Pareto coverage points (r8) — "how many parts carry 80% of revenue",
+    * the catalog-planning number the Gini scalar doesn't give: per-part
+    * revenue in exact 1e-4 units, ranked descending, and for each target
+    * (50/80/90/95%) the smallest k whose cumulative mass reaches it. The
+    * cumulative window runs over the per-part AGGREGATE, the four targets
+    * resolve via one conditional min each — never a per-target pass; ties
+    * broken (mass, key) so k is exact and engine-stable. Coverage
+    * thresholds compare cum·100 ≥ target·total in integers — no
+    * percentage division at all. The ordered window is global over
+    * |parts| rows — fine to ~1e7 aggregated keys; past that, swap in the
+    * win_rank_distributed two-pass offset form (identical arithmetic,
+    * range-partitioned), which is why ties carry the full (mass, key)
+    * order the two-pass form needs.
+    */
+  val aggParetoCoverage = Op(
+    "agg_pareto_coverage",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = T.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT)")
+          .as("mass"))
+      val w = Window.orderBy(col("mass").desc, col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val ranked = per
+        .withColumn("k", count(lit(1)).over(w))
+        .withColumn("cum", sum(col("mass")).over(w))
+        .withColumn("total", sum(col("mass")).over(all))
+        .withColumn("n_parts", count(lit(1)).over(all))
+      ranked.agg(
+          max(col("n_parts")).as("n_parts"),
+          min(when(col("cum") * 100 >= col("total") * 50, col("k"))).as("k50"),
+          min(when(col("cum") * 100 >= col("total") * 80, col("k"))).as("k80"),
+          min(when(col("cum") * 100 >= col("total") * 90, col("k"))).as("k90"),
+          min(when(col("cum") * 100 >= col("total") * 95, col("k"))).as("k95"))
+        .select(col("n_parts"), col("k50"), col("k80"), col("k90"), col("k95"),
+          expr("k80 * 1000000 div n_parts").as("k80_share_ppm"))
+    },
+    Some("""
+      WITH per AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS mass
+        FROM lineitem GROUP BY l_partkey),
+      ranked AS (
+        SELECT mass,
+               CAST(COUNT(*) OVER (ORDER BY mass DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS k,
+               CAST(SUM(mass) OVER (ORDER BY mass DESC, l_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+               CAST(SUM(mass) OVER () AS BIGINT) AS total,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_parts
+        FROM per)
+      SELECT MAX(n_parts) AS n_parts,
+             MIN(CASE WHEN cum * 100 >= total * 50 THEN k END) AS k50,
+             MIN(CASE WHEN cum * 100 >= total * 80 THEN k END) AS k80,
+             MIN(CASE WHEN cum * 100 >= total * 90 THEN k END) AS k90,
+             MIN(CASE WHEN cum * 100 >= total * 95 THEN k END) AS k95,
+             MIN(CASE WHEN cum * 100 >= total * 80 THEN k END) * 1000000
+               // MAX(n_parts) AS k80_share_ppm
+      FROM ranked
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    aggKmvDistinct, aggKmvIntersect,
+    aggKmvDistinct, aggKmvIntersect, aggParetoCoverage,
     aggIncrementalRollup,
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
     aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,

@@ -1685,9 +1685,63 @@ object Events {
     """)
   )
 
+  /** Bounce rate by day (r8) — the single-event-session share, the first
+    * engagement KPI any web-analytics stack reports: sessions from the
+    * 30-minute-gap rule (evt_peak_concurrency's kernel), a session is a
+    * bounce when it holds exactly one event, rolled up by the session's
+    * start day in exact integer ppm. One user_id shuffle to sessionize,
+    * one day rollup.
+    */
+  val evtBounceRate = Op(
+    "evt_bounce_rate",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = T.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      ev.withColumn("new_s",
+          when(col("us") - lag(col("us"), 1).over(wu) > 1800000000L ||
+            lag(col("us"), 1).over(wu).isNull, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s_us"), count(lit(1)).as("n_events"))
+        .groupBy(to_date(timestamp_micros(col("s_us"))).as("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("bounce_ppm", expr("n_bounce * 1000000 div n_sessions"))
+        .orderBy(col("day"))
+    },
+    Some("""
+      WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      flags AS (
+        SELECT user_id, us,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                      > 1800000000
+                    OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM ev),
+      sid AS (
+        SELECT user_id, us,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flags),
+      sess AS (
+        SELECT user_id, sid, MIN(us) AS s_us, COUNT(*) AS n_events
+        FROM sid GROUP BY user_id, sid)
+      SELECT CAST(make_timestamp(s_us) AS DATE) AS day,
+             COUNT(*) AS n_sessions,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+             CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               * 1000000 // COUNT(*) AS bounce_ppm
+      FROM sess GROUP BY 1 ORDER BY day
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
-    evtSurvivalKm, evtPeakConcurrency, evtAssocRules,
+    evtSurvivalKm, evtPeakConcurrency, evtAssocRules, evtBounceRate,
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,

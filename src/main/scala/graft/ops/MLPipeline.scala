@@ -1876,9 +1876,79 @@ object MLPipeline {
     """)
   )
 
+  /** Qini uplift curve (r8; Radcliffe 2007) — the targeting read for
+    * INCREMENTAL response: ranking users by a targeting score, how much
+    * extra response do the treated contribute above the control baseline
+    * at each cut? Evaluated at every distinct score (the PR-curve shape —
+    * no decile interpolation needed): descending cumulative treated/
+    * control counts and responders over the (score × arm) histogram,
+    * qini = R_t_cum·1e6 − R_c_cum·(N_t_cum·1e6 div N_c_cum), exact floor
+    * arithmetic. Treatment is the evt_ab_test_lift hash cohort; response
+    * = any purchase; score = activity count. All windows ride the
+    * bounded score histogram.
+    */
+  private val mlQiniUplift = Op(
+    "ml_qini_uplift",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val users = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("resp"))
+        .withColumn("treat",
+          when(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) <
+            lit(2147483648L), 1L).otherwise(0L))
+      val h = users.groupBy(col("score"))
+        .agg(sum(col("treat")).as("n_t"),
+          sum(lit(1L) - col("treat")).as("n_c"),
+          sum(col("treat") * col("resp")).as("r_t"),
+          sum((lit(1L) - col("treat")) * col("resp")).as("r_c"))
+      val desc = Window.orderBy(col("score").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("nt_cum", sum(col("n_t")).over(desc))
+        .withColumn("nc_cum", sum(col("n_c")).over(desc))
+        .withColumn("rt_cum", sum(col("r_t")).over(desc))
+        .withColumn("rc_cum", sum(col("r_c")).over(desc))
+        .filter(col("nc_cum") > 0)
+        .select(col("score").as("thr"), col("nt_cum"), col("nc_cum"),
+          col("rt_cum"), col("rc_cum"),
+          expr("rt_cum * 1000000 - rc_cum * (nt_cum * 1000000 div nc_cum)")
+            .as("qini_e6"))
+        .orderBy(col("thr").desc)
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id, COUNT(*) AS score,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS resp,
+               CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                    THEN 1 ELSE 0 END AS treat
+        FROM events GROUP BY user_id),
+      h AS (
+        SELECT score,
+               CAST(SUM(treat) AS BIGINT) AS n_t,
+               CAST(SUM(1 - treat) AS BIGINT) AS n_c,
+               CAST(SUM(treat * resp) AS BIGINT) AS r_t,
+               CAST(SUM((1 - treat) * resp) AS BIGINT) AS r_c
+        FROM users GROUP BY score),
+      c AS (
+        SELECT score,
+               CAST(SUM(n_t) OVER w AS BIGINT) AS nt_cum,
+               CAST(SUM(n_c) OVER w AS BIGINT) AS nc_cum,
+               CAST(SUM(r_t) OVER w AS BIGINT) AS rt_cum,
+               CAST(SUM(r_c) OVER w AS BIGINT) AS rc_cum
+        FROM h
+        WINDOW w AS (ORDER BY score DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      SELECT score AS thr, nt_cum, nc_cum, rt_cum, rc_cum,
+             rt_cum * 1000000 - rc_cum * (nt_cum * 1000000 // nc_cum) AS qini_e6
+      FROM c WHERE nc_cum > 0
+      ORDER BY thr DESC
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     mlWoeEncoding, mlBrierDecomposition, mlFairnessParity,
-    mlChampionChallenger, mlCemMatching,
+    mlChampionChallenger, mlCemMatching, mlQiniUplift,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
     mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,

@@ -121,7 +121,10 @@ class DeterminismSpec extends AnyFunSuite {
     "win_hampel_outliers",       // exact array median/MAD in micro-units
     "txt_winnowing",             // frame minima over positioned hashes
     "dedup_sorted_neighborhood", // partitioned lead windows + levenshtein
-    "scan_recursive_glob")       // listing-time glob + union aggregates
+    "scan_recursive_glob",       // listing-time glob + union aggregates
+    "agg_pareto_coverage",       // ranked cumulative window, full tie order
+    "ml_qini_uplift",            // arm histogram + descending cumsums
+    "evt_bounce_rate")           // sessionize + day ppm rollup
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
