@@ -1739,9 +1739,87 @@ object Events {
     """)
   )
 
+  /** Welch's unequal-variance t-test (r8; Welch 1947) — the MEANS
+    * comparison completing the A/B toolkit (evt_ab_test_lift z-tests
+    * proportions; revenue experiments compare continuous spend, where
+    * pooling variances is the classic mistake Welch fixes): per-variant
+    * moments from exact decimal sums of 1e-4-unit values (n, Σx, Σx²
+    * shuffle-order-free), then t = (m̄₁−m̄₂)/√(s₁²/n₁+s₂²/n₂) and the
+    * Welch–Satterthwaite df with IEEE division/sqrt as the only floating
+    * steps, rounded once at the edge (the ml_feature_standardize
+    * discipline). One scan, a 2-row aggregate, a 1-row result.
+    */
+  val evtWelchTtest = Op(
+    "evt_welch_ttest",
+    (s, d) => {
+      val vals = T.events(s, d).filter(col("event_type") === "purchase")
+        .select(
+          when(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) <
+            lit(2147483648L), "A").otherwise("B").as("variant"),
+          expr("CAST(floor(value * 10000) AS BIGINT)").as("u"))
+      val m = vals.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("u").cast("decimal(38,0)")).as("sx"),
+          sum((col("u") * col("u")).cast("decimal(38,0)")).as("sxx"))
+      m.agg(
+          sum(when(col("variant") === "A", col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("sx")).otherwise(lit(0))).as("sx_a"),
+          sum(when(col("variant") === "A", col("sxx")).otherwise(lit(0))).as("sxx_a"),
+          sum(when(col("variant") === "B", col("n")).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("sx")).otherwise(lit(0))).as("sx_b"),
+          sum(when(col("variant") === "B", col("sxx")).otherwise(lit(0))).as("sxx_b"))
+        .withColumn("ma", expr("cast(sx_a as double) / n_a"))
+        .withColumn("mb", expr("cast(sx_b as double) / n_b"))
+        .withColumn("va", expr(
+          "((cast(sxx_a as double) - cast(sx_a as double) * cast(sx_a as double) / n_a) / (n_a - 1)) / n_a"))
+        .withColumn("vb", expr(
+          "((cast(sxx_b as double) - cast(sx_b as double) * cast(sx_b as double) / n_b) / (n_b - 1)) / n_b"))
+        // squares via multiplication, never pow() — pow is not correctly
+        // rounded and the engines' libm results can differ in the last ulp
+        .select(col("n_a"), col("n_b"),
+          expr("round((ma - mb) / sqrt(va + vb), 6)").as("t_stat"),
+          expr("round((va + vb) * (va + vb) / " +
+            "(va * va / (n_a - 1) + vb * vb / (n_b - 1)), 2)").as("welch_df"))
+    },
+    Some("""
+      WITH vals AS (
+        SELECT CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                    THEN 'A' ELSE 'B' END AS variant,
+               CAST(FLOOR(value * 10000) AS BIGINT) AS u
+        FROM events WHERE event_type = 'purchase'),
+      m AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(u AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(u AS HUGEINT) * u) AS HUGEINT) AS sxx
+        FROM vals GROUP BY variant),
+      p AS (
+        SELECT
+          CAST(SUM(CASE WHEN variant = 'A' THEN n ELSE 0 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN variant = 'A' THEN sx ELSE 0 END) AS HUGEINT) AS sx_a,
+          CAST(SUM(CASE WHEN variant = 'A' THEN sxx ELSE 0 END) AS HUGEINT) AS sxx_a,
+          CAST(SUM(CASE WHEN variant = 'B' THEN n ELSE 0 END) AS BIGINT) AS n_b,
+          CAST(SUM(CASE WHEN variant = 'B' THEN sx ELSE 0 END) AS HUGEINT) AS sx_b,
+          CAST(SUM(CASE WHEN variant = 'B' THEN sxx ELSE 0 END) AS HUGEINT) AS sxx_b
+        FROM m),
+      v AS (
+        SELECT n_a, n_b,
+               CAST(sx_a AS DOUBLE) / n_a AS ma,
+               CAST(sx_b AS DOUBLE) / n_b AS mb,
+               ((CAST(sxx_a AS DOUBLE) - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE) / n_a) / (n_a - 1)) / n_a AS va,
+               ((CAST(sxx_b AS DOUBLE) - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE) / n_b) / (n_b - 1)) / n_b AS vb
+        FROM p)
+      SELECT n_a, n_b,
+             ROUND((ma - mb) / SQRT(va + vb), 6) AS t_stat,
+             ROUND((va + vb) * (va + vb) /
+                   (va * va / (n_a - 1) + vb * vb / (n_b - 1)), 2) AS welch_df
+      FROM v
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
     evtSurvivalKm, evtPeakConcurrency, evtAssocRules, evtBounceRate,
+    evtWelchTtest,
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,

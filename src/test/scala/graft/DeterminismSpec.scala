@@ -124,7 +124,8 @@ class DeterminismSpec extends AnyFunSuite {
     "scan_recursive_glob",       // listing-time glob + union aggregates
     "agg_pareto_coverage",       // ranked cumulative window, full tie order
     "ml_qini_uplift",            // arm histogram + descending cumsums
-    "evt_bounce_rate")           // sessionize + day ppm rollup
+    "evt_bounce_rate",           // sessionize + day ppm rollup
+    "evt_welch_ttest")           // decimal moments + IEEE finish
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
