@@ -853,7 +853,7 @@ object Aggs {
         .select(col("sk_a"), col("sk_b"), col("exact_inter"), col("common"),
           expr("common * 281474976710656 div (theta_star + 1)").as("est"),
           expr("abs(common * 281474976710656 div (theta_star + 1) - exact_inter) " +
-            "* 1000000 div exact_inter").as("err_ppm"))
+            "* 1000000 div nullif(exact_inter, 0)").as("err_ppm"))
     },
     Some("""
       WITH pairs AS (
@@ -894,7 +894,7 @@ object Aggs {
       SELECT sk_a, sk_b, exact_inter, common,
              common * 281474976710656 // (theta_star + 1) AS est,
              abs(common * 281474976710656 // (theta_star + 1) - exact_inter)
-               * 1000000 // exact_inter AS err_ppm
+               * 1000000 // NULLIF(exact_inter, 0) AS err_ppm
       FROM cm, ex
     """)
   )
