@@ -1816,10 +1816,79 @@ object Events {
     """)
   )
 
+  /** A/B power analysis (r8) — the question asked BEFORE an experiment
+    * ships: with the traffic we have, what's the minimum detectable
+    * effect? MDE = (z_{α/2}+z_β)·√(2σ²/n) at α=.05, power=.80 (the
+    * standard 1.96/0.8416 pair, fixed literals), with σ² from exact
+    * decimal moments of per-user purchase units and n = the smaller arm
+    * (conservative). Completes the experimentation tier: z-test (lift),
+    * Welch (means), DiD/CEM (observational), Qini (targeting), and now
+    * the sizing arithmetic that gates all of them. The only floating
+    * steps are the final divisions and one sqrt (the standardize
+    * discipline); emits MDE in 1e-4 units and as ppm of the pooled mean.
+    */
+  val evtAbPowerMde = Op(
+    "evt_ab_power_mde",
+    (s, d) => {
+      val users = T.events(s, d).filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("CAST(floor(value * 10000) AS BIGINT)")).as("u"))
+        .select(
+          when(pmod(col("user_id") * lit(2654435761L), lit(4294967296L)) <
+            lit(2147483648L), 1L).otherwise(0L).as("treat"), col("u"))
+      users.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("treat") === 1L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("treat") === 0L, 1L).otherwise(0L)).as("n_b"),
+          sum(col("u").cast("decimal(38,0)")).as("sx"),
+          sum((col("u") * col("u")).cast("decimal(38,0)")).as("sxx"))
+        .withColumn("mean_u", expr("cast(sx as double) / n_users"))
+        .withColumn("var_u", expr(
+          "(cast(sxx as double) - cast(sx as double) * cast(sx as double) / n_users) / (n_users - 1)"))
+        .withColumn("n_arm", least(col("n_a"), col("n_b")))
+        .select(col("n_a"), col("n_b"),
+          expr("round(mean_u, 2)").as("mean_units"),
+          expr("round((1.96 + 0.8416) * sqrt(2.0 * var_u / n_arm), 2)").as("mde_units"),
+          // floor-then-cast: a bare double→bigint cast truncates in Spark
+          // but ROUNDS in DuckDB
+          expr("cast(floor((1.96 + 0.8416) * sqrt(2.0 * var_u / n_arm) * 1000000 / mean_u) as bigint)")
+            .as("mde_rel_ppm"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               CAST(SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS BIGINT) AS u,
+               CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                    THEN 1 ELSE 0 END AS treat
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(treat) AS BIGINT) AS n_a,
+               CAST(SUM(1 - treat) AS BIGINT) AS n_b,
+               CAST(SUM(CAST(u AS HUGEINT)) AS HUGEINT) AS sx,
+               CAST(SUM(CAST(u AS HUGEINT) * u) AS HUGEINT) AS sxx
+        FROM users),
+      v AS (
+        SELECT n_a, n_b,
+               CAST(sx AS DOUBLE) / n_users AS mean_u,
+               (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n_users)
+                 / (n_users - 1) AS var_u,
+               LEAST(n_a, n_b) AS n_arm
+        FROM m)
+      SELECT n_a, n_b,
+             ROUND(mean_u, 2) AS mean_units,
+             ROUND((1.96 + 0.8416) * SQRT(2.0 * var_u / n_arm), 2) AS mde_units,
+             CAST(FLOOR((1.96 + 0.8416) * SQRT(2.0 * var_u / n_arm) * 1000000 / mean_u) AS BIGINT)
+               AS mde_rel_ppm
+      FROM v
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
     evtSurvivalKm, evtPeakConcurrency, evtAssocRules, evtBounceRate,
-    evtWelchTtest,
+    evtWelchTtest, evtAbPowerMde,
     evtForecastBacktest, evtFunnelWindowed, evtOverlapMatrix, evtErrorRateSlo,
     evtDecayEngagement,
     evtFunnelConversion, evtRetentionCohorts, evtPathTransitions, dsTypedPaths,

@@ -1551,8 +1551,60 @@ object TextAnalysis {
     """)
   )
 
+  /** MATTR lexical diversity (r8; Covington & McFall 2010 — the
+    * moving-average type-token ratio): plain TTR shrinks mechanically with
+    * document length (types saturate while tokens grow), so comparing
+    * docs of different sizes on raw uniq_ratio — what
+    * txt_quality_score's screen does — conflates diversity with length;
+    * MATTR fixes it by averaging TTR over fixed 25-token windows. Per
+    * doc: transform over window starts, array_distinct per slice (O(n·w)
+    * array work per doc, bounded by doc length, no shuffle), the mean in
+    * exact integer ppm. Emits the 10 LEAST diverse docs — the repetitive
+    * tail a curation pass would cut.
+    */
+  val txtMattrDiversity = Op(
+    "txt_mattr_diversity",
+    (s, d) => {
+      val w = 25
+      T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= w)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+          expr(s"transform(sequence(1, size(toks) - ${w - 1}), " +
+            s"i -> size(array_distinct(slice(toks, i, $w))))").as("ttrs"))
+        .select(col("doc_id"), col("n_tok"),
+          size(col("ttrs")).cast("long").as("n_windows"),
+          expr("aggregate(ttrs, 0L, (acc, t) -> acc + t)").as("sum_types"))
+        .withColumn("mattr_ppm", expr(s"sum_types * 1000000 div (n_windows * $w)"))
+        .orderBy(col("mattr_ppm"), col("doc_id"))
+        .select(col("doc_id"), col("n_tok"), col("n_windows"), col("mattr_ppm"))
+        .limit(10)
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        WHERE len(string_split(text, ' ')) >= 25),
+      t AS (
+        SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tok,
+               list_transform(generate_series(1, len(arr) - 24),
+                 i -> len(list_distinct(list_slice(arr, i, i + 24)))) AS ttrs
+        FROM docs),
+      m AS (
+        SELECT doc_id, n_tok,
+               CAST(len(ttrs) AS BIGINT) AS n_windows,
+               CAST(list_reduce(ttrs, (acc, x) -> acc + x) AS BIGINT) AS sum_types
+        FROM t)
+      SELECT doc_id, n_tok, n_windows,
+             sum_types * 1000000 // (n_windows * 25) AS mattr_ppm
+      FROM m
+      ORDER BY mattr_ppm, doc_id
+      LIMIT 10
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio, txtWinnowing,
+    txtMattrDiversity,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,

@@ -125,7 +125,9 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_pareto_coverage",       // ranked cumulative window, full tie order
     "ml_qini_uplift",            // arm histogram + descending cumsums
     "evt_bounce_rate",           // sessionize + day ppm rollup
-    "evt_welch_ttest")           // decimal moments + IEEE finish
+    "evt_welch_ttest",           // decimal moments + IEEE finish
+    "evt_ab_power_mde",          // decimal moments + floor-cast ppm
+    "txt_mattr_diversity")       // per-doc window transform + ppm
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
