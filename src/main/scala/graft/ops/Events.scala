@@ -348,6 +348,17 @@ object Events {
     * 1-row aggregate — nothing scales with event volume except the first
     * per-user pass. All ratio arithmetic is written in the identical
     * order in both engines; round6 absorbs last-ulp libm noise in sqrt.
+    *
+    * DOCUMENTED ID BOUND for the `user_id * 2654435761 mod 2^32` cohort
+    * hash (shared by evt_diff_in_diff, evt_welch_ttest, evt_ab_power_mde,
+    * ml_cem_matching, ml_qini_uplift): the multiply stays inside signed
+    * 64-bit only for user_id < 2^63/2654435761 ≈ 3.47e9. Above that,
+    * Spark wraps silently while DuckDB's BIGINT multiply errors — the
+    * engines diverge. Fixture ids (and any realistic sequential user id
+    * space; 3.47e9 users is half the planet) are far below the bound; a
+    * deployment with larger ids must pre-reduce with the residue-multiply
+    * idiom (see sources/RangeLedger.unitsOf) in BOTH engines so the
+    * product never leaves signed 64-bit.
     */
   val evtAbTestLift = Op(
     "evt_ab_test_lift",
@@ -1560,11 +1571,16 @@ object Events {
     * MAX of a running sum is invariant to permuting rows with equal
     * (time, delta) — monotone within each tied block — so no further
     * tiebreak is needed for the per-day AGGREGATE even though per-row
-    * running values are not unique. A session crossing midnight posts its
-    * endpoints to their own days (no clipping) — the documented
-    * simplification; both engines apply it identically. Day-partitioned
-    * windows throughout; the wide shuffles are the per-user sessionize
-    * and the per-day sweep.
+    * running values are not unique. A session crossing midnight is
+    * CLIPPED at day boundaries (r8 advice): it is exploded to one row per
+    * covered day and posts +1 at max(start, day_start) and −1 at
+    * min(end, day_end), so carried-over sessions count toward every day
+    * they are open in — the true provisioning number. n_sessions_started
+    * still counts only TRUE starts (start inside the day), so it is
+    * unchanged by the explode. The explode fan-out is bounded by session
+    * span in days (30-minute-gap sessions rarely cross even one
+    * midnight). Day-partitioned windows throughout; the wide shuffles are
+    * the per-user sessionize and the per-day sweep.
     */
   val evtPeakConcurrency = Op(
     "evt_peak_concurrency",
@@ -1582,10 +1598,18 @@ object Events {
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy(col("user_id"), col("sid"))
         .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
-      val points = sess
-        .select(col("s_us").as("us"), lit(1L).as("delta"))
-        .unionByName(sess.select(col("e_us").as("us"), lit(-1L).as("delta")))
-        .withColumn("day", to_date(timestamp_micros(col("us"))))
+      val sessDays = sess
+        .withColumn("day", explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))))
+        .withColumn("d0", unix_micros(col("day").cast("timestamp")))
+        .withColumn("d1", unix_micros(date_add(col("day"), 1).cast("timestamp")))
+      val points = sessDays
+        .select(col("day"), greatest(col("s_us"), col("d0")).as("us"),
+          lit(1L).as("delta"), (col("s_us") >= col("d0")).as("true_start"))
+        .unionByName(sessDays.select(col("day"),
+          least(col("e_us"), col("d1") - 1L).as("us"),
+          lit(-1L).as("delta"), lit(false).as("true_start")))
       val wd = Window.partitionBy(col("day"))
         .orderBy(col("us"), col("delta").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1593,7 +1617,8 @@ object Events {
         .withColumn("running", sum(col("delta")).over(wd))
         .groupBy(col("day"))
         .agg(max(col("running")).as("peak_concurrent"),
-          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions_started"))
+          sum(when(col("delta") === 1L && col("true_start"), 1L)
+            .otherwise(0L)).as("n_sessions_started"))
         .orderBy(col("day"))
     },
     Some("""
@@ -1613,19 +1638,34 @@ object Events {
       sess AS (
         SELECT user_id, sid, MIN(us) AS s_us, MAX(us) AS e_us
         FROM sid GROUP BY user_id, sid),
+      sessdays AS (
+        SELECT s_us, e_us,
+               CAST(UNNEST(generate_series(
+                 CAST(make_timestamp(s_us) AS DATE),
+                 CAST(make_timestamp(e_us) AS DATE),
+                 INTERVAL 1 DAY)) AS DATE) AS day
+        FROM sess),
+      clip AS (
+        SELECT day,
+               epoch_us(CAST(day AS TIMESTAMP)) AS d0,
+               epoch_us(CAST(day + 1 AS TIMESTAMP)) AS d1,
+               s_us, e_us
+        FROM sessdays),
       points AS (
-        SELECT s_us AS us, CAST(1 AS BIGINT) AS delta FROM sess
-        UNION ALL SELECT e_us, -1 FROM sess),
+        SELECT day, GREATEST(s_us, d0) AS us, CAST(1 AS BIGINT) AS delta,
+               (s_us >= d0) AS true_start FROM clip
+        UNION ALL
+        SELECT day, LEAST(e_us, d1 - 1), -1, FALSE FROM clip),
       run AS (
-        SELECT CAST(make_timestamp(us) AS DATE) AS day, us, delta,
-               SUM(delta) OVER (PARTITION BY CAST(make_timestamp(us) AS DATE)
+        SELECT day, us, delta, true_start,
+               SUM(delta) OVER (PARTITION BY day
                  ORDER BY us, delta DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
         FROM points)
       SELECT day,
              CAST(MAX(running) AS BIGINT) AS peak_concurrent,
-             CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_sessions_started
+             CAST(SUM(CASE WHEN delta = 1 AND true_start THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_sessions_started
       FROM run GROUP BY day ORDER BY day
     """)
   )

@@ -39,6 +39,29 @@ object Streaming {
     }
   }
 
+  /** The events table's (min ts, max ts), memoized per fixture dir — the
+    * streaming replay twins need a flush-sentinel timestamp past the
+    * data's end (and stream_late_data_policy a split point inside the
+    * range), and each used to run its own `agg(max(ts)).head()` pre-scan
+    * (r8 advice: one extra full-column pass per streaming key). One
+    * min/max agg per (JVM, sf dir) now serves all of them. In a real
+    * pipeline this value comes from the source's own metadata (parquet
+    * footer stats / stream offsets); the memo is the harness equivalent.
+    */
+  private val tsRangeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (java.sql.Timestamp, java.sql.Timestamp)]()
+  private def eventsTsRange(s: SparkSession, d: String): (java.sql.Timestamp, java.sql.Timestamp) =
+    tsRangeCache.computeIfAbsent(d, _ => {
+      val r = T.events(s, d).agg(min(col("ts")), max(col("ts"))).head()
+      (r.getTimestamp(0), r.getTimestamp(1))
+    })
+
+  /** Flush sentinel: 3 h past the END OF THE WHOLE EVENTS TABLE — ≥ any
+    * filtered slice's max ts, so it advances every watermark past every
+    * buffered row regardless of which user-slice an op replays. */
+  private def flushTsFor(s: SparkSession, d: String): java.sql.Timestamp =
+    new java.sql.Timestamp(eventsTsRange(s, d)._2.getTime + 3 * 3600 * 1000L)
+
   /** Stateful operators create one state-store instance per shuffle
     * partition per micro-batch; at local[32] the session default (32)
     * multiplies store open/commit overhead on state that fits in a handful
@@ -207,7 +230,11 @@ object Streaming {
       val ev = T.events(s, d)
         .filter(col("user_id") % 16 === 0)
         .withColumn("sec", unix_timestamp(col("ts")))
-      val mid = ev.agg(percentile_approx(col("sec"), lit(0.5), lit(100))).head().getLong(0)
+      // any split point strictly inside the time range works (the test is
+      // watermark-advance + append-drop, not a 50/50 row split); the memoized
+      // range midpoint avoids the old per-op percentile pre-scan
+      val (mnTs, mxTs) = eventsTsRange(s, d)
+      val mid = (mnTs.getTime / 1000L + mxTs.getTime / 1000L) / 2L
       ev.filter(col("sec") >= mid).drop("sec")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_recent")
       ev.filter(col("sec") < mid).drop("sec")
@@ -366,8 +393,7 @@ object Streaming {
       val ev = T.events(s, d).filter(col("user_id") % 8 === 0)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_data")
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      val flushTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+      val flushTs = flushTsFor(s, d)
       import s.implicits._
       Seq((-1L, flushTs, 0L, "click"), (-2L, flushTs, 0L, "purchase"))
         .toDF("event_id", "ts", "user_id", "event_type")
@@ -513,8 +539,7 @@ object Streaming {
       val ev = T.events(s, d).filter(col("user_id") % 8 === 3)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
       ev.coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_data")
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
-      val flushTs = new java.sql.Timestamp(maxTs.getTime + 3 * 3600 * 1000L)
+      val flushTs = flushTsFor(s, d)
       Seq((-1L, flushTs, -1L, "click"))
         .toDF("event_id", "ts", "user_id", "event_type")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b_flush")

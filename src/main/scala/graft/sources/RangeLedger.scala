@@ -54,7 +54,13 @@ object RangeLedger {
 
   private[sources] def bucketOf(i: Long): Int = (i % 97L).toInt
   private[sources] def dayOf(i: Long): Int = (i % 365L).toInt
-  private[sources] def unitsOf(i: Long): Long = (i * 2654435761L) % 1000000L
+  /** id·2654435761 mod 1e6, computed in residues so the product never
+    * overflows signed 64-bit: (a·b) mod m ≡ ((a mod m)·(b mod m)) mod m,
+    * and (1e6−1)·(2654435761 mod 1e6) ≈ 4.4e11 ≪ 2^63. Identical to the
+    * naive multiply for every id below the old ~3.47e9 overflow bound,
+    * and honors the documented contract above it (r8 advice). */
+  private[sources] def unitsOf(i: Long): Long =
+    Math.floorMod((i % 1000000L) * (2654435761L % 1000000L), 1000000L)
 
   private[sources] def colValue(i: Long, name: String): Long = name match {
     case "id"     => i
@@ -63,24 +69,44 @@ object RangeLedger {
     case "units"  => unitsOf(i)
   }
 
+  /** A literal the reader may compare via longValue() without changing
+    * semantics: integral types only, or a floating/decimal value that is
+    * exactly integral. Fractional literals (EqualTo(bucket, 5.5)) must stay
+    * RESIDUAL — DSv2 does not re-check filters the source claims, so a
+    * truncating longValue() here would silently match the wrong rows
+    * (r8 advice). */
+  private[sources] def integralLiteral(v: Any): Boolean = v match {
+    case null => false
+    case _: java.lang.Byte | _: java.lang.Short |
+         _: java.lang.Integer | _: java.lang.Long => true
+    case n: java.math.BigDecimal => n.stripTrailingZeros.scale <= 0
+    case n: Number => n.doubleValue() == n.longValue().toDouble
+    case _ => false
+  }
+
   /** Can this v1 Filter be evaluated at the source? (All four columns are
     * non-null longs-or-ints, so IsNotNull is trivially true and any
-    * comparison against a numeric literal is computable per id.)
+    * comparison against an INTEGRAL numeric literal is computable per id;
+    * fractional literals are left as residuals.)
     */
   private[sources] def pushable(f: Filter): Boolean = f match {
     case IsNotNull(c)                 => schema.fieldNames.contains(c)
     case org.apache.spark.sql.sources.In(c, vs) =>
-      schema.fieldNames.contains(c) && vs != null && vs.forall(_.isInstanceOf[Number])
-    case EqualTo(c, v: Number)        => schema.fieldNames.contains(c) && v != null
-    case LessThan(c, v: Number)       => schema.fieldNames.contains(c) && v != null
-    case LessThanOrEqual(c, v: Number) => schema.fieldNames.contains(c) && v != null
-    case GreaterThan(c, v: Number)    => schema.fieldNames.contains(c) && v != null
-    case GreaterThanOrEqual(c, v: Number) => schema.fieldNames.contains(c) && v != null
+      schema.fieldNames.contains(c) && vs != null && vs.forall(integralLiteral)
+    case EqualTo(c, v: Number)        => schema.fieldNames.contains(c) && integralLiteral(v)
+    case LessThan(c, v: Number)       => schema.fieldNames.contains(c) && integralLiteral(v)
+    case LessThanOrEqual(c, v: Number) => schema.fieldNames.contains(c) && integralLiteral(v)
+    case GreaterThan(c, v: Number)    => schema.fieldNames.contains(c) && integralLiteral(v)
+    case GreaterThanOrEqual(c, v: Number) => schema.fieldNames.contains(c) && integralLiteral(v)
     case _                            => false
   }
 
   /** Runtime filters delivered by Spark during execution (observed by the
-    * §5 test; cleared by it before each run). */
+    * §5 test; cleared by it before each run). Bounded: appends stop at
+    * [[RuntimeFiltersCap]] so a long-lived session re-running the runtime-
+    * filter query cannot grow it without limit (r8 advice) — the test
+    * clears before each run, so observability is unaffected. */
+  private[sources] val RuntimeFiltersCap = 64
   val runtimeFiltersSeen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
   private[sources] def eval(f: Filter, i: Long): Boolean = f match {
@@ -197,7 +223,10 @@ private[sources] class RangeLedgerScan(
   override def filter(filters: Array[Filter]): Unit = {
     val accepted = filters.filter(RangeLedger.pushable)
     runtime = accepted
-    accepted.foreach(f => RangeLedger.runtimeFiltersSeen.add(f.toString.take(120)))
+    accepted.foreach { f =>
+      if (RangeLedger.runtimeFiltersSeen.size < RangeLedger.RuntimeFiltersCap)
+        RangeLedger.runtimeFiltersSeen.add(f.toString.take(120))
+    }
   }
 
   /** Planner statistics — the connector capability that decides JOIN
