@@ -354,5 +354,49 @@ class PropertySpec extends AnyFunSuite {
       "empty string must fold the canonical empty-md5 prefix")
   }
 
+  /** r9 cross-pin (VERDICT r8 task 2): the banded shingle-simhash join is
+    * a LOSSLESS candidate generator at hamming <= 3 — its result equals
+    * brute-force all-pairs over the same sketch. Run on an augmented
+    * corpus with planted near-dup clones so the equality is non-vacuous
+    * (the raw sf0.001 corpus may have no shingle-level near-dups at all).
+    */
+  test("sim_simhash_shingle_bands equals brute-force all-pairs on the same sketch") {
+    graft.functions.Sketch60.register(spark)
+    graft.functions.NGrams.register(spark)
+    val base = graft.ops.T.documents(spark, sf)
+    val shift = base.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    // plant (a) exact clones of the first 20 docs — identical sketches,
+    // hamming 0, MUST surface in both constructions — and (b) one-token-
+    // appended twins, which land at whatever hamming the vote flips give
+    // them; either way the equality below must hold for them too
+    val exactClones = base.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + lit(shift))
+    val perturbed = base.filter(col("doc_id") < 20)
+      .withColumn("doc_id", col("doc_id") + lit(2L * shift))
+      .withColumn("text", concat(col("text"), lit(" spark")))
+    val dir = graft.ops.T.scratch("shingle_pin_fixture")
+    base.unionByName(exactClones).unionByName(perturbed).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def sketch = graft.ops.T.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), call_function("simhash60",
+        array_distinct(call_function("token_ngrams", col("toks"), lit(2))))
+        .as("simhash"))
+    val a = sketch.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+    val b = sketch.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+    val brute = a.join(b, col("a_id") < col("b_id"))
+      .withColumn("hamming", expr("CAST(bit_count(sa ^ sb) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val banded = Registry.queries("sim_simhash_shingle_bands")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "planted clones must produce at least one true pair")
+    assert(banded == brute,
+      s"banded candidates must equal all-pairs: missing=${brute -- banded}, extra=${banded -- brute}")
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }
