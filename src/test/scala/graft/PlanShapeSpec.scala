@@ -65,6 +65,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"), p)
   }
 
+  test("scan_jdbc_pushdown: predicates compiled into the remote query, 4-way partitioned read") {
+    val p = plan("scan_jdbc_pushdown")
+    assert(p.contains("JDBCRelation"), p)
+    assert(p.contains("numPartitions=4"), s"partitioned parallel read missing: $p")
+    assert(p.contains("GreaterThan(c_acctbal,5000"),
+      s"acctbal predicate not pushed to the database: $p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING"),
+      s"mktsegment predicate not pushed to the database: $p")
+  }
+
   test("agg_hash_groupby: partial+final hash agg, codegen'd once AQE finalizes") {
     val df = Registry.queries("agg_hash_groupby")(spark, sf)
     val pre = df.queryExecution.executedPlan.toString
