@@ -153,6 +153,112 @@ object Similarity {
     None
   )
 
+  /** Deterministic MinHash+LSH (r9; VERDICT r8 task 7 — the oracled
+    * sibling that shrinks the exempt surface): the SAME band-bucket
+    * topology as `sim_minhash_lsh`, but with the engine-internal ML seeds
+    * replaced by k = 8 independent md5fold48 hash folds
+    * (`h_i(tok) = md5fold48(i || ':' || tok)`, the
+    * `agg_kmv_distinct` hash discipline), so the ENTIRE pipeline —
+    * signature, banding, candidate set, exact-Jaccard verdict — is integer-
+    * deterministic and hash-matched against an identical DuckDB
+    * construction, pinning LSH candidate generation to an exact oracle
+    * instead of a recall bound. Shape: distinct (doc, token) → per-doc
+    * 8-slot signature (8 aggregated MINs in one pass) → 4 bands × 2 rows
+    * (`1-(1-j²)⁴` candidate curve) → band equi-join for candidates → exact
+    * Jaccard on ONLY the candidate pairs (a left join keeps any
+    * zero-overlap hash-collision pair visible as jaccard 0 rather than
+    * silently dropping it). At 100 TB the costs are: one token scan, one
+    * groupBy, a band hash-join whose buckets hold only near-dup docs —
+    * never an all-pairs product; the exact verify touches candidates only.
+    * PropertySpec pins that token-set-identical docs (jaccard 1) ALWAYS
+    * collide: every band of equal signatures matches, so clone recall is
+    * structurally 1.0, not probabilistic. FIXTURE NOTE: this corpus's
+    * 31-word vocabulary saturates the band buckets (signature diversity
+    * collapses exactly as it does for sim_simhash_bands), so ~70% of the
+    * bounded 200-doc pair space surfaces as candidates here — the op is
+    * doc_id-bounded and therefore sf-independent, and on a real-vocabulary
+    * corpus the same banding prunes to near-dups; the sketch-diversity
+    * cure is the shingle trick of sim_simhash_shingle_bands.
+    */
+  val simMinhashDet = Op(
+    "sim_minhash_det",
+    (s, d) => {
+      graft.functions.HashFold.register(s)
+      val toks = T.documents(s, d)
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .localCheckpoint(true) // feeds signatures AND the exact verify
+      val mins = (1 to 8).map(i =>
+        min(call_function("md5fold48",
+          concat(lit(i.toString), lit(":"), col("token")))).as(s"m$i"))
+      val sigs = toks.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      val bands = sigs.select(col("doc_id"), explode(array(
+          struct(lit(1).as("band"), concat_ws("_", col("m1"), col("m2")).as("bv")),
+          struct(lit(2).as("band"), concat_ws("_", col("m3"), col("m4")).as("bv")),
+          struct(lit(3).as("band"), concat_ws("_", col("m5"), col("m6")).as("bv")),
+          struct(lit(4).as("band"), concat_ws("_", col("m7"), col("m8")).as("bv"))))
+          .as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.bv").as("bv"))
+      val cands = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cands
+        .join(toks.as("ta"), col("a_id") === col("ta.doc_id"))
+        .join(toks.as("tb"),
+          col("b_id") === col("tb.doc_id") && col("ta.token") === col("tb.token"))
+        .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+      cands
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .na.fill(0L, Seq("i"))
+        .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+        .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+            .as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 200),
+      hs AS (
+        SELECT t.doc_id, r.i,
+               list_reduce(
+                 list_transform(range(1, 13),
+                   j -> CAST(strpos('0123456789abcdef',
+                          substring(md5(CAST(r.i AS VARCHAR) || ':' || t.token), j, 1)) - 1 AS BIGINT)),
+                 (acc, v) -> acc * 16 + v) AS h
+        FROM toks t CROSS JOIN range(1, 9) r(i)),
+      sigs AS (SELECT doc_id, i, MIN(h) AS m FROM hs GROUP BY 1, 2),
+      bands AS (
+        SELECT doc_id, CAST((i + 1) // 2 AS INTEGER) AS band,
+               STRING_AGG(CAST(m AS VARCHAR), '_' ORDER BY i) AS bv
+        FROM sigs GROUP BY doc_id, (i + 1) // 2),
+      cands AS (
+        SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+        FROM bands x JOIN bands y
+          ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+      inter AS (
+        SELECT c.a_id, c.b_id, COUNT(ta.token) AS i
+        FROM cands c
+        JOIN toks ta ON ta.doc_id = c.a_id
+        JOIN toks tb ON tb.doc_id = c.b_id AND tb.token = ta.token
+        GROUP BY 1, 2)
+      SELECT c.a_id, c.b_id,
+             ROUND(CAST(COALESCE(i.i, 0) AS DOUBLE) / (sa.n + sb.n - COALESCE(i.i, 0)), 6) AS jaccard
+      FROM cands c
+      LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+      JOIN sizes sa ON sa.doc_id = c.a_id
+      JOIN sizes sb ON sb.doc_id = c.b_id
+      ORDER BY c.a_id, c.b_id
+    """)
+  )
+
   /** Exact cosine top-5 for 10 fixed probe vectors: broadcast the probes,
     * one pass over the corpus, per-probe top-k window. This is the shape
     * that scales: probes × corpus is linear in the corpus, and the window
@@ -2448,7 +2554,7 @@ object Similarity {
     dedupUrlCanonicalize, dedupSortedNeighborhood,
     dedupSurvivorshipMerge, embDimVarianceRank, simKnnClassify,
     dedupExact, dedupKeyedLatest, dedupCcClusters, dedupIncremental,
-    dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simCosineKnn,
+    dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simMinhashDet, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simSimhashShingleBands,
     simBrpLsh, simIvfKnn, simEditDistance,

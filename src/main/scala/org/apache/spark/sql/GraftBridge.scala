@@ -23,6 +23,14 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** `TaskContext.taskMemoryManager` is `private[spark]`; the spillable
+    * TopKPerKey state (graft/plans/TopKPerKey.scala) needs it to register
+    * as a [[org.apache.spark.memory.MemoryConsumer]] so its heap state
+    * participates in the unified execution-memory pool (acquire on growth,
+    * spill on starvation) exactly like ExternalAppendOnlyMap. */
+  def taskMemoryManager(tc: org.apache.spark.TaskContext): org.apache.spark.memory.TaskMemoryManager =
+    tc.taskMemoryManager()
+
   def unpersistCheckpoint(df: Dataset[_]): Unit =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
       case lr: execution.LogicalRDD => lr.rdd.unpersist(false)

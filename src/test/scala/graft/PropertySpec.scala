@@ -202,6 +202,70 @@ class PropertySpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("TopKPerKey spills under pressure and still matches the ROW_NUMBER twin") {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, SortOrder}
+    import org.apache.spark.sql.expressions.Window
+    graft.plans.TopKStrategy.ensureRegistered(spark)
+    // near-unique key (event_id % large prime → K ≈ n): the degenerate
+    // shape the r8 verdict named, where the heap map grows with the key
+    // count; forceSpillRows = 50 drives the spill-merge path the way
+    // Spark's own numElementsForceSpillThreshold drives its spillables
+    // (a constrained-memory context would need a second SparkContext,
+    // which a shared test JVM cannot host; the force valve exercises the
+    // identical doSpill/merge code the memory-starvation trigger runs)
+    val ev = graft.ops.T.events(spark, sf)
+      .select((col("event_id") % 104729L).as("k"),
+        col("event_id"), col("user_id"), col("value"))
+    val lp = ev.queryExecution.analyzed
+    def attr(n: String) = lp.output.find(_.name == n).get
+    val topk = graft.plans.TopKPerKey(2, Seq(attr("k")),
+      Seq(SortOrder(attr("value"), Descending),
+        SortOrder(attr("event_id"), Ascending)), lp)
+    val twin = ev.withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("k"))
+          .orderBy(col("value").desc, col("event_id"))).cast("long"))
+      .filter(col("rn") <= 2)
+    spark.conf.set("spark.graft.topk.forceSpillRows", "50")
+    // AQE would wrap the executed plan in AdaptiveSparkPlanExec, hiding the
+    // node from collectFirst — plain planning keeps the metric reachable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = org.apache.spark.sql.GraftBridge.ofRows(spark, topk)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val want = twin.collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"spilled result diverged: got ${got.size} rows, want ${want.size}")
+      val exec = df.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec => t
+      }.get
+      assert(exec.metrics("numSpills").value > 0,
+        "forceSpillRows=50 over 250-row partitions of near-unique keys must have spilled")
+      assert(exec.metrics("spillBytes").value > 0, "spill size metric not recorded")
+    } finally {
+      spark.conf.unset("spark.graft.topk.forceSpillRows")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
+  test("sim_minhash_det: token-set-identical docs always appear in the candidate output") {
+    // equal token SETS ⇒ equal md5fold48 minima in every slot ⇒ every band
+    // collides — clone recall is structural, not probabilistic. Compute the
+    // token-set-identical pairs in the op's own scope and assert each one
+    // surfaces in the emitted (candidate, jaccard) rows with jaccard 1.0.
+    val docs = graft.ops.T.documents(spark, sf).filter(col("doc_id") < 200)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("ts"))
+    val clonePairs = docs.as("a").join(docs.as("b"),
+        col("a.ts") === col("b.ts") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clonePairs.nonEmpty, "fixture should contain planted clone pairs in doc_id < 200")
+    val out = graft.ops.Registry.queries("sim_minhash_det")(spark, sf)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    clonePairs.foreach { p =>
+      assert(out.contains(p), s"clone pair $p missing from candidates")
+      assert(out(p) == 1.0, s"clone pair $p should verify at jaccard 1.0, got ${out(p)}")
+    }
+  }
+
   test("stream_dsv2_source drains through exactly 3 admitted micro-batches") {
     import java.nio.file.{Files, Paths}
     // run the op, then read the offset log the custom source produced
