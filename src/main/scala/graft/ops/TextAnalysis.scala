@@ -1557,24 +1557,27 @@ object TextAnalysis {
     * docs of different sizes on raw uniq_ratio — what
     * txt_quality_score's screen does — conflates diversity with length;
     * MATTR fixes it by averaging TTR over fixed 25-token windows. Per
-    * doc: transform over window starts, array_distinct per slice (O(n·w)
-    * array work per doc, bounded by doc length, no shuffle), the mean in
-    * exact integer ppm. Emits the 10 LEAST diverse docs — the repetitive
-    * tail a curation pass would cut.
+    * doc: the codegen'd [[graft.functions.MattrSumTypes]] sliding-window
+    * expression — one O(n) frequency-map pass per doc (r9; replaces the
+    * declarative transform/array_distinct/slice form, which was O(n·w)
+    * with a fresh w-element slice allocated per window and interpreted
+    * per-element as a higher-order-function chain — before/after at sf1
+    * in BASELINE.md r9; PropertySpec pins the two forms equal).
+    * Bounded by doc length, no shuffle; the mean in exact integer ppm.
+    * Emits the 10 LEAST diverse docs — the repetitive tail a curation
+    * pass would cut.
     */
   val txtMattrDiversity = Op(
     "txt_mattr_diversity",
     (s, d) => {
       val w = 25
+      graft.functions.MattrSumTypes.register(s)
       T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .filter(size(col("toks")) >= w)
         .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
-          expr(s"transform(sequence(1, size(toks) - ${w - 1}), " +
-            s"i -> size(array_distinct(slice(toks, i, $w))))").as("ttrs"))
-        .select(col("doc_id"), col("n_tok"),
-          size(col("ttrs")).cast("long").as("n_windows"),
-          expr("aggregate(ttrs, 0L, (acc, t) -> acc + t)").as("sum_types"))
+          (size(col("toks")) - (w - 1)).cast("long").as("n_windows"),
+          call_function("mattr_sum_types", col("toks"), lit(w)).as("sum_types"))
         .withColumn("mattr_ppm", expr(s"sum_types * 1000000 div (n_windows * $w)"))
         .orderBy(col("mattr_ppm"), col("doc_id"))
         .select(col("doc_id"), col("n_tok"), col("n_windows"), col("mattr_ppm"))

@@ -246,6 +246,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("mattr_sum_types equals the declarative transform/array_distinct/slice form") {
+    graft.functions.MattrSumTypes.register(spark)
+    val w = 25
+    val docs = graft.ops.T.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= w)
+    val both = docs.select(col("doc_id"),
+        call_function("mattr_sum_types", col("toks"), lit(w)).as("fast"),
+        expr(s"aggregate(transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> size(array_distinct(slice(toks, i, $w)))), 0L, (acc, t) -> acc + t)")
+          .as("slow"))
+    val diverged = both.filter(col("fast") =!= col("slow")).count()
+    assert(diverged == 0, s"$diverged docs diverge between sliding and sliced MATTR sums")
+    // short docs: fewer than w tokens → 0, matching an empty window seq
+    val r = spark.sql(s"SELECT mattr_sum_types(array('a','b'), $w) AS v").head()
+    assert(r.getLong(0) == 0L)
+  }
+
   test("sim_minhash_det: token-set-identical docs always appear in the candidate output") {
     // equal token SETS ⇒ equal md5fold48 minima in every slot ⇒ every band
     // collides — clone recall is structural, not probabilistic. Compute the
