@@ -163,6 +163,76 @@ object MLPipeline {
     """)
   )
 
+  /** External-store prediction write-back (r10; VERDICT r9 task 6 — the
+    * reference writes per-keyword predictions BACK to its store and serves
+    * them; r9's `scan_jdbc_pushdown` covered the read leg, this is the
+    * write leg, completing the ingest→train→write-back loop through a real
+    * external-store API). Scored docs go out via `df.write.jdbc` into the
+    * same embedded Derby the scan op ingests from, then come back through
+    * a 4-way range-partitioned `read.jdbc` (bounds from a 1-row remote MAX
+    * probe — the scan_jdbc_pushdown idiom in reverse) and are aggregated;
+    * the oracle computes the identical aggregate straight from `documents`,
+    * so a row lost/duplicated/mangled anywhere in the DB round trip fails
+    * the hash compare.
+    *
+    * The 100 TB mechanics under test:
+    *   - **Distributed batched INSERTs**: each of the 4 write partitions
+    *     opens its own connection and streams `batchsize`-row prepared-
+    *     statement batches (50 here so even the smallest fixture's 500
+    *     docs / 4 partitions = 125 rows per task need ≥3 batches — the
+    *     default 1000 would fit a whole partition in one batch and leave
+    *     the re-batching loop untested). At scale the
+    *     partition count IS the connection cap: `repartition(n)` before
+    *     the write bounds concurrent connections to what the store can
+    *     take, the same way `numPartitions` bounds the read.
+    *   - **Type mapping under overwrite**: mode("overwrite") drops and
+    *     recreates the table each run, so `createTableColumnTypes` must
+    *     re-apply every time (Derby's default string mapping is CLOB,
+    *     which it refuses to GROUP BY or compare — the read-back
+    *     aggregation would error remotely without it).
+    * JdbcSinkSpec pins both: >1 batch per partition via the batchsize
+    * arithmetic, VARCHAR (not CLOB) column types in the Derby catalog,
+    * and the 4-way partitioned read-back plan.
+    */
+  val sinkJdbcPredictions = Op(
+    "sink_jdbc_predictions",
+    (s, d) => {
+      val url = Scans.jdbcUrlFor(d)
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      T.documents(s, d)
+        .withColumn("intent", intentRule(col("text")))
+        .select(col("doc_id"), col("lang"), col("intent"))
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("createTableColumnTypes", "lang VARCHAR(8), intent VARCHAR(16)")
+        .option("batchsize", "50")
+        .jdbc(url, "predictions", props)
+      val conn = java.sql.DriverManager.getConnection(url)
+      val upper = try {
+        val rs = conn.createStatement()
+          .executeQuery("SELECT MAX(\"doc_id\") FROM predictions")
+        rs.next(); rs.getLong(1)
+      } finally conn.close()
+      s.read.jdbc(url, "predictions",
+          columnName = "doc_id", lowerBound = 0L,
+          upperBound = math.max(upper, 1L), numPartitions = 4, props)
+        .groupBy(col("lang"), col("intent"))
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("doc_id")).as("n_distinct"))
+        .orderBy(col("lang"), col("intent"))
+    },
+    Some("""
+      SELECT lang,
+             CASE WHEN strpos(text, 'customer') > 0 THEN 'transactional'
+                  WHEN strpos(text, 'scan') > 0 THEN 'navigational'
+                  ELSE 'informational' END AS intent,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT doc_id) AS n_distinct
+      FROM documents
+      GROUP BY lang, intent ORDER BY lang, intent
+    """)
+  )
+
   /** Model-evaluation metrics (r5) — the evaluate step of the
     * train→score→serve loop as an oracled query: confusion counts,
     * per-class precision/recall/F1 and global accuracy. The model under
@@ -1950,7 +2020,8 @@ object MLPipeline {
     mlWoeEncoding, mlBrierDecomposition, mlFairnessParity,
     mlChampionChallenger, mlCemMatching, mlQiniUplift,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,
-    mlPredictionsSink, sampleHashBucket, sampleStratified, mlKfoldAssign,
+    mlPredictionsSink, sinkJdbcPredictions,
+    sampleHashBucket, sampleStratified, mlKfoldAssign,
     mlPcaFeatures, mlEvalMetrics, mlCalibrationBins, samplePerGroup,
     mlRocAuc, mlPrAuc, mlFeaturePit, mlPsiStability, mlKsDrift,
     mlTargetEncode, mlChi2FeatureSelect, mlKmeansLloyd, mlNdcgAtK,

@@ -527,8 +527,21 @@ object Similarity {
     """)
   )
 
-  /** Banded SimHash candidate join — the SCALE path for sketch pairing,
-    * unbounded over the whole corpus (no doc_id cap). Pigeonhole: split a
+  /** Banded SimHash candidate join over UNIGRAM token sets — the exactly-
+    * oracled ANCHOR twin, not the production scale path. On corpora with a
+    * small vocabulary (these fixtures: 31 words) unigram token SETS
+    * converge on "most of the vocabulary", the majority-vote sketch
+    * concentrates on a handful of values, band buckets saturate, and the
+    * candidate set grows superlinearly (measured 16× for 10× data at sf1).
+    * **For scale, use [[simSimhashShingleBands]]** (`sim_simhash_shingle_
+    * bands`): the same 60-bit sketch and 4×15-bit band join computed over
+    * bigram shingles, whose 961-element space keeps buckets unsaturated
+    * and the join ~linear. This op stays registered as the hash-checked
+    * oracle anchor for the banding construction itself (the
+    * `sim_hamming_pairs` pattern: bounded/anchored twin keeps the exact
+    * oracle, the sibling carries the 100 TB design).
+    *
+    * Pigeonhole: split a
     * 60-bit sketch into 4 bands of 15 bits; any pair within hamming <= 3
     * touches at most 3 bands, so at least one band is bit-identical — the
     * equi-join on (band, band_val) generates a candidate superset with ZERO

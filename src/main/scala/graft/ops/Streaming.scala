@@ -232,13 +232,24 @@ object Streaming {
         .withColumn("sec", unix_timestamp(col("ts")))
       // any split point strictly inside the time range works (the test is
       // watermark-advance + append-drop, not a 50/50 row split); the memoized
-      // range midpoint avoids the old per-op percentile pre-scan
+      // range midpoint avoids the old per-op percentile pre-scan. Guard: if
+      // this user-slice's timestamps ever skew entirely to one side of the
+      // GLOBAL midpoint, one half would be empty and the late-data scenario
+      // would degenerate silently — fail loudly instead of passing vacuously.
       val (mnTs, mxTs) = eventsTsRange(s, d)
       val mid = (mnTs.getTime / 1000L + mxTs.getTime / 1000L) / 2L
       ev.filter(col("sec") >= mid).drop("sec")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/a_recent")
       ev.filter(col("sec") < mid).drop("sec")
         .coalesce(1).write.mode("overwrite").parquet(s"$tmp/b_old")
+      val halves = Seq("a_recent", "b_old")
+        .map(h => h -> s.read.parquet(s"$tmp/$h").limit(1).count())
+      halves.find(_._2 == 0L).foreach { case (h, _) =>
+        throw new IllegalStateException(
+          s"stream_late_data_policy: replay half '$h' is empty — the 1/16 " +
+          s"user slice has no rows on one side of the global ts midpoint " +
+          s"($mid); the watermark/late-data scenario cannot be exercised")
+      }
       // The file stream source processes oldest-modification-time first, so
       // pin the ordering explicitly (write order alone could collide within
       // one mtime granule): the old half must arrive in the LATER batch.

@@ -278,10 +278,23 @@ private[plans] final class TopKSpillState(
     }
   }
 
+  /** Allocate a spill-run file through Spark's DiskBlockManager so runs
+    * land on the configured `spark.local.dirs` volumes and inside Spark's
+    * disk-usage accounting (the same path ExternalAppendOnlyMap /
+    * UnsafeExternalSorter use) — java.io.tmpdir is only the fallback for
+    * driver-local unit contexts with no SparkEnv.
+    */
+  private def newSpillFile(): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    if (env != null && env.blockManager != null)
+      env.blockManager.diskBlockManager.createTempLocalBlock()._2
+    else java.io.File.createTempFile("graft-topk-spill-", ".bin")
+  }
+
   /** Drain every heap to one sorted disk run and release the memory. */
   private def doSpill(): Unit = {
     if (heaps.isEmpty) return
-    val file = java.io.File.createTempFile("graft-topk-spill-", ".bin")
+    val file = newSpillFile()
     val out = new java.io.DataOutputStream(
       new java.io.BufferedOutputStream(new java.io.FileOutputStream(file), 1 << 16))
     try {
@@ -317,6 +330,14 @@ private[plans] final class TopKSpillState(
   /** (row, rank) pairs, each key's survivors in rank order 1..k. */
   def result(): Iterator[(InternalRow, Long)] = {
     if (spillFiles.isEmpty) {
+      // Emission barrier: the lazy iterator below drains `heaps` while the
+      // consumer is still registered with the TaskMemoryManager. A foreign
+      // spill() arriving mid-emission (e.g. from the shuffle writer feeding
+      // the downstream sort) must NOT doSpill() — that would drain the
+      // remaining heaps to a run nothing reads (the in-memory branch is
+      // already chosen) and silently lose rows. `merging = true` makes
+      // spill() a 0-byte no-op from here on.
+      merging = true
       heaps.iterator.flatMap { case (_, heap) =>
         val drained: Seq[InternalRow] = heap.dequeueAll[InternalRow]
         drained.reverseIterator.zipWithIndex.map { case (r, i) => (r, i + 1L) }
