@@ -197,6 +197,14 @@ object MLPipeline {
   val sinkJdbcPredictions = Op(
     "sink_jdbc_predictions",
     (s, d) => {
+      // SERIAL-EXECUTION ASSUMPTION: the overwrite below drops/recreates
+      // the shared per-fixture Derby's `predictions` table eagerly at
+      // DataFrame-construction time, and the returned read-back is lazy —
+      // so two concurrent invocations (or re-collecting an old invocation's
+      // DataFrame across a new one's write) would race the drop. Every
+      // harness that runs this op (Verify, Bench, sbt's forked test JVM)
+      // executes ops serially, and no other op touches `predictions`;
+      // a concurrent harness would need the jdbcEnsureLoaded memo idiom.
       val url = Scans.jdbcUrlFor(d)
       val props = new java.util.Properties()
       props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")

@@ -68,8 +68,12 @@ import org.apache.spark.sql.types.LongType
   * exactly like WindowExec's sort, instead of OOMing. The
   * `spark.graft.topk.forceSpillRows` conf force-spills every N held rows
   * — the same determinism valve Spark's own spillables expose as
-  * `numElementsForceSpillThreshold`, and how the §5 test drives the
-  * spill-merge path without needing a private constrained-memory context.
+  * `numElementsForceSpillThreshold`, and how the end-to-end §5 test
+  * (PropertySpec) drives the spill-merge path inside a real query.
+  * TopKSpillStateSpec additionally drives the REAL pressure branches
+  * against a deliberately tiny unified pool (GraftMemoryTestBridge):
+  * genuine pool starvation with no valve, a foreign consumer's spill()
+  * trigger, the emission barrier below, and DiskBlockManager routing.
   * SQLMetrics (`numSpills`, `spillBytes`) make production spilling
   * observable in the UI. The ordering must be TOTAL per key — the
   * caller supplies a tiebreak (totality is not machine-checkable at
