@@ -251,6 +251,59 @@ object Aggs {
     None
   )
 
+  /** Deterministic histogram-sketch quantiles (r11; VERDICT r10 task 7 —
+    * the oracled twin shrinking the exempt surface, the sim_minhash_det
+    * precedent applied to `agg_approx_quantiles`): the SAME sketch-not-sort
+    * scale shape — bounded per-group state, associatively mergeable — but
+    * with percentile_approx's engine-internal GK summary replaced by a
+    * fixed-width value histogram (width 1.0 → ≤ ~500 bins per group on
+    * this value domain), so every step is integer-deterministic and
+    * hash-matched against an identical DuckDB construction. q_p = lower
+    * edge of the first bin whose cumulative count reaches ceil(p·n),
+    * within one bin width of the exact discrete quantile by construction
+    * (the histogram bin containing rank ceil(p·n) IS that bin); ExemptSpec
+    * ties percentile_approx's answer to this twin under the combined
+    * bin-width + rank-error bound. At 100 TB: ONE map-combinable groupBy
+    * folds the log into histograms (state = bins, not rows); the
+    * cumulative window and the 3-probability explode run on sketch-sized
+    * data (|groups| × |bins| rows), never touching the log again.
+    */
+  val aggQuantilesHistDet = Op(
+    "agg_quantiles_hist_det",
+    (s, d) => {
+      val h = T.events(s, d)
+        .select(col("event_type"), floor(col("value")).cast("long").as("bin"))
+        .groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+      h
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+        .withColumn("p", explode(array(lit(0.5), lit(0.95), lit(0.99))))
+        .filter(col("cum") >= ceil(col("p") * col("n")))
+        .groupBy(col("event_type"), col("p"))
+        .agg(min(col("bin")).cast("double").as("q_hist"))
+        .orderBy(col("event_type"), col("p"))
+    },
+    Some("""
+      WITH h AS (
+        SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS bin, COUNT(*) AS c
+        FROM events GROUP BY event_type, bin),
+      cum AS (
+        SELECT event_type, bin,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM h),
+      e AS (
+        SELECT event_type, bin, cum, n,
+               unnest([CAST(0.5 AS DOUBLE), CAST(0.95 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS p
+        FROM cum)
+      SELECT event_type, p, CAST(MIN(bin) AS DOUBLE) AS q_hist
+      FROM e WHERE cum >= CEIL(p * n)
+      GROUP BY event_type, p ORDER BY event_type, p
+    """)
+  )
+
   /** Exact global median WITHOUT a global sort and WITHOUT the built-in
     * exact percentile aggregate (which buffers every value of the group in
     * one reducer's memory — the thing that dies first at 100 TB). Same
@@ -968,6 +1021,7 @@ object Aggs {
     aggIncrementalRollup,
     aggHashGroupby, aggGlobalNogroup, aggCountDistinct, aggMultiDistinct,
     aggApproxHll, aggHllPartitionedMerge, aggApproxQuantiles,
+    aggQuantilesHistDet,
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
     aggHistogramFixedBins, aggMedianByGroup, aggModePerGroup,

@@ -78,6 +78,32 @@ class ExemptSpec extends AnyFunSuite {
       "approx quantiles not deterministic across runs")
   }
 
+  test("agg_approx_quantiles tied to the agg_quantiles_hist_det oracled twin") {
+    val approx = Registry.queries("agg_approx_quantiles")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val hist = Registry.queries("agg_quantiles_hist_det")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(approx.keySet == hist.keySet,
+      s"twins disagree on (group, p) keys: ${approx.keySet.diff(hist.keySet)} / ${hist.keySet.diff(approx.keySet)}")
+    for (((et, p), q) <- approx) {
+      val bin = hist((et, p))
+      // combined bound: the twin's bin [bin, bin+1) contains the exact
+      // discrete quantile (bin width 1.0), and the approx answer sits
+      // inside the exact [p−0.01, p+0.01] rank band (its own §5 pin) —
+      // so the two may differ by at most that band's value spread plus
+      // one bin width. A GK-sketch regression OR a histogram-cumsum
+      // regression breaks this tie.
+      val lohi = T.events(spark, sf).filter(col("event_type") === et)
+        .agg(
+          expr(s"percentile(value, ${math.max(0.0, p - 0.01)})"),
+          expr(s"percentile(value, ${math.min(1.0, p + 0.01)})"))
+        .head()
+      val slack = (lohi.getDouble(1) - lohi.getDouble(0)) + 1.0
+      assert(q >= bin - slack && q <= bin + slack,
+        s"$et p=$p: approx $q vs twin bin $bin exceeds combined bound ±$slack")
+    }
+  }
+
   test("txt_freq_tokens: no false negatives above the support threshold") {
     val approx = Registry.queries("txt_freq_tokens")(spark, sf)
       .collect().map(_.getString(0)).toSet
