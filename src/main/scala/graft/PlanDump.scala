@@ -81,7 +81,17 @@ object PlanDump {
     "graph_hits" ->
       "two integer mutual-reinforcement rounds: per-side edge-key shuffle + map-side-combined sums, 1-row broadcast renorm scalars",
     "ml_gain_lift_deciles" ->
-      "gains deciles from the histogram: checkpointed score histogram, boundary window over <=11 rows, no corpus NTILE sort")
+      "gains deciles from the histogram: checkpointed score histogram, boundary window over <=11 rows, no corpus NTILE sort",
+    "scan_jdbc_pushdown" ->
+      "JDBCRelation scan: both predicates compiled into the remote WHERE (PushedFilters) + numPartitions=4 range split -- the DB filters, the network carries survivors",
+    "sink_jdbc_predictions" ->
+      "write leg runs eagerly (4 partitions = 4 connections, 50-row prepared-statement batches); the dumped plan is the read-back: 4-partition JDBCRelation scan + hash agg",
+    "sim_minhash_det" ->
+      "deterministic MinHash LSH: one groupBy signature pass over the checkpointed token relation, band explode + equi-join candidates, exact-Jaccard verify on candidates only",
+    "sim_simhash_shingle_bands" ->
+      "bigram-shingle banded simhash (the scale path): per-doc integer sketch with no shuffle, 4-band equi-join candidates, bit_count hamming verify on candidates only",
+    "agg_quantiles_hist_det" ->
+      "deterministic sketch quantiles: ONE map-combinable histogram groupBy over the log; cum windows + probability explode run on sketch-sized rows")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -104,6 +114,33 @@ object PlanDump {
       println(ops.Registry.queries(k)(spark, sfDir)
         .queryExecution.explainString(FormattedMode).trim)
       println("```")
+    }
+    // Executed TopKPerKey under forced spills: the numSpills/spillBytes
+    // SQLMetrics are live accumulators (what the Spark UI shows when
+    // production memory pressure spills the heaps). AQE off so the exec
+    // node is reachable under AdaptiveSparkPlanExec-free collectFirst.
+    println("\n## win_topk_heap -- executed with forced spills (live SQLMetrics)\n")
+    println("_spark.graft.topk.forceSpillRows=500 over the sf0.01 orders table")
+    println("(~1,125 held heap rows per partition) forces the spill-merge path; the same")
+    println("metrics record real memory-pressure spills in production._\n")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.graft.topk.forceSpillRows", "500")
+    try {
+      val df = ops.Registry.queries("win_topk_heap")(spark, sfDir)
+      // collect(), not count(): count() plans a NEW QueryExecution whose
+      // metrics are separate — only executing df's own plan fills these
+      val n = df.collect().length
+      val exec = df.queryExecution.executedPlan.collectFirst {
+        case t: graft.plans.TopKPerKeyExec => t
+      }.get
+      println("```")
+      println(s"rows emitted = $n")
+      println(s"numSpills    = ${exec.metrics("numSpills").value}")
+      println(s"spillBytes   = ${exec.metrics("spillBytes").value}")
+      println("```")
+    } finally {
+      spark.conf.unset("spark.graft.topk.forceSpillRows")
+      spark.conf.unset("spark.sql.adaptive.enabled")
     }
     spark.stop()
   }
