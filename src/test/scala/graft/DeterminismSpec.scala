@@ -127,7 +127,8 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_bounce_rate",           // sessionize + day ppm rollup
     "evt_welch_ttest",           // decimal moments + IEEE finish
     "evt_ab_power_mde",          // decimal moments + floor-cast ppm
-    "txt_mattr_diversity")       // per-doc window transform + ppm
+    "txt_mattr_diversity",       // per-doc window transform + ppm
+    "agg_quantiles_hist_det")    // histogram cumsum + ceil rank pick
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
