@@ -18,7 +18,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * chain, never enters whole-stage codegen. This expression IS
   * codegen-friendly (the generated code calls the static sliding loop, so
   * the surrounding project stays in one codegen span); the measured
-  * before/after at sf1 is recorded in BASELINE.md's r9 section.
+  * before/after (24.61 s → 0.68 s at sf1) is recorded in BASELINE.md's
+  * "Round-9/10 record" section.
   *
   * Semantics are identical to the form it replaces, pinned by
   * PropertySpec: window enter/leave updates a token→freq map (UTF8String
