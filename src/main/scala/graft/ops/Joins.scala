@@ -214,6 +214,20 @@ object Joins {
     * plain equality where NULL matches nothing. Both engines order the
     * null group explicitly (Spark nulls-first default vs DuckDB
     * nulls-last — Appendix A).
+    *
+    * SCALE FIX (r11; caught by the sf10 sweep at 167×, 288 s): counting
+    * the pairs of an equi-join must NEVER materialize them — per key the
+    * pair count is |a_k|·|b_k|, so AGGREGATE BOTH SIDES FIRST and multiply
+    * (the count-of-cartesian ≡ product-of-counts identity). The original
+    * row-level `a JOIN b ON k <=> k2 GROUP BY k` streamed every matched
+    * pair through the join: the NULL group alone (every negative-balance
+    * customer × every negative-balance supplier, both ~9% of their
+    * tables) is ~1.2 BILLION pairs at sf10 and grows quadratically with
+    * scale. The rewrite's join touches ≤ |distinct keys| rows per side
+    * (26 here), the result is bit-identical, and the null-safe semantics
+    * under test — the NULL row surviving the <=> join — is exercised by
+    * the aggregated rows exactly as by the raw ones (inner <=> join of
+    * the two count tables, nullable key on both sides).
     */
   val joinNullsafeEq = Op(
     "join_nullsafe_eq",
@@ -221,12 +235,13 @@ object Joins {
       val a = T.customer(s, d).select(
         when(col("c_acctbal") < 0, lit(null).cast("int"))
           .otherwise(col("c_nationkey")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("na"))
       val b = T.supplier(s, d).select(
         when(col("s_acctbal") < 0, lit(null).cast("int"))
           .otherwise(col("s_nationkey")).as("k2"))
+        .groupBy(col("k2")).agg(count(lit(1)).as("nb"))
       a.join(b, col("k") <=> col("k2"))
-        .groupBy(col("k"))
-        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("k"), (col("na") * col("nb")).as("n_pairs"))
         .orderBy(col("k").asc_nulls_first)
     },
     Some("""

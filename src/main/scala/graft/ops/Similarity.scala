@@ -1668,6 +1668,22 @@ object Similarity {
     * cross-multiplied integer math (i*5 >= u*4 <=> i/u >= 0.8) — exact in
     * both engines; the oracle computes the same result DIRECTLY from the
     * exact token-join definition, which is what proves the pruning lossless.
+    *
+    * CONTRACT BOUND (r11; the sf10 sweep killed the unbounded form — the
+    * prefix self-join died mid-sweep): AllPairs/PPJoin's candidate cost is
+    * Σ_s |prefix-bucket_s|² and its published premise is an open Zipfian
+    * vocabulary where rarity ordering keeps buckets tiny; THIS corpus's
+    * closed 31-word vocabulary admits ≤ 31³ distinct shingles, so at sf10
+    * even the rarest shingle's bucket is Θ(corpus/30k) ≈ thousands of
+    * docs and candidates grow quadratically regardless of ordering — the
+    * same vocabulary-saturation clause as `sim_simhash_bands`. The op is
+    * therefore doc_id-bounded (< 100 000 ≈ 2× the bench corpus; INACTIVE
+    * at the driver's sf0.01 verify and sf0.1 bench scales, mirrored in
+    * the oracle) so the exact candidate rule stays measurable at every
+    * sf. On a real open-vocabulary corpus the unbounded form IS the
+    * exact-result scale path; on degenerate corpora the banded-sketch
+    * siblings (`sim_minhash_det`, `sim_simhash_shingle_bands`) are the
+    * unbounded approximate alternative.
     */
   val simPrefixFilterJoin = Op(
     "sim_prefix_filter_join",
@@ -1678,6 +1694,7 @@ object Similarity {
       // distinct — 4 corpus scans instead of 1 (measured 3x the query time
       // at sf0.1; at 100 TB it's 3 extra passes over the corpus)
       val sh = T.documents(s, d)
+        .filter(col("doc_id") < 100000) // CONTRACT BOUND (r11) — see scaladoc
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), explode(
           call_function("token_ngrams", col("toks"), lit(3))).as("shingle"))
@@ -1728,7 +1745,8 @@ object Similarity {
       WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
         SELECT doc_id, unnest(list_transform(range(1, len(arr) - 1),
           i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))),
+        FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+              WHERE doc_id < 100000))),
       sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
       inter AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(COUNT(*) AS BIGINT) AS inter
@@ -2366,8 +2384,9 @@ object Similarity {
     * baseline every embedding space must beat to justify a model, and the
     * standard probe of embedding QUALITY (if neighbors don't share labels,
     * no classifier on top will): for a bounded probe set, top-5 cosine
-    * neighbors (the `sim_cosine_knn` kernel — broadcast probes, one corpus
-    * pass, round-6 cosine with vec_id tie-break), majority label vote with
+    * neighbors (broadcast probes, one corpus pass, round-6 cosine with
+    * vec_id tie-break, selected by the bounded map-side Udfs.TopK
+    * aggregator — see the r11 SCALE FIX note below), majority vote with
     * ties to the smaller label via the max(struct(votes, −label)) argmax,
     * scored against the probe's own label as a confusion matrix +
     * integer-ppm accuracy (windows over the ≤|labels|² matrix). The vote
@@ -2386,12 +2405,29 @@ object Similarity {
         .localCheckpoint(true)
       val cand = e.select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("cnorm"))
+      // SCALE FIX (r11; caught by the sf10 sweep at 15×, 76 s): the top-5
+      // selection is the map-side-combinable Udfs.TopK AGGREGATOR, not a
+      // row_number window — the window form shuffled and SORTED the whole
+      // |corpus|×|probes| score relation (200 M rows at sf10) to keep 5
+      // rows per probe; the aggregator keeps a bounded 5-slot buffer per
+      // (partition, probe) and ships only |partitions|×|probes| buffers
+      // through the exchange — the brute-force-kNN shape that survives
+      // any corpus size (local top-k, then merge). Identical selection
+      // order (cosine DESC, vec_id ASC — TopK orders by (−value, id));
+      // the neighbor label rides along packed monotonically into the id
+      // (vec_id·16 + label, labels 0..9), so ties and order are
+      // bit-identical to the window twin the oracle still computes.
+      val topk = udaf(Udfs.TopK)
       val knn = cand.join(broadcast(probes), col("probe_id") =!= col("vec_id"))
         .withColumn("cosine",
           round(dot(col("pe"), col("embedding")) / (col("pnorm") * col("cnorm")), 6))
-        .withColumn("rn", row_number().over(
-          W.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("vec_id"))))
-        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("true_label"), col("cosine"),
+          (col("vec_id") * 16 + col("label")).as("packed"))
+        .groupBy(col("probe_id"), col("true_label"))
+        .agg(topk(col("cosine"), col("packed")).as("top"))
+        .select(col("probe_id"), col("true_label"), explode(col("top")).as("t"))
+        .select(col("probe_id"), col("true_label"),
+          (col("t._2") % 16).cast("int").as("label"))
       val voted = knn.groupBy(col("probe_id"), col("true_label"), col("label"))
         .agg(count(lit(1)).as("votes"))
         .groupBy(col("probe_id"), col("true_label"))

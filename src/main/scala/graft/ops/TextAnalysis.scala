@@ -1382,9 +1382,11 @@ object TextAnalysis {
     * as a per-document TRANSFORM, where `txt_substring_dedup` only reports
     * per-source duplication stats): a 5-gram occurring in > 3 distinct
     * documents is boilerplate, and every token position covered by any
-    * boilerplate occurrence is removable. Positions arrive by exploding
-    * each flagged gram's [i, i+4] span and de-duplicating (doc, pos) —
-    * overlapping spans never double-count. The positioned gram relation is
+    * boilerplate occurrence is removable. Coverage is the union length of
+    * the flagged [i, i+4] spans, computed by a per-doc interval-union
+    * sweep (least(5, i − lag(i)) over starts sorted per doc — see the
+    * r11 SCALE FIX note below) so overlapping spans never double-count
+    * and no per-position rows exist. The positioned gram relation is
     * checkpointed once (it feeds the document-frequency agg AND the
     * coverage join — the sim_prefix_filter_join fanout discipline); only
     * 16-byte md5 hashes shuffle, never gram text. Emits the 20 most
@@ -1406,10 +1408,26 @@ object TextAnalysis {
         .agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") > 3)
         .select(col("h"))
+      // SCALE FIX (r11; caught by the sf10 sweep at 20.8×, 135 s): covered
+      // positions = the union length of fixed-width-5 spans, NOT a
+      // per-position explode + global distinct. The original shuffled
+      // 5×|flagged grams| (doc, pos) rows into a hash distinct (≈1.25 B
+      // rows at sf10 — this vocabulary flags nearly every gram); the
+      // interval-union sweep needs only the flagged starts: per doc sorted
+      // by i, with equal-length spans the running max-end is monotone, so
+      // each span's fresh coverage is exactly least(5, i − lag(i)) (5 for
+      // the first). One narrow (doc_id, i) shuffle, per-doc-sized window
+      // sorts, no explode, no distinct — identical n_cov by construction
+      // (overlapping spans still never double-count).
       val cover = grams.join(bp, "h")
-        .select(col("doc_id"), explode(expr("sequence(i, i + 4)")).as("p"))
-        .distinct()
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_cov"))
+        .select(col("doc_id"), col("i"))
+        .withColumn("prev", lag(col("i"), 1).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("i"))))
+        .select(col("doc_id"),
+          when(col("prev").isNull, lit(5L))
+            .otherwise(least(lit(5L), (col("i") - col("prev")).cast("long")))
+            .as("cov"))
+        .groupBy(col("doc_id")).agg(sum(col("cov")).as("n_cov"))
       docs.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
         .join(cover, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tok"),
