@@ -123,6 +123,8 @@ object PlanDump {
     println("_spark.graft.topk.forceSpillRows=500 over the sf0.01 orders table")
     println("(~1,125 held heap rows per partition) forces the spill-merge path; the same")
     println("metrics record real memory-pressure spills in production._\n")
+    val priorAqe = spark.conf.getOption("spark.sql.adaptive.enabled")
+    val priorForce = spark.conf.getOption("spark.graft.topk.forceSpillRows")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.graft.topk.forceSpillRows", "500")
     try {
@@ -132,15 +134,19 @@ object PlanDump {
       val n = df.collect().length
       val exec = df.queryExecution.executedPlan.collectFirst {
         case t: graft.plans.TopKPerKeyExec => t
-      }.get
+      }.getOrElse(sys.error(
+        "TopKPerKeyExec not found in the executed plan — is AQE off and the exec node unwrapped?"))
       println("```")
       println(s"rows emitted = $n")
       println(s"numSpills    = ${exec.metrics("numSpills").value}")
       println(s"spillBytes   = ${exec.metrics("spillBytes").value}")
       println("```")
     } finally {
-      spark.conf.unset("spark.graft.topk.forceSpillRows")
-      spark.conf.unset("spark.sql.adaptive.enabled")
+      // restore the pre-existing values, not the session defaults
+      priorForce.fold(spark.conf.unset("spark.graft.topk.forceSpillRows"))(
+        spark.conf.set("spark.graft.topk.forceSpillRows", _))
+      priorAqe.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
+        spark.conf.set("spark.sql.adaptive.enabled", _))
     }
     spark.stop()
   }

@@ -279,7 +279,7 @@ object MLPipeline {
         .join(sup, Seq("cls"), "left")
         .join(pt, Seq("cls"), "left")
         .join(tp, Seq("cls"), "left")
-        .crossJoin(tot)
+        .crossJoin(broadcast(tot))
         .select(
           col("cls"),
           coalesce(col("tp"), lit(0L)).as("tp"),

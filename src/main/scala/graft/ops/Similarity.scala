@@ -1689,6 +1689,15 @@ object Similarity {
     "sim_prefix_filter_join",
     (s, d) => {
       graft.functions.NGrams.register(s)
+      // Runtime signal when the contract bound truncates (r12, advisor):
+      // a 1-row single-column max probe (metadata-scale, plan-time only) so
+      // a future scale run cannot mistake the bounded result for
+      // full-corpus output — the bound is invisible at driver scales and
+      // could otherwise drift silently between this filter and the oracle.
+      val maxId = T.documents(s, d).agg(max(col("doc_id"))).head().getLong(0)
+      if (maxId >= 100000L)
+        System.err.println(s"[graft] sim_prefix_filter_join: CONTRACT BOUND ACTIVE — " +
+          s"corpus max doc_id $maxId >= 100000; result covers the bounded slice only (see scaladoc)")
       // sh feeds FOUR subtrees of one plan (sizes, freq, pref, docsets);
       // uncheckpointed, each subtree re-runs read->tokenize->explode->
       // distinct — 4 corpus scans instead of 1 (measured 3x the query time

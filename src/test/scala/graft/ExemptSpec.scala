@@ -60,18 +60,29 @@ class ExemptSpec extends AnyFunSuite {
         s"hour $h: estimate ${approx(h)} vs exact $e")
   }
 
-  test("agg_approx_quantiles: values inside the exact [p-0.01, p+0.01] band, deterministic") {
+  /** Discrete rank-based band for the GK guarantee: the sketch returns a
+    * SAMPLE value whose rank is within ±0.01·n of p·n, so the sound bound
+    * is the sorted values at those ranks (±1 rank of convention slack) —
+    * NOT Spark's interpolating `percentile`, which for small per-group n
+    * can place an interpolated lo just above the discrete value a correct
+    * sketch legitimately returns (spurious failure). Test-only collect on
+    * the tiny fixture group. */
+  private def discreteBand(et: String, p: Double): (Double, Double) = {
+    val vs = T.events(spark, sf).filter(col("event_type") === et)
+      .select(col("value").cast("double")).collect().map(_.getDouble(0)).sorted
+    val n = vs.length
+    val lo = math.max(0, math.ceil((p - 0.01) * n).toInt - 2)
+    val hi = math.min(n - 1, math.ceil((p + 0.01) * n).toInt)
+    (vs(lo), vs(hi))
+  }
+
+  test("agg_approx_quantiles: values inside the exact [p-0.01, p+0.01] rank band, deterministic") {
     val rows = Registry.queries("agg_approx_quantiles")(spark, sf).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
       val (et, p, q) = (r.getString(0), r.getDouble(1), r.getDouble(2))
-      val lohi = T.events(spark, sf).filter(col("event_type") === et)
-        .agg(
-          expr(s"percentile(value, ${math.max(0.0, p - 0.01)})"),
-          expr(s"percentile(value, ${math.min(1.0, p + 0.01)})"))
-        .head()
-      val (lo, hi) = (lohi.getDouble(0), lohi.getDouble(1))
-      assert(q >= lo && q <= hi, s"$et p=$p: approx $q outside exact band [$lo, $hi]")
+      val (lo, hi) = discreteBand(et, p)
+      assert(q >= lo && q <= hi, s"$et p=$p: approx $q outside exact rank band [$lo, $hi]")
     }
     val again = Registry.queries("agg_approx_quantiles")(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
@@ -89,16 +100,12 @@ class ExemptSpec extends AnyFunSuite {
       val bin = hist((et, p))
       // combined bound: the twin's bin [bin, bin+1) contains the exact
       // discrete quantile (bin width 1.0), and the approx answer sits
-      // inside the exact [p−0.01, p+0.01] rank band (its own §5 pin) —
-      // so the two may differ by at most that band's value spread plus
-      // one bin width. A GK-sketch regression OR a histogram-cumsum
-      // regression breaks this tie.
-      val lohi = T.events(spark, sf).filter(col("event_type") === et)
-        .agg(
-          expr(s"percentile(value, ${math.max(0.0, p - 0.01)})"),
-          expr(s"percentile(value, ${math.min(1.0, p + 0.01)})"))
-        .head()
-      val slack = (lohi.getDouble(1) - lohi.getDouble(0)) + 1.0
+      // inside the exact [p−0.01, p+0.01] DISCRETE rank band (its own §5
+      // pin, sound for all group sizes) — so the two may differ by at most
+      // that band's value spread plus one bin width. A GK-sketch
+      // regression OR a histogram-cumsum regression breaks this tie.
+      val (lo, hi) = discreteBand(et, p)
+      val slack = (hi - lo) + 1.0
       assert(q >= bin - slack && q <= bin + slack,
         s"$et p=$p: approx $q vs twin bin $bin exceeds combined bound ±$slack")
     }

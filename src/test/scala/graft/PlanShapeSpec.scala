@@ -764,6 +764,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"stats must avert the sort-merge: $p")
   }
 
+  // --- r12 pins for the three r11 sf10 scale fixes: a refactor back to any
+  // pre-fix shape must fail `sbt test`, not the next sf10 sweep. ---
+
+  test("sim_knn_classify: top-5 is the bounded TopK aggregator — no window/sort under it") {
+    val p = plan("sim_knn_classify")
+    // the map-side-combinable aggregator must plan (pre-fix: a row_number
+    // window that shuffled AND SORTED the |corpus|×|probes| score relation)
+    val aggIdx = p.toLowerCase.indexOf("topk")
+    assert(aggIdx >= 0, s"Udfs.TopK aggregator missing from the plan: $p")
+    // everything printed after the TopK aggregate is its subtree (the score
+    // relation): no Window and no Sort may touch raw scores down there —
+    // the only windows allowed ride the ≤|labels|² confusion matrix ABOVE
+    val below = p.substring(aggIdx)
+    assert(!below.contains("Window"), s"window below the TopK agg — the sort-the-corpus shape is back: $below")
+    assert(!below.contains("Sort "), s"sort below the TopK agg: $below")
+  }
+
+  test("join_nullsafe_eq: both <=> join children are aggregates (count-product rewrite)") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    // pre-fix: the join streamed every matched ROW pair (quadratic in the
+    // NULL group); the rewrite joins two pre-aggregated count tables, so
+    // each child subtree must contain an aggregate and no further join
+    val sp = Registry.queries("join_nullsafe_eq")(spark, sf).queryExecution.sparkPlan
+    val joins = sp.collect { case j: BaseJoinExec => j }
+    assert(joins.size == 1, s"expected exactly the one <=> join, got ${joins.size}: $sp")
+    joins.head.children.zipWithIndex.foreach { case (child, i) =>
+      val aggs = child.collect {
+        case a: HashAggregateExec => a
+        case a: ObjectHashAggregateExec => a
+        case a: SortAggregateExec => a
+      }
+      assert(aggs.nonEmpty,
+        s"join child $i is not pre-aggregated — the row-level quadratic shape is back: $child")
+    }
+  }
+
+  test("txt_boilerplate_coverage: interval-union sweep — no explode, no distinct in the coverage branch") {
+    val p = plan("txt_boilerplate_coverage")
+    // pre-fix: a 5×|flagged-grams| position Generate(explode) + global
+    // distinct (≈1.25 B rows at sf10). The grams relation is checkpointed,
+    // so the final plan must carry NO Generate at all; the sweep's lag
+    // window (per-doc, narrow) must be present instead.
+    assert(!p.contains("Generate"),
+      s"a Generate survived above the checkpoint — the position-explode shape is back: $p")
+    assert(p.contains("Window"), s"the interval-union lag window is missing: $p")
+  }
+
   test("scan_custom_dsv2: the source plans its 8 range slices") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("graft.sources.RangeLedger")

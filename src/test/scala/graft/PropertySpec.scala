@@ -480,5 +480,53 @@ class PropertySpec extends AnyFunSuite {
       s"banded candidates must equal all-pairs: missing=${brute -- banded}, extra=${banded -- brute}")
   }
 
+  test("sim_prefix_filter_join: the doc_id<100000 contract bound pinned on a straddling corpus") {
+    // The bound is INACTIVE at every driver scale (fixture corpora are far
+    // smaller), so the Scala filter and the oracle's WHERE could drift
+    // apart invisibly until ≥sf2. This synthetic corpus straddles the
+    // bound: a near-dup pair below it (must appear), a cross-bound pair
+    // and an above-bound pair (must vanish), and the result must equal a
+    // direct computation of the bounded definition.
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (99990L, "alpha beta gamma delta epsilon zeta"),
+      (99991L, "alpha beta gamma delta epsilon zeta"), // in-bound pair
+      (99995L, "one two three four five six seven"),
+      (100005L, "one two three four five six seven"), // cross-bound: excluded
+      (100001L, "red orange yellow green blue indigo"),
+      (100002L, "red orange yellow green blue indigo"), // above-bound: excluded
+      (99997L, "lorem ipsum dolor sit amet consectetur"),
+      (100007L, "quick brown fox jumps over dog"))
+    val sqlc = spark
+    import sqlc.implicits._
+    val dir = graft.ops.T.scratch("ppjoin_bound_fixture")
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("sim_prefix_filter_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got.forall { case (a, b, _, _) => a < 100000L && b < 100000L },
+      s"a doc_id >= 100000 leaked through the contract bound: $got")
+    // direct computation of the BOUNDED definition (distinct 3-shingle
+    // sets, integer Jaccard rule) — what the oracle's WHERE clause encodes
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ")
+      (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val inBound = rows.filter(_._1 < 100000L)
+    val brute = (for {
+      (a, ta) <- inBound; (b, tb) <- inBound; if a < b
+      sa = shingles(ta); sb = shingles(tb)
+      inter = (sa & sb).size; uni = (sa ++ sb).size
+      if inter * 5 >= uni * 4
+    } yield (a, b, inter.toLong, uni.toLong)).toSet
+    assert(brute.nonEmpty, "the in-bound planted pair vanished — fixture drifted")
+    assert(got == brute,
+      s"bounded result diverged from the definition: missing=${brute -- got}, extra=${got -- brute}")
+    // non-vacuous: the cross-bound twin pair WOULD qualify unbounded, so
+    // the bound really excluded something here
+    assert(shingles(rows(2)._2) == shingles(rows(3)._2),
+      "cross-bound twin texts drifted — the exclusion check is vacuous")
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }

@@ -86,13 +86,19 @@ class TopKSpillStateSpec extends AnyFunSuite {
       val rows = (0 until 3000).map(i => (i.toLong, (i * 48271L) % 10000))
       rows.foreach { case (k0, v) => state.insert(keyRow(k0), dataRow(k0, v)) }
       assert(spills.value == 0, "8 MiB pool must not self-starve on ~1 MiB of state")
-      // state holds a 4 MiB chunk grant; asking for 6 MiB of the 4 MiB
-      // remainder forces the TaskMemoryManager to squeeze OTHER consumers
-      // — i.e. call state.spill(size, trigger) on the task thread
-      val got = foreign.grab(6L * 1024 * 1024)
-      assert(got >= 5L * 1024 * 1024,
-        s"foreign acquire got only $got — our spill() did not release the grant")
-      assert(spills.value == 1, s"foreign trigger must have spilled exactly once, saw ${spills.value}")
+      // Derive the squeeze from the state's ACTUAL grant (not a hard-coded
+      // chunk constant): ask for more than the pool's free remainder, so
+      // the TaskMemoryManager must squeeze OTHER consumers — i.e. call
+      // state.spill(size, trigger) on the task thread. Getting more than
+      // `pool − grant` is only possible if our spill() released the grant.
+      val pool = 8L * 1024 * 1024
+      val grant = state.getUsed
+      assert(grant > 0, "state holds no grant — the squeeze below proves nothing")
+      val free = pool - grant
+      val got = foreign.grab(free + 2L * 1024 * 1024)
+      assert(got > free,
+        s"foreign acquire got $got ≤ free remainder $free — our spill() did not release the grant")
+      assert(spills.value >= 1, s"foreign trigger must have spilled, saw ${spills.value}")
       // the state keeps working after being drained mid-stream: new
       // inserts build fresh heaps, and the k-way merge folds the disk run
       // and the live map into the exact answer (keys 0..99 span both)
@@ -135,10 +141,9 @@ class TopKSpillStateSpec extends AnyFunSuite {
           else if (c.getName.startsWith("temp_local_")) out += c.getAbsolutePath
         }
       }
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      val roots = tmp.listFiles()
-      if (roots != null)
-        roots.filter(f => f.isDirectory && f.getName.startsWith("blockmgr-")).foreach(walk)
+      // the REAL configured roots (spark.local.dirs-aware), via the bridge —
+      // walking java.io.tmpdir would miss relocated block-manager dirs
+      GraftMemoryTestBridge.blockManagerLocalDirs().foreach(walk)
       out.toSet
     }
     val before = tempLocalFiles()

@@ -11,6 +11,15 @@ import org.apache.spark.SparkConf
   * floor, and fraction 1.0 makes `poolBytes` the exact execution budget.
   */
 object GraftMemoryTestBridge {
+  /** The live SparkEnv's DiskBlockManager local dirs — the REAL roots under
+    * which `temp_local_*` spill runs land. `diskBlockManager`/`localDirs`
+    * are `private[spark]`; this bridge lives inside `org.apache.spark`, so
+    * tests can enumerate the actual configured dirs instead of guessing
+    * `java.io.tmpdir` (spark.local.dirs / SPARK_LOCAL_DIRS may point
+    * anywhere). */
+  def blockManagerLocalDirs(): Seq[java.io.File] =
+    org.apache.spark.SparkEnv.get.blockManager.diskBlockManager.localDirs.toSeq
+
   def tinyTaskMemoryManager(poolBytes: Long): TaskMemoryManager = {
     val conf = new SparkConf(false)
       .set("spark.testing", "true")
