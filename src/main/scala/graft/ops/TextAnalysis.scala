@@ -200,6 +200,47 @@ object TextAnalysis {
     None
   )
 
+  /** Exact frequent tokens (r12) — the fully-oracled deterministic twin of
+    * [[txtFreqTokens]] (the `agg_quantiles_hist_det` precedent applied to
+    * the frequent-items family): the EXACT set of tokens with support
+    * > 1% of all token occurrences — the same threshold the Karp et al.
+    * sketch guarantees no false negatives above — with exact counts and
+    * integer-ppm support. ExemptSpec ties the sketch to this twin: every
+    * token this op emits must appear in the sketch's output, so a
+    * freqItems regression breaks an ORACLED key's sibling pin. Shape at
+    * 100 TB: one corpus explode (narrow) → map-side-combined token count
+    * (the shuffle is vocabulary-bounded, not corpus-bounded) → the total
+    * is SUM over the counts table (no second corpus scan) broadcast as a
+    * 1-row scalar → integer support compare (cnt·100 > total ⇔ support
+    * > 1%, exact in both engines). At most 99 rows survive by pigeonhole,
+    * so the final sort is free.
+    */
+  val txtFreqTokensDet = Op(
+    "txt_freq_tokens_det",
+    (s, d) => {
+      val counts = T.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val total = counts.agg(sum(col("cnt")).as("total"))
+      counts.crossJoin(broadcast(total))
+        .filter(col("cnt") * 100 > col("total"))
+        .select(col("token"), col("cnt"),
+          expr("cnt * 1000000 div total").as("support_ppm"))
+        .orderBy(col("cnt").desc, col("token"))
+    },
+    Some("""
+      WITH toks AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      counts AS (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1),
+      tot AS (SELECT SUM(cnt) AS total FROM counts)
+      SELECT token, cnt, CAST(cnt * 1000000 // total AS BIGINT) AS support_ppm
+      FROM counts, tot
+      WHERE cnt * 100 > total
+      ORDER BY cnt DESC, token
+    """)
+  )
+
   /** Passage-level dedup stats — the "remove duplicated paragraphs" stage of
     * a web-scale training-data pipeline (as in the public C4, Raffel et al.
     * 2020, and RefinedWeb, Penedo et al. 2023, corpus recipes), on fixed
@@ -1627,6 +1668,7 @@ object TextAnalysis {
     txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio, txtWinnowing,
     txtMattrDiversity,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
+    txtFreqTokensDet,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,

@@ -111,14 +111,13 @@ class ExemptSpec extends AnyFunSuite {
     }
   }
 
-  test("txt_freq_tokens: no false negatives above the support threshold") {
+  test("txt_freq_tokens: no false negatives above support, tied to the oracled det twin") {
+    // the exact above-support set now comes from the ORACLED twin
+    // txt_freq_tokens_det (same 1% threshold, DuckDB-verified), so a
+    // freqItems regression breaks this pin against an oracle-backed truth
     val approx = Registry.queries("txt_freq_tokens")(spark, sf)
       .collect().map(_.getString(0)).toSet
-    val toks = T.documents(spark, sf)
-      .select(explode(split(lower(col("text")), " ")).as("token"))
-    val total = toks.count()
-    val exact = toks.groupBy(col("token")).count()
-      .filter(col("count") > total * 0.01)
+    val exact = Registry.queries("txt_freq_tokens_det")(spark, sf)
       .collect().map(_.getString(0)).toSet
     assert(exact.nonEmpty, "no exact frequent tokens — the guarantee is vacuous")
     val missing = exact -- approx
