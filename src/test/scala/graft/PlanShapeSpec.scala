@@ -812,6 +812,67 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"the interval-union lag window is missing: $p")
   }
 
+  test("join_skew_salted's engine-native twin: AQE OptimizeSkewedJoin splits the hot key") {
+    // the manual-salting op is the portable recipe; the engine-native
+    // answer at 100 TB is spark.sql.adaptive.skewJoin. This twin runs the
+    // UNSALTED join (same skewed key: every 'view' event collapses onto
+    // k=-1) with test-scaled skew thresholds and pins that the runtime
+    // re-plan actually fires — the executed SMJ must carry the skew=true
+    // marker, i.e. the hot partition was split instead of landing on one
+    // task. Completes the skew story the way the DSv2 runtime-filter pin
+    // completed the connector story.
+    import org.apache.spark.sql.functions._
+    val c = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.shuffle.partitions")
+    val saved = keys.map(k => k -> c.getOption(k))
+    try {
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // fixture-scaled thresholds (the hot partition is KBs here, not the
+      // production 256 MB default), and 64 shuffle partitions so the cold
+      // user_ids spread thin — with 4, every partition holds ~25% of the
+      // table and the hot one never clears the factor×median test (the
+      // exact detection geometry production tuning faces)
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      c.set("spark.sql.shuffle.partitions", "64")
+      // sf0.01 (10k events): at sf0.001 the hot partition compresses below
+      // any settable threshold and the detector can never fire. The
+      // repartition matters too: skew splits happen at MAPPER boundaries,
+      // and the single-file single-row-group fixture scan is one map task
+      // (unsplittable — the degenerate case; production scans have
+      // thousands of mappers), so give the join exchange 8 mappers.
+      def keyed = graft.ops.T.events(spark, "/root/testdata/sf0.01")
+        .repartition(8, col("event_id"))
+        .withColumn("k",
+          when(col("event_type") === "view", lit(-1L)).otherwise(col("user_id")))
+      // checkpointed: OptimizeSkewedJoin's pattern needs BOTH SMJ children
+      // to be Sort directly over a ShuffleQueryStage — an aggregate in
+      // between (the uncheckpointed dim) makes the rule unable to match
+      val dim = keyed.groupBy(col("k")).agg(count(lit(1)).as("k_weight"))
+        .localCheckpoint(true)
+      // no groupBy(k) downstream: a parent that reuses the join's hash
+      // partitioning makes AQE skip the split (it would add a shuffle)
+      val joined = keyed.join(dim.hint("merge"), Seq("k"))
+        .select(col("k"), col("k_weight"), col("value"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"merge hint ignored: $p")
+      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
+        s"OptimizeSkewedJoin did not split the hot partition — " +
+          s"the engine-native skew path is not demonstrably live: $p")
+    } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
+  }
+
   test("scan_custom_dsv2: the source plans its 8 range slices") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("graft.sources.RangeLedger")
