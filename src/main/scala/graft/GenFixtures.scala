@@ -70,6 +70,13 @@ object GenFixtures {
 
     def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
 
+    // optional 4th arg: comma-separated table subset (r12 — the sf100
+    // third-decade probe needs a documents-only slice; generating the
+    // full relational set at 1000× would be 10+ GB of unused fixture)
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def want(name: String): Boolean = only.isEmpty || only(name)
+
     /** single-file write: driver fixtures are one file per table, and
       * tools/check.py points DuckDB at the bare path */
     def writeOne(name: String, df: DataFrame): Unit = {
@@ -98,17 +105,18 @@ object GenFixtures {
       }.reduce(_ unionByName _)
     }
 
-    writeOne("region", src("region"))
-    writeOne("nation", src("nation"))
-    writeOne("supplier", replicate("supplier", Seq("s_suppkey")))
-    writeOne("customer", replicate("customer", Seq("c_custkey")))
-    writeOne("part", replicate("part", Seq("p_partkey")))
-    writeOne("orders", replicate("orders", Seq("o_orderkey", "o_custkey")))
-    writeOne("lineitem",
+    if (want("region")) writeOne("region", src("region"))
+    if (want("nation")) writeOne("nation", src("nation"))
+    if (want("supplier")) writeOne("supplier", replicate("supplier", Seq("s_suppkey")))
+    if (want("customer")) writeOne("customer", replicate("customer", Seq("c_custkey")))
+    if (want("part")) writeOne("part", replicate("part", Seq("p_partkey")))
+    if (want("orders")) writeOne("orders", replicate("orders", Seq("o_orderkey", "o_custkey")))
+    if (want("lineitem")) writeOne("lineitem",
       replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey")))
-    writeOne("events",
+    if (want("events")) writeOne("events",
       replicate("events", Seq("event_id", "user_id")))
 
+    if (want("documents")) {
     val nDocs = src("documents").count() * mul
     val vocab = array(Vocab.map(lit): _*)
     val docs = spark.range(nDocs).select(col("id").as("doc_id"))
@@ -127,7 +135,9 @@ object GenFixtures {
       .withColumn("n_chars", lit(44L) + hmod("nchars", 534, col("doc_id")))
       .select("doc_id", "text", "lang", "source", "n_chars")
     writeOne("documents", docs)
+    }
 
+    if (want("embeddings")) {
     val nVecs = src("embeddings").count() * mul
     // Box-Muller on two salted uniforms per (id, dim), then L2-normalize
     val dims = sequence(lit(0), lit(63))
@@ -144,6 +154,7 @@ object GenFixtures {
       .withColumn("label", hmod("label", 10, col("vec_id")).cast("int"))
       .select("vec_id", "embedding", "label")
     writeOne("embeddings", embs)
+    }
 
     spark.stop()
   }
