@@ -228,6 +228,50 @@ object Aggs {
     None
   )
 
+  /** Exact sliding-window distinct (r12) — the fully-oracled deterministic
+    * twin of [[winSlidingDistinctHll]] (the `agg_quantiles_hist_det` /
+    * `txt_freq_tokens_det` precedent): distinct users in the trailing
+    * 24 h, every hour, computed EXACTLY from the distinct (hour, user)
+    * activity matrix. The matrix is the scale trick: it is bounded by
+    * |hours|×|users| regardless of log volume (one map-side-combined
+    * distinct over the log), and the 24-hour replication explode then
+    * costs 24×|matrix| rows — NOT 24× the log. Each (hr, user) activity
+    * contributes to target hours [hr, hr+23]; a semi-join against the
+    * hours actually present keeps the output domain identical to the
+    * sketch twin's. ExemptSpec's 5% pin for the HLL op now reads its
+    * exact side from THIS DuckDB-verified key. At 100 TB the sketch twin
+    * remains the cheap path (kilobytes of sketches vs 24×matrix shuffle);
+    * this op is the exact readout when the matrix fits — and it does,
+    * because it grows with users×hours, not events.
+    */
+  val winSlidingDistinctDet = Op(
+    "win_sliding_distinct_det",
+    (s, d) => {
+      val pairs = T.events(s, d)
+        .select(expr("unix_timestamp(ts) div 3600").as("hr"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true)
+      val hours = pairs.select(col("hr")).distinct()
+      pairs
+        .select(explode(expr("sequence(hr, hr + 23)")).as("hr_t"), col("user_id"))
+        .join(hours.withColumnRenamed("hr", "hr_t"), Seq("hr_t"), "left_semi")
+        .groupBy(col("hr_t"))
+        .agg(countDistinct(col("user_id")).as("exact_users_24h"))
+        .select(col("hr_t").as("hr"), col("exact_users_24h"))
+        .orderBy(col("hr"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT CAST(FLOOR(EXTRACT(EPOCH FROM ts)) AS BIGINT) // 3600 AS hr,
+               user_id
+        FROM events),
+      hours AS (SELECT DISTINCT hr FROM pairs)
+      SELECT h.hr, COUNT(DISTINCT p.user_id) AS exact_users_24h
+      FROM hours h JOIN pairs p ON p.hr BETWEEN h.hr - 23 AND h.hr
+      GROUP BY h.hr ORDER BY h.hr
+    """)
+  )
+
   /** Approximate quantiles via the GK/KLL-style percentile_approx sketch —
     * the 100 TB path for order statistics (bounded sketch per group, merges
     * associatively) vs an exact percentile's full per-group sort. Accuracy
@@ -1025,6 +1069,7 @@ object Aggs {
     aggExactMedianDistributed, aggBoolAnyAll, aggCorrCovar, aggRollup, aggCube,
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
     aggHistogramFixedBins, aggMedianByGroup, aggModePerGroup,
-    aggPercentileContDisc, winSlidingDistinctHll, aggCountminFreq,
+    aggPercentileContDisc, winSlidingDistinctHll, winSlidingDistinctDet,
+    aggCountminFreq,
     aggWeightedMedian)
 }

@@ -42,17 +42,13 @@ class ExemptSpec extends AnyFunSuite {
         s"$k: merged estimate ${merged(k)} vs exact $e")
   }
 
-  test("win_sliding_distinct_hll: every trailing-24h estimate within 5% of exact") {
+  test("win_sliding_distinct_hll: every trailing-24h estimate within 5% of the oracled det twin") {
+    // the exact side now comes from the ORACLED twin win_sliding_distinct_det
+    // (DuckDB-verified), so an HLL regression breaks this pin against an
+    // oracle-backed truth instead of an inline recompute
     val approx = Registry.queries("win_sliding_distinct_hll")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val pairs = T.events(spark, sf)
-      .select(expr("unix_timestamp(ts) div 3600").as("hr"), col("user_id"))
-      .distinct()
-    val exact = pairs.select(col("hr"))
-      .distinct()
-      .join(pairs.select(col("hr").as("h2"), col("user_id")),
-        col("h2") >= col("hr") - 23 && col("h2") <= col("hr"))
-      .groupBy(col("hr")).agg(countDistinct(col("user_id")).as("n"))
+    val exact = Registry.queries("win_sliding_distinct_det")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(approx.keySet == exact.keySet)
     for ((h, e) <- exact)
