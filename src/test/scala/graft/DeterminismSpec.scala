@@ -128,7 +128,9 @@ class DeterminismSpec extends AnyFunSuite {
     "evt_welch_ttest",           // decimal moments + IEEE finish
     "evt_ab_power_mde",          // decimal moments + floor-cast ppm
     "txt_mattr_diversity",       // per-doc window transform + ppm
-    "agg_quantiles_hist_det")    // histogram cumsum + ceil rank pick
+    "agg_quantiles_hist_det",    // histogram cumsum + ceil rank pick
+    "txt_freq_tokens_det",       // vocab count + broadcast-scalar support gate
+    "win_sliding_distinct_det")  // matrix explode + trailing countDistinct
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
