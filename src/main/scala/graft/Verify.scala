@@ -18,12 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_COALESCE=0 keeps the write parallel (local scale
+    // sweeps: coalesce(1) single-threads the whole upstream computation —
+    // a 10 M-row window op at sf10 runs in ONE task; the multi-file output
+    // loses row order, so pair it with check.py --sort-rows). The driver
+    // always runs the default ordered single-file form.
+    val coalesce1 = sys.env.getOrElse("SPARK_GRAFT_VERIFY_COALESCE", "1") != "0"
     SparkEntry.queries
       .filter { case (name, _) => keyFilter.isEmpty || keyFilter(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1159,6 +1159,14 @@ object Scans {
     * an injected newline, reads them back multiLine, and proves the round
     * trip lossless with per-lang count + exact char-mass aggregates; the
     * oracle computes the same aggregates from the parquet original.
+    *
+    * SCALE FIX (r12; caught by the sf10 ORACLE sweep — ARITHMETIC_OVERFLOW):
+    * the md5-mass checksum summed raw 12-hex-digit values (< 16^12 ≈
+    * 2.8e14 each), which overflows Long past ~33 k docs per group — sf10's
+    * 400 k-doc language groups blew it on BOTH engines (DuckDB's HUGEINT
+    * sum survives but the BIGINT cast throws). The checksum is now a
+    * modular sum (mod 1e9+7, residues summed then reduced — overflow-free
+    * to ~9e9 rows per group), identical on both sides at every scale.
     */
   val scanCsvMultiline = Op(
     "scan_csv_multiline",
@@ -1184,7 +1192,9 @@ object Scans {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("payload"))).as("payload_chars"),
-          sum(expr("conv(substring(md5(payload), 1, 12), 16, 10)").cast("long"))
+          pmod(sum(pmod(
+              expr("conv(substring(md5(payload), 1, 12), 16, 10)").cast("long"),
+              lit(1000000007L))), lit(1000000007L))
             .as("payload_md5_mass"))
         .orderBy(col("lang"))
     },
@@ -1195,7 +1205,8 @@ object Scans {
                list_transform(range(1, 13),
                  i -> CAST(strpos('0123456789abcdef',
                         substring(md5(payload), i, 1)) - 1 AS BIGINT)),
-               (acc, v) -> acc * 16 + v)) AS BIGINT) AS payload_md5_mass
+               (acc, v) -> acc * 16 + v) % 1000000007) % 1000000007 AS BIGINT)
+               AS payload_md5_mass
       FROM (
         SELECT lang,
                substring(text, 1, 40) || chr(10) || substring(text, 41, 40) AS payload

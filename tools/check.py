@@ -4,7 +4,12 @@ tables (registered as bare-name views) and compare with the Spark parquet
 output written by graft.Verify. Mirrors the driver: sort columns by name,
 then compare row-for-row.
 
-Usage: python3 tools/check.py <sfDir> <outDir> [key ...]
+Usage: python3 tools/check.py [--sort-rows] <sfDir> <outDir> [key ...]
+
+--sort-rows: compare as sorted multisets instead of row-for-row — for
+outputs written WITHOUT coalesce(1) (SPARK_GRAFT_VERIFY_COALESCE=0), where
+multi-file parquet loses the ORDER BY. Sorting both sides by ALL columns
+is a total order over full rows, so the comparison stays exact.
 """
 import json, sys, math
 import duckdb
@@ -13,8 +18,12 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = list(sys.argv[1:])
+    sort_rows = "--sort-rows" in argv
+    if sort_rows:
+        argv.remove("--sort-rows")
+    sf_dir, out_dir = argv[0], argv[1]
+    only = set(argv[2:])
     con = duckdb.connect()
     con.execute("SET threads=4")
     for t in TABLES:
@@ -38,6 +47,11 @@ def main():
             continue
         exp = exp[sorted(exp.columns)]
         got = got[sorted(got.columns)]
+        if sort_rows and len(exp.columns) > 0:
+            sk = [exp[c].astype(str) for c in exp.columns]
+            exp = exp.iloc[sorted(range(len(exp)), key=lambda i: tuple(k[i] for k in sk))].reset_index(drop=True)
+            sk = [got[c].astype(str) for c in got.columns]
+            got = got.iloc[sorted(range(len(got)), key=lambda i: tuple(k[i] for k in sk))].reset_index(drop=True)
         if list(exp.columns) != list(got.columns):
             print(f"FAIL {key}: columns differ: oracle={list(exp.columns)} spark={list(got.columns)}")
             n_fail += 1
