@@ -384,10 +384,15 @@ object Scalars {
         .withColumn("prev_units", lag(col("rev_units"), 1).over(w))
         // sign * (abs * 1e6 div prev): Spark's `div` truncates toward zero
         // while DuckDB's `//` floors — on the non-negative operand the two
-        // agree, so the signed growth is engine-identical
+        // agree, so the signed growth is engine-identical.
+        // SCALE FIX (r12; caught by the sf10 ORACLE sweep): the abs-diff is
+        // ~1.2e13 revenue units per nation-month at sf10, so ×1e6 overflows
+        // BIGINT on BOTH engines — widen the intermediate (DECIMAL(38,0)
+        // here, HUGEINT in the oracle); the floored quotient is bit-equal.
         .withColumn("growth_ppm",
           expr("""CAST(SIGN(rev_units - prev_units) AS BIGINT)
-                  * (abs(rev_units - prev_units) * 1000000L div prev_units)"""))
+                  * CAST((CAST(abs(rev_units - prev_units) AS DECIMAL(38,0))
+                          * 1000000) div prev_units AS BIGINT)"""))
         .select(col("n_name"), col("month"), col("rev_units"),
           col("prev_units"), col("growth_ppm"))
         .orderBy(col("n_name"), col("month"))
@@ -406,7 +411,8 @@ object Scalars {
         FROM monthly)
       SELECT n_name, month, rev_units, prev_units,
              CAST(SIGN(rev_units - prev_units) AS BIGINT)
-               * (abs(rev_units - prev_units) * 1000000 // prev_units) AS growth_ppm
+               * CAST(CAST(abs(rev_units - prev_units) AS HUGEINT)
+                      * 1000000 // prev_units AS BIGINT) AS growth_ppm
       FROM lagged
       ORDER BY n_name, month
     """)
