@@ -1664,11 +1664,88 @@ object TextAnalysis {
     """)
   )
 
+  /** Hashed-n-gram importance scoring (r12) — the data-SELECTION stage of a
+    * training pipeline, the DSIR shape (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw doc
+    * by how target-domain-like its hashed bigram features are. The public
+    * recipe fits two hashed-n-gram bag models (target, raw) and weighs
+    * docs by the likelihood ratio; here the log-ratio sum is replaced by
+    * the integer-exact linear form — per-doc dot products of the doc's
+    * bucket counts against the target and raw bucket profiles, emitted as
+    * an integer ppm ratio — which is hash-parity across engines where a
+    * float log-sum would be accumulation-order-sensitive. Features are
+    * word bigrams hashed to 4096 buckets via the md5-prefix idiom
+    * (substr(md5(bigram),1,3) — the txt_fingerprint parity trick; Spark's
+    * murmur `hash()` has no DuckDB twin, which is why txt_hashing_tf is
+    * exempt and this op is NOT). Target domain = the `lang='en'` slice
+    * (the in-domain proxy this fixture affords). Shape at 100 TB: one
+    * bigram explode (narrow, codegen'd token_ngrams) → the bucket profile
+    * is a 4096-row aggregate (vocabulary-independent, BROADCAST) → per-doc
+    * scoring is one map-side-combinable groupBy(doc_id) — shuffle volume
+    * is docs, never bigrams; the ×1e6 intermediate is widened to
+    * DECIMAL(38,0)/HUGEINT per the dt_mom_growth sf10 lesson. Emits the
+    * per-lang rollup (n_docs + exact sum/min/max score) — en must
+    * dominate, which DsirSpec asserts as the discriminative property.
+    */
+  val txtDsirWeight = Op(
+    "txt_dsir_weight",
+    (s, d) => {
+      graft.functions.NGrams.register(s)
+      val bg = T.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(call_function("token_ngrams", col("toks"), lit(2))).as("bigram"))
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("bigram")), 1, 3).as("h"))
+      val profile = bg.groupBy(col("h")).agg(
+        count(lit(1)).as("r_b"),
+        count(when(col("lang") === "en", lit(1))).as("t_b"))
+      val scored = bg
+        .join(broadcast(profile), "h")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("t_b")).as("a_d"), sum(col("r_b")).as("r_d"))
+        .withColumn("score_ppm",
+          expr("CAST((CAST(a_d AS DECIMAL(38,0)) * 1000000) div r_d AS BIGINT)"))
+      scored.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("score_ppm")).as("sum_score_ppm"),
+        min(col("score_ppm")).as("min_score_ppm"),
+        max(col("score_ppm")).as("max_score_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (
+        SELECT doc_id, lang,
+               substr(md5(unnest(list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i+1]))), 1, 3) AS h
+        FROM docs),
+      profile AS (
+        SELECT h, COUNT(*) AS r_b,
+               COUNT(*) FILTER (WHERE lang = 'en') AS t_b
+        FROM bg GROUP BY h),
+      scored AS (
+        SELECT bg.doc_id, bg.lang,
+               SUM(p.t_b) AS a_d, SUM(p.r_b) AS r_d
+        FROM bg JOIN profile p ON bg.h = p.h
+        GROUP BY bg.doc_id, bg.lang)
+      SELECT lang, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(CAST(a_d AS HUGEINT) * 1000000 // r_d AS BIGINT)) AS BIGINT) AS sum_score_ppm,
+             MIN(CAST(CAST(a_d AS HUGEINT) * 1000000 // r_d AS BIGINT)) AS min_score_ppm,
+             MAX(CAST(CAST(a_d AS HUGEINT) * 1000000 // r_d AS BIGINT)) AS max_score_ppm
+      FROM scored
+      GROUP BY lang ORDER BY lang
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
     txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio, txtWinnowing,
     txtMattrDiversity,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
-    txtFreqTokensDet,
+    txtFreqTokensDet, txtDsirWeight,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,

@@ -873,6 +873,14 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
+  test("txt_dsir_weight broadcasts the 4096-bucket profile — no sort-merge join") {
+    val p = plan("txt_dsir_weight")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the bucket-profile join must broadcast (4096 rows at ANY corpus scale): $p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here shuffles every bigram instance by hash bucket: $p")
+  }
+
   test("scan_custom_dsv2: the source plans its 8 range slices") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.format("graft.sources.RangeLedger")

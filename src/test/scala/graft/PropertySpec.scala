@@ -528,5 +528,21 @@ class PropertySpec extends AnyFunSuite {
       "cross-bound twin texts drifted — the exclusion check is vacuous")
   }
 
+  test("dsir importance: scores bounded by construction and en (the target) dominates") {
+    val rows = Registry.queries("txt_dsir_weight")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // a_d <= r_d always (the target slice is a subset of the corpus), so
+    // every score is in [0, 1e6]; min/max consistent with the sum
+    assert(rows.forall { case (_, n, s, lo, hi) =>
+      lo >= 0 && hi <= 1000000L && lo <= hi && s >= n * lo && s <= n * hi
+    }, rows.mkString(","))
+    // the discriminative property — the reason the op exists: target-domain
+    // docs must outscore every other lang on average (en bigrams feed t_b)
+    val avg = rows.map { case (l, n, s, _, _) => l -> s.toDouble / n }.toMap
+    val others = avg.view.filterKeys(_ != "en").values
+    assert(avg.contains("en") && others.forall(_ < avg("en")),
+      s"en does not dominate: $avg")
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }
