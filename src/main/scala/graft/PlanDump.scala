@@ -91,7 +91,9 @@ object PlanDump {
     "sim_simhash_shingle_bands" ->
       "bigram-shingle banded simhash (the scale path): per-doc integer sketch with no shuffle, 4-band equi-join candidates, bit_count hamming verify on candidates only",
     "agg_quantiles_hist_det" ->
-      "deterministic sketch quantiles: ONE map-combinable histogram groupBy over the log; cum windows + probability explode run on sketch-sized rows")
+      "deterministic sketch quantiles: ONE map-combinable histogram groupBy over the log; cum windows + probability explode run on sketch-sized rows",
+    "txt_dsir_weight" ->
+      "DSIR importance scoring: codegen'd bigram explode, 4096-bucket profile BROADCAST back onto the bigram stream, map-side-combined per-doc dot products -- shuffle volume is docs, never bigrams")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

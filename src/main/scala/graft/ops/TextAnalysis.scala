@@ -1687,34 +1687,31 @@ object TextAnalysis {
     * per-lang rollup (n_docs + exact sum/min/max score) — en must
     * dominate, which DsirSpec asserts as the discriminative property.
     */
-  val txtDsirWeight = Op(
-    "txt_dsir_weight",
-    (s, d) => {
-      graft.functions.NGrams.register(s)
-      val bg = T.documents(s, d)
-        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(call_function("token_ngrams", col("toks"), lit(2))).as("bigram"))
-        .select(col("doc_id"), col("lang"),
-          substring(md5(col("bigram")), 1, 3).as("h"))
-      val profile = bg.groupBy(col("h")).agg(
-        count(lit(1)).as("r_b"),
-        count(when(col("lang") === "en", lit(1))).as("t_b"))
-      val scored = bg
-        .join(broadcast(profile), "h")
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("t_b")).as("a_d"), sum(col("r_b")).as("r_d"))
-        .withColumn("score_ppm",
-          expr("CAST((CAST(a_d AS DECIMAL(38,0)) * 1000000) div r_d AS BIGINT)"))
-      scored.groupBy(col("lang")).agg(
-        count(lit(1)).as("n_docs"),
-        sum(col("score_ppm")).as("sum_score_ppm"),
-        min(col("score_ppm")).as("min_score_ppm"),
-        max(col("score_ppm")).as("max_score_ppm"))
-        .orderBy(col("lang"))
-    },
-    Some("""
+  /** Shared DSIR scoring stage: (doc_id, lang, score_ppm) per doc with
+    * >= 2 tokens — see [[txtDsirWeight]] for the derivation and scale
+    * shape. Used by both the weight report and the resampling op.
+    */
+  private def dsirScores(s: org.apache.spark.sql.SparkSession, d: String) = {
+    graft.functions.NGrams.register(s)
+    val bg = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(call_function("token_ngrams", col("toks"), lit(2))).as("bigram"))
+      .select(col("doc_id"), col("lang"),
+        substring(md5(col("bigram")), 1, 3).as("h"))
+    val profile = bg.groupBy(col("h")).agg(
+      count(lit(1)).as("r_b"),
+      count(when(col("lang") === "en", lit(1))).as("t_b"))
+    bg.join(broadcast(profile), "h")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("t_b")).as("a_d"), sum(col("r_b")).as("r_d"))
+      .withColumn("score_ppm",
+        expr("CAST((CAST(a_d AS DECIMAL(38,0)) * 1000000) div r_d AS BIGINT)"))
+  }
+
+  /** The shared scoring CTEs of the two DSIR ops' oracles. */
+  private val dsirOracleCtes = """
       WITH docs AS (
         SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
         WHERE len(string_split(text, ' ')) >= 2),
@@ -1729,15 +1726,77 @@ object TextAnalysis {
         FROM bg GROUP BY h),
       scored AS (
         SELECT bg.doc_id, bg.lang,
-               SUM(p.t_b) AS a_d, SUM(p.r_b) AS r_d
+               CAST(CAST(SUM(p.t_b) AS HUGEINT) * 1000000 // SUM(p.r_b) AS BIGINT)
+                 AS score_ppm
         FROM bg JOIN profile p ON bg.h = p.h
-        GROUP BY bg.doc_id, bg.lang)
+        GROUP BY bg.doc_id, bg.lang)"""
+
+  val txtDsirWeight = Op(
+    "txt_dsir_weight",
+    (s, d) => {
+      val scored = dsirScores(s, d)
+      scored.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("score_ppm")).as("sum_score_ppm"),
+        min(col("score_ppm")).as("min_score_ppm"),
+        max(col("score_ppm")).as("max_score_ppm"))
+        .orderBy(col("lang"))
+    },
+    Some(dsirOracleCtes + """
       SELECT lang, COUNT(*) AS n_docs,
-             CAST(SUM(CAST(CAST(a_d AS HUGEINT) * 1000000 // r_d AS BIGINT)) AS BIGINT) AS sum_score_ppm,
-             MIN(CAST(CAST(a_d AS HUGEINT) * 1000000 // r_d AS BIGINT)) AS min_score_ppm,
-             MAX(CAST(CAST(a_d AS HUGEINT) * 1000000 // r_d AS BIGINT)) AS max_score_ppm
+             CAST(SUM(score_ppm) AS BIGINT) AS sum_score_ppm,
+             MIN(score_ppm) AS min_score_ppm,
+             MAX(score_ppm) AS max_score_ppm
       FROM scored
       GROUP BY lang ORDER BY lang
+    """)
+  )
+
+  /** Importance RESAMPLING (r12) — the selection half of the DSIR recipe
+    * (Xie et al. 2023): keep each doc with probability proportional to its
+    * importance score, deterministically — the per-doc uniform is the same
+    * Knuth multiplicative hash `(doc_id·2654435761) mod 2^32` that
+    * sample_hash_bucket/sample_stratified use (stable across engines,
+    * partitionings and runs, unlike any RNG draw), and the keep rule is
+    * the all-integer cross-multiplication `u·1e6 < score_ppm·2^32` (both
+    * sides < 2^63 — no widening needed, both engines exact). A doc with
+    * score 0.9 keeps with probability 0.9; re-runs keep the identical SET,
+    * so the resample is idempotent and incremental-append-safe — the
+    * property that matters when the 100 TB corpus is re-selected monthly.
+    * Emits per-lang candidates/kept/keep-ppm plus kept char mass: target-
+    * domain docs survive at ~2× the rate of the other langs, which is the
+    * paper's entire point. Shape: the dsirScores stage (see
+    * [[txtDsirWeight]]) + one narrow integer predicate + the bounded lang
+    * rollup — no new shuffle beyond the scoring stage's.
+    */
+  val txtDsirResample = Op(
+    "txt_dsir_resample",
+    (s, d) => {
+      val scored = dsirScores(s, d)
+        .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+        .withColumn("u", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        .withColumn("kept",
+          (col("u") * lit(1000000L) < col("score_ppm") * lit(4294967296L)).cast("int"))
+      scored.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(col("kept")).as("n_kept"),
+        expr("CAST(SUM(kept) * 1000000 div COUNT(*) AS BIGINT)").as("keep_ppm"),
+        sum(col("kept") * col("n_chars")).as("kept_chars"))
+        .orderBy(col("lang"))
+    },
+    Some(dsirOracleCtes + """
+      SELECT s.lang, COUNT(*) AS n_candidates,
+             CAST(SUM(CASE WHEN (s.doc_id * 2654435761) % 4294967296 * 1000000
+                                < s.score_ppm * 4294967296 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+             CAST(SUM(CASE WHEN (s.doc_id * 2654435761) % 4294967296 * 1000000
+                                < s.score_ppm * 4294967296 THEN 1 ELSE 0 END)
+                  * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
+             CAST(SUM(CASE WHEN (s.doc_id * 2654435761) % 4294967296 * 1000000
+                                < s.score_ppm * 4294967296 THEN d2.n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+      FROM scored s JOIN documents d2 ON s.doc_id = d2.doc_id
+      GROUP BY s.lang ORDER BY s.lang
     """)
   )
 
@@ -1745,7 +1804,7 @@ object TextAnalysis {
     txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio, txtWinnowing,
     txtMattrDiversity,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,
-    txtFreqTokensDet, txtDsirWeight,
+    txtFreqTokensDet, txtDsirWeight, txtDsirResample,
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,

@@ -131,7 +131,8 @@ class DeterminismSpec extends AnyFunSuite {
     "agg_quantiles_hist_det",    // histogram cumsum + ceil rank pick
     "txt_freq_tokens_det",       // vocab count + broadcast-scalar support gate
     "win_sliding_distinct_det",  // matrix explode + trailing countDistinct
-    "txt_dsir_weight")           // md5-bucket profiles + integer ppm ratio
+    "txt_dsir_weight",           // md5-bucket profiles + integer ppm ratio
+    "txt_dsir_resample")         // Knuth-hash uniform vs integer score gate
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -544,5 +544,23 @@ class PropertySpec extends AnyFunSuite {
       s"en does not dominate: $avg")
   }
 
+  test("dsir resample keeps in proportion to score and en survives at the top rate") {
+    val rows = Registry.queries("txt_dsir_resample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.forall { case (_, n, k, ppm, _) =>
+      k >= 0 && k <= n && ppm >= 0 && ppm <= 1000000L && ppm == k * 1000000L / n
+    }, rows.mkString(","))
+    // selection must track the importance weights: the target lang keeps
+    // the highest fraction (en scores dominate per the weight-op test)
+    val rate = rows.map { case (l, n, k, _, _) => l -> k.toDouble / n }.toMap
+    assert(rate.view.filterKeys(_ != "en").values.forall(_ < rate("en")),
+      s"en does not survive at the top rate: $rate")
+    // kept char mass is bounded by the lang's total char mass
+    val tot = graft.ops.T.documents(spark, sf)
+      .groupBy(col("lang")).agg(sum(col("n_chars")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.forall { case (l, _, _, _, kc) => kc <= tot(l) }, rows.mkString(","))
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }

@@ -11,7 +11,7 @@ outputs written WITHOUT coalesce(1) (SPARK_GRAFT_VERIFY_COALESCE=0), where
 multi-file parquet loses the ORDER BY. Sorting both sides by ALL columns
 is a total order over full rows, so the comparison stays exact.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
@@ -25,7 +25,9 @@ def main():
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     con = duckdb.connect()
-    con.execute("SET threads=4")
+    # default 4 mirrors the driver; scale sweeps override (heavy sf10
+    # oracles — brute-force ANN ground truth — parallelize well)
+    con.execute("SET threads=%d" % int(os.environ.get("GRAFT_DUCKDB_THREADS", "4")))
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
