@@ -28,12 +28,61 @@ def main():
     # default 4 mirrors the driver; scale sweeps override (heavy sf10
     # oracles — brute-force ANN ground truth — parallelize well)
     con.execute("SET threads=%d" % int(os.environ.get("GRAFT_DUCKDB_THREADS", "4")))
+    if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
+        con.execute("SET memory_limit='%s'" % os.environ["GRAFT_DUCKDB_MEMLIMIT"])
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for key, sql in sorted(oracles.items()):
         if only and key not in only:
+            continue
+        # Giant outputs (tens of millions of rows — the diagnostic quadratics
+        # at sf10+) cannot round-trip through pandas (measured 74 GB RSS →
+        # OOM). Above the threshold, compare entirely inside DuckDB: equal
+        # column sets + equal row counts + empty symmetric EXCEPT ALL is
+        # exactly the sorted-multiset compare, and DuckDB spills to disk.
+        duck_threshold = int(os.environ.get("GRAFT_DUCK_COMPARE_ROWS", "5000000"))
+        try:
+            n_spark = con.sql(
+                f"SELECT count(*) FROM '{out_dir}/{key}/*.parquet'").fetchone()[0]
+        except Exception as e:
+            print(f"FAIL {key}: spark output missing/unreadable: {e}")
+            n_fail += 1
+            continue
+        if sort_rows and n_spark > duck_threshold:
+            try:
+                ecols = sorted(r[0] for r in con.sql(
+                    f"DESCRIBE (WITH __e AS ({sql}) SELECT * FROM __e)").fetchall())
+                gcols = sorted(r[0] for r in con.sql(
+                    f"DESCRIBE (SELECT * FROM '{out_dir}/{key}/*.parquet')").fetchall())
+                if ecols != gcols:
+                    print(f"FAIL {key}: columns differ: oracle={ecols} spark={gcols}")
+                    n_fail += 1
+                    continue
+                cols = ", ".join(f'"{c}"' for c in ecols)
+                n_exp = con.sql(f"WITH __e AS ({sql}) SELECT count(*) FROM __e").fetchone()[0]
+                if n_exp != n_spark:
+                    print(f"FAIL {key}: rows differ: oracle={n_exp} spark={n_spark}")
+                    n_fail += 1
+                    continue
+                diff = con.sql(f"""
+                    WITH e AS ({sql}),
+                         g AS (SELECT * FROM '{out_dir}/{key}/*.parquet')
+                    SELECT count(*) FROM (
+                      (SELECT {cols} FROM e EXCEPT ALL SELECT {cols} FROM g)
+                      UNION ALL
+                      (SELECT {cols} FROM g EXCEPT ALL SELECT {cols} FROM e))
+                    """).fetchone()[0]
+                if diff:
+                    print(f"FAIL {key}: {diff} rows differ (duck multiset compare)")
+                    n_fail += 1
+                else:
+                    print(f"PASS {key} ({n_spark} rows, duck multiset compare)")
+                    n_pass += 1
+            except Exception as e:
+                print(f"FAIL {key}: duck compare error: {e}")
+                n_fail += 1
             continue
         try:
             exp = con.sql(sql).df()
