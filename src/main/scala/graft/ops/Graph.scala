@@ -413,19 +413,24 @@ object Graph {
       rounds.reduce(_ unionByName _).orderBy(col("round"))
     },
     Some("""
-      WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      -- every CTE below is MATERIALIZED: DuckDB inlines plain CTEs per
+      -- REFERENCE, and this pyramid (each eN referenced 4x: next round's
+      -- filter+join and two scalar subqueries) re-evaluates the whole
+      -- chain exponentially -- measured 60+ GB of spill at sf10 vs 4 s
+      -- materialized; results are identical by definition
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                   WHERE l_quantity < 4),
-      edges AS (SELECT cust AS src, supp + 1000000 AS dst FROM e0
+      edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000 AS dst FROM e0
                 UNION ALL SELECT supp + 1000000, cust FROM e0),
-      l1 AS (SELECT src AS v FROM edges GROUP BY src HAVING COUNT(*) >= 5),
-      e1 AS (SELECT e.src, e.dst FROM edges e
+      l1 AS MATERIALIZED (SELECT src AS v FROM edges GROUP BY src HAVING COUNT(*) >= 5),
+      e1 AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
              JOIN l1 a ON e.src = a.v JOIN l1 b ON e.dst = b.v),
-      l2 AS (SELECT src AS v FROM e1 GROUP BY src HAVING COUNT(*) >= 5),
-      e2 AS (SELECT e.src, e.dst FROM e1 e
+      l2 AS MATERIALIZED (SELECT src AS v FROM e1 GROUP BY src HAVING COUNT(*) >= 5),
+      e2 AS MATERIALIZED (SELECT e.src, e.dst FROM e1 e
              JOIN l2 a ON e.src = a.v JOIN l2 b ON e.dst = b.v),
-      l3 AS (SELECT src AS v FROM e2 GROUP BY src HAVING COUNT(*) >= 5),
-      e3 AS (SELECT e.src, e.dst FROM e2 e
+      l3 AS MATERIALIZED (SELECT src AS v FROM e2 GROUP BY src HAVING COUNT(*) >= 5),
+      e3 AS MATERIALIZED (SELECT e.src, e.dst FROM e2 e
              JOIN l3 a ON e.src = a.v JOIN l3 b ON e.dst = b.v)
       SELECT 1 AS round, (SELECT COUNT(DISTINCT src) FROM e1) AS verts_live,
              (SELECT COUNT(*) FROM e1) AS edges_live
@@ -739,19 +744,23 @@ object Graph {
       a2.orderBy(col("auth").desc, col("supp")).limit(15)
     },
     Some("""
-      WITH e AS (
+      -- MATERIALIZED per the graph_k_core note: DuckDB re-inlines each
+      -- CTE per reference, and this two-round chain references every
+      -- stage twice (the next stage + a scalar MAX) -- exponential
+      -- re-evaluation, measured as a 60 GB disk-exhaustion at sf10
+      WITH e AS MATERIALIZED (
         SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
-      a1r AS (SELECT supp, COUNT(*) AS auth FROM e GROUP BY supp),
-      a1 AS (SELECT supp, CAST(auth * 1000000 // (SELECT MAX(auth) FROM a1r) AS BIGINT) AS auth
+      a1r AS MATERIALIZED (SELECT supp, COUNT(*) AS auth FROM e GROUP BY supp),
+      a1 AS MATERIALIZED (SELECT supp, CAST(auth * 1000000 // (SELECT MAX(auth) FROM a1r) AS BIGINT) AS auth
              FROM a1r),
-      h1r AS (SELECT cust, SUM(auth) AS hub
+      h1r AS MATERIALIZED (SELECT cust, SUM(auth) AS hub
               FROM e JOIN a1 USING (supp) GROUP BY cust),
-      h1 AS (SELECT cust, CAST(hub * 1000000 // (SELECT MAX(hub) FROM h1r) AS BIGINT) AS hub
+      h1 AS MATERIALIZED (SELECT cust, CAST(hub * 1000000 // (SELECT MAX(hub) FROM h1r) AS BIGINT) AS hub
              FROM h1r),
-      a2r AS (SELECT supp, SUM(hub) AS auth
+      a2r AS MATERIALIZED (SELECT supp, SUM(hub) AS auth
               FROM e JOIN h1 USING (cust) GROUP BY supp),
-      a2 AS (SELECT supp, CAST(auth * 1000000 // (SELECT MAX(auth) FROM a2r) AS BIGINT) AS auth
+      a2 AS MATERIALIZED (SELECT supp, CAST(auth * 1000000 // (SELECT MAX(auth) FROM a2r) AS BIGINT) AS auth
              FROM a2r)
       SELECT supp, auth FROM a2 ORDER BY auth DESC, supp LIMIT 15
     """)

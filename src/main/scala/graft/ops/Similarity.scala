@@ -581,10 +581,12 @@ object Similarity {
       bandedHamming60(sh)
     },
     Some("""
-      WITH toks AS (
+      -- CTEs MATERIALIZED: the banded self-join references its chain twice
+      -- and DuckDB re-inlines plain CTEs per reference (see graph_k_core)
+      WITH toks AS MATERIALIZED (
         SELECT DISTINCT doc_id, token FROM (
           SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
-      hashed AS (
+      hashed AS MATERIALIZED (
         SELECT doc_id, token, k,
                CAST(SUM(ascii(c) * ((pos * (CASE k WHEN 0 THEN 12289 WHEN 1 THEN 28657
                                                    WHEN 2 THEN 40503 ELSE 52289 END)) % 32768))
@@ -593,20 +595,20 @@ object Similarity {
               FROM (SELECT doc_id, token, string_split(token, '') AS cs FROM toks))
         CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
         GROUP BY doc_id, token, k),
-      votes AS (
+      votes AS MATERIALIZED (
         SELECT doc_id, j,
                CAST(SUM(((h // CAST(pow(2, j % 15) AS BIGINT)) % 2) * 2 - 1) AS BIGINT) AS votes
         FROM hashed JOIN (SELECT unnest(range(0, 60)) AS j) ON (j // 15) = k
         GROUP BY doc_id, j),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT doc_id,
                CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT doc_id, simhash, band,
                (simhash // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                xor(a.simhash, b.simhash) AS x, a.band AS band
         FROM banded a JOIN banded b
@@ -662,13 +664,15 @@ object Similarity {
       bandedHamming60(sh)
     },
     Some("""
-      WITH shingles AS (
+      -- CTEs MATERIALIZED: the banded self-join references its chain twice
+      -- and DuckDB re-inlines plain CTEs per reference (see graph_k_core)
+      WITH shingles AS MATERIALIZED (
         SELECT DISTINCT doc_id, shingle AS token FROM (
           SELECT doc_id,
                  unnest(list_transform(range(1, len(arr)),
                    i -> arr[i] || ' ' || arr[i + 1])) AS shingle
           FROM (SELECT doc_id, string_split(text, ' ') AS arr FROM documents))),
-      hashed AS (
+      hashed AS MATERIALIZED (
         SELECT doc_id, token, k,
                CAST(SUM(ascii(c) * ((pos * (CASE k WHEN 0 THEN 12289 WHEN 1 THEN 28657
                                                    WHEN 2 THEN 40503 ELSE 52289 END)) % 32768))
@@ -677,20 +681,20 @@ object Similarity {
               FROM (SELECT doc_id, token, string_split(token, '') AS cs FROM shingles))
         CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
         GROUP BY doc_id, token, k),
-      votes AS (
+      votes AS MATERIALIZED (
         SELECT doc_id, j,
                CAST(SUM(((h // CAST(pow(2, j % 15) AS BIGINT)) % 2) * 2 - 1) AS BIGINT) AS votes
         FROM hashed JOIN (SELECT unnest(range(0, 60)) AS j) ON (j // 15) = k
         GROUP BY doc_id, j),
-      sh AS (
+      sh AS MATERIALIZED (
         SELECT doc_id,
                CAST(SUM(CASE WHEN votes > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
         FROM votes GROUP BY doc_id),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT doc_id, simhash, band,
                (simhash // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                xor(a.simhash, b.simhash) AS x, a.band AS band
         FROM banded a JOIN banded b
@@ -1464,12 +1468,14 @@ object Similarity {
         .orderBy(col("a_id"), col("b_id"))
     },
     Some("""
-      WITH quant AS (
+      -- CTEs MATERIALIZED: the banded self-join references its chain twice
+      -- and DuckDB re-inlines plain CTEs per reference (see graph_k_core)
+      WITH quant AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
         FROM embeddings),
-      sk AS (
+      sk AS MATERIALIZED (
         SELECT vec_id, q,
                CAST(list_sum(list_transform(range(0, 60), b ->
                  CASE WHEN list_sum(list_transform(range(0, 64), i ->
@@ -1477,16 +1483,16 @@ object Similarity {
                                      * 40503) % 4294967296 % 2001 - 1000))) >= 0
                       THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT) AS srp
         FROM quant),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT vec_id, srp, band,
                (srp // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                xor(a.srp, b.srp) AS x, a.band AS band
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
-      pairs AS (
+      pairs AS MATERIALIZED (
         SELECT a_id, b_id, CAST(bit_count(x) AS BIGINT) AS hamming
         FROM cand
         WHERE band = CASE WHEN x % 32768 = 0 THEN 0
@@ -1601,7 +1607,9 @@ object Similarity {
         .toDF("n_top", "n_candidates", "n_hits", "capture_ppm")
     },
     Some("""
-      WITH quant AS (
+      -- CTEs MATERIALIZED: the banded self-join references its chain twice
+      -- and DuckDB re-inlines plain CTEs per reference (see graph_k_core)
+      WITH quant AS MATERIALIZED (
         SELECT vec_id,
                list_transform(embedding,
                  x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -1620,7 +1628,7 @@ object Similarity {
       top AS (
         SELECT a_id, b_id FROM scored
         ORDER BY cos2_ppm DESC, a_id, b_id LIMIT 200),
-      sk AS (
+      sk AS MATERIALIZED (
         SELECT vec_id, q,
                CAST(list_sum(list_transform(range(0, 60), b ->
                  CASE WHEN list_sum(list_transform(range(0, 64), i ->
@@ -1631,11 +1639,11 @@ object Similarity {
                 list_transform(embedding,
                   x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
               FROM embeddings)),
-      banded AS (
+      banded AS MATERIALIZED (
         SELECT vec_id, srp, band,
                (srp // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS (
+      cand AS MATERIALIZED (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
