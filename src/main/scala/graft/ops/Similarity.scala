@@ -608,7 +608,7 @@ object Similarity {
         SELECT doc_id, simhash, band,
                (simhash // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS MATERIALIZED (
+      cand AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                xor(a.simhash, b.simhash) AS x, a.band AS band
         FROM banded a JOIN banded b
@@ -694,7 +694,7 @@ object Similarity {
         SELECT doc_id, simhash, band,
                (simhash // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS MATERIALIZED (
+      cand AS (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                xor(a.simhash, b.simhash) AS x, a.band AS band
         FROM banded a JOIN banded b
@@ -1487,12 +1487,12 @@ object Similarity {
         SELECT vec_id, srp, band,
                (srp // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS MATERIALIZED (
+      cand AS (
         SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                xor(a.srp, b.srp) AS x, a.band AS band
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id),
-      pairs AS MATERIALIZED (
+      pairs AS (
         SELECT a_id, b_id, CAST(bit_count(x) AS BIGINT) AS hamming
         FROM cand
         WHERE band = CASE WHEN x % 32768 = 0 THEN 0
@@ -1643,7 +1643,7 @@ object Similarity {
         SELECT vec_id, srp, band,
                (srp // CAST(pow(2, 15 * band) AS BIGINT)) % 32768 AS band_val
         FROM sk CROSS JOIN (SELECT unnest(range(0, 4)) AS band)),
-      cand AS MATERIALIZED (
+      cand AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.band_val = b.band_val AND a.vec_id < b.vec_id
