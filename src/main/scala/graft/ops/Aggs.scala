@@ -193,6 +193,61 @@ object Aggs {
     None
   )
 
+  /** Exact Count-Min grid (r13) — the fully-oracled deterministic twin of
+    * [[aggCountminFreq]] (the `agg_quantiles_hist_det` recipe applied to
+    * the frequency-sketch family, closing the last sketch member without
+    * an oracle-backed exact anchor): the SAME algorithm — a depth×width
+    * counter grid (4×256), estimate(v) = min over rows of the cells v
+    * hashes into — but with SQL-expressible hashes (bucket = the first
+    * md5 hex pair of `value#row`, the txt_fingerprint parity idiom), so
+    * the grid, the estimates, and the one-sided overshoot are exact
+    * integers DuckDB reproduces bit-for-bit. Because CMS cells are plain
+    * sums, the grid built FROM the exact counts table equals the grid
+    * built from the raw stream — so the op scans the event log exactly
+    * once: a map-side-combined groupBy bounded by the event-type
+    * vocabulary, then a ×4 depth-explode, the ≤1024-row grid aggregate,
+    * and a BROADCAST join back for the min — nothing after the first
+    * aggregate ever touches corpus-sized data at 100 TB. ExemptSpec ties
+    * the probabilistic CMS to this twin: the sketch's estimate must be
+    * ≥ this op's exact count per type, so a CountMinSketch regression
+    * breaks an ORACLED key's sibling pin.
+    */
+  val aggCountminFreqDet = Op(
+    "agg_countmin_freq_det",
+    (s, d) => {
+      val counts = T.events(s, d)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val cells = counts
+        .select(col("event_type"), col("cnt"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .withColumn("b",
+          substring(md5(concat_ws("#", col("event_type"), col("i"))), 1, 2))
+      val grid = cells.groupBy(col("i"), col("b")).agg(sum(col("cnt")).as("cell"))
+      cells.join(broadcast(grid), Seq("i", "b"))
+        .groupBy(col("event_type"), col("cnt"))
+        .agg(min(col("cell")).as("est_cms"))
+        .select(col("event_type"), col("cnt").as("exact_cnt"),
+          col("est_cms"), (col("est_cms") - col("cnt")).as("overshoot"))
+        .orderBy(col("event_type"))
+    },
+    Some("""
+      WITH counts AS (
+        SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1),
+      cells AS (
+        SELECT event_type, cnt, i,
+               substr(md5(event_type || '#' || i), 1, 2) AS b
+        FROM counts, (SELECT unnest(range(0, 4)) AS i)),
+      grid AS (SELECT i, b, SUM(cnt) AS cell FROM cells GROUP BY i, b)
+      SELECT c.event_type, c.cnt AS exact_cnt,
+             CAST(MIN(g.cell) AS BIGINT) AS est_cms,
+             CAST(MIN(g.cell) - c.cnt AS BIGINT) AS overshoot
+      FROM cells c JOIN grid g ON c.i = g.i AND c.b = g.b
+      GROUP BY c.event_type, c.cnt
+      ORDER BY c.event_type
+    """)
+  )
+
   /** Sliding-window distinct counting from STORED sketches — "distinct
     * users in the trailing 24 h, every hour": exactly is infeasible at
     * scale (distinct doesn't decompose over overlapping windows; the naive
@@ -1070,6 +1125,6 @@ object Aggs {
     aggGroupingSets, aggFilterClause, aggCollectSorted, aggStatsMoments,
     aggHistogramFixedBins, aggMedianByGroup, aggModePerGroup,
     aggPercentileContDisc, winSlidingDistinctHll, winSlidingDistinctDet,
-    aggCountminFreq,
+    aggCountminFreq, aggCountminFreqDet,
     aggWeightedMedian)
 }

@@ -367,6 +367,17 @@ object Scalars {
     * shape: the monthly rollup is the only data-sized shuffle; the lag
     * window runs over nations × months rows.
     */
+  /** The widened growth-ppm expression of [[dtMomGrowth]], extracted so
+    * PropertySpec can drive it past Long range on synthetic data (abs diff
+    * ~1.2e13 units × 1e6 > 2^63): a regression back to the unwidened BIGINT
+    * multiply fails `sbt test` with the same ARITHMETIC_OVERFLOW the sf10
+    * sweep caught, not the next scale sweep.
+    */
+  private[graft] val growthPpmExpr =
+    """CAST(SIGN(rev_units - prev_units) AS BIGINT)
+       * CAST((CAST(abs(rev_units - prev_units) AS DECIMAL(38,0))
+               * 1000000) div prev_units AS BIGINT)"""
+
   val dtMomGrowth = Op(
     "dt_mom_growth",
     (s, d) => {
@@ -389,10 +400,7 @@ object Scalars {
         // ~1.2e13 revenue units per nation-month at sf10, so ×1e6 overflows
         // BIGINT on BOTH engines — widen the intermediate (DECIMAL(38,0)
         // here, HUGEINT in the oracle); the floored quotient is bit-equal.
-        .withColumn("growth_ppm",
-          expr("""CAST(SIGN(rev_units - prev_units) AS BIGINT)
-                  * CAST((CAST(abs(rev_units - prev_units) AS DECIMAL(38,0))
-                          * 1000000) div prev_units AS BIGINT)"""))
+        .withColumn("growth_ppm", expr(growthPpmExpr))
         .select(col("n_name"), col("month"), col("rev_units"),
           col("prev_units"), col("growth_ppm"))
         .orderBy(col("n_name"), col("month"))

@@ -1168,6 +1168,18 @@ object Scans {
     * modular sum (mod 1e9+7, residues summed then reduced — overflow-free
     * to ~9e9 rows per group), identical on both sides at every scale.
     */
+  /** The overflow-proof checksum aggregate of [[scanCsvMultiline]],
+    * extracted so PropertySpec can drive it past Long range on synthetic
+    * data: a regression back to the raw (non-modular) sum fails `sbt test`
+    * with the same ARITHMETIC_OVERFLOW the sf10 sweep caught, not the next
+    * scale sweep. Residues < 1e9+7 summed then reduced — overflow-free to
+    * ~9e9 rows per group.
+    */
+  private[graft] def md5MassModular(payloadCol: String) =
+    pmod(sum(pmod(
+      expr(s"conv(substring(md5($payloadCol), 1, 12), 16, 10)").cast("long"),
+      lit(1000000007L))), lit(1000000007L))
+
   val scanCsvMultiline = Op(
     "scan_csv_multiline",
     (s, d) => {
@@ -1192,10 +1204,7 @@ object Scans {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("payload"))).as("payload_chars"),
-          pmod(sum(pmod(
-              expr("conv(substring(md5(payload), 1, 12), 16, 10)").cast("long"),
-              lit(1000000007L))), lit(1000000007L))
-            .as("payload_md5_mass"))
+          md5MassModular("payload").as("payload_md5_mass"))
         .orderBy(col("lang"))
     },
     Some("""

@@ -1664,29 +1664,6 @@ object TextAnalysis {
     """)
   )
 
-  /** Hashed-n-gram importance scoring (r12) — the data-SELECTION stage of a
-    * training pipeline, the DSIR shape (Xie et al. 2023, "Data Selection
-    * for Language Models via Importance Resampling"): score every raw doc
-    * by how target-domain-like its hashed bigram features are. The public
-    * recipe fits two hashed-n-gram bag models (target, raw) and weighs
-    * docs by the likelihood ratio; here the log-ratio sum is replaced by
-    * the integer-exact linear form — per-doc dot products of the doc's
-    * bucket counts against the target and raw bucket profiles, emitted as
-    * an integer ppm ratio — which is hash-parity across engines where a
-    * float log-sum would be accumulation-order-sensitive. Features are
-    * word bigrams hashed to 4096 buckets via the md5-prefix idiom
-    * (substr(md5(bigram),1,3) — the txt_fingerprint parity trick; Spark's
-    * murmur `hash()` has no DuckDB twin, which is why txt_hashing_tf is
-    * exempt and this op is NOT). Target domain = the `lang='en'` slice
-    * (the in-domain proxy this fixture affords). Shape at 100 TB: one
-    * bigram explode (narrow, codegen'd token_ngrams) → the bucket profile
-    * is a 4096-row aggregate (vocabulary-independent, BROADCAST) → per-doc
-    * scoring is one map-side-combinable groupBy(doc_id) — shuffle volume
-    * is docs, never bigrams; the ×1e6 intermediate is widened to
-    * DECIMAL(38,0)/HUGEINT per the dt_mom_growth sf10 lesson. Emits the
-    * per-lang rollup (n_docs + exact sum/min/max score) — en must
-    * dominate, which DsirSpec asserts as the discriminative property.
-    */
   /** Shared DSIR scoring stage: (doc_id, lang, score_ppm) per doc with
     * >= 2 tokens — see [[txtDsirWeight]] for the derivation and scale
     * shape. Used by both the weight report and the resampling op.
@@ -1731,6 +1708,29 @@ object TextAnalysis {
         FROM bg JOIN profile p ON bg.h = p.h
         GROUP BY bg.doc_id, bg.lang)"""
 
+  /** Hashed-n-gram importance scoring (r12) — the data-SELECTION stage of a
+    * training pipeline, the DSIR shape (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw doc
+    * by how target-domain-like its hashed bigram features are. The public
+    * recipe fits two hashed-n-gram bag models (target, raw) and weighs
+    * docs by the likelihood ratio; here the log-ratio sum is replaced by
+    * the integer-exact linear form — per-doc dot products of the doc's
+    * bucket counts against the target and raw bucket profiles, emitted as
+    * an integer ppm ratio — which is hash-parity across engines where a
+    * float log-sum would be accumulation-order-sensitive. Features are
+    * word bigrams hashed to 4096 buckets via the md5-prefix idiom
+    * (substr(md5(bigram),1,3) — the txt_fingerprint parity trick; Spark's
+    * murmur `hash()` has no DuckDB twin, which is why txt_hashing_tf is
+    * exempt and this op is NOT). Target domain = the `lang='en'` slice
+    * (the in-domain proxy this fixture affords). Shape at 100 TB: one
+    * bigram explode (narrow, codegen'd token_ngrams) → the bucket profile
+    * is a 4096-row aggregate (vocabulary-independent, BROADCAST) → per-doc
+    * scoring is one map-side-combinable groupBy(doc_id) — shuffle volume
+    * is docs, never bigrams; the ×1e6 intermediate is widened to
+    * DECIMAL(38,0)/HUGEINT per the dt_mom_growth sf10 lesson. Emits the
+    * per-lang rollup (n_docs + exact sum/min/max score) — en must
+    * dominate, which DsirSpec asserts as the discriminative property.
+    */
   val txtDsirWeight = Op(
     "txt_dsir_weight",
     (s, d) => {
@@ -1759,7 +1759,11 @@ object TextAnalysis {
     * sample_hash_bucket/sample_stratified use (stable across engines,
     * partitionings and runs, unlike any RNG draw), and the keep rule is
     * the all-integer cross-multiplication `u·1e6 < score_ppm·2^32` (both
-    * sides < 2^63 — no widening needed, both engines exact). A doc with
+    * sides < 2^63 — no widening needed; NOTE the hash input bound
+    * doc_id < 2^63/2654435761 ≈ 3.47e9: past it doc_id·2654435761 itself
+    * wraps Long on Spark while DuckDB raises BIGINT overflow, breaking
+    * oracle parity — widen the hash to DECIMAL(38,0)/HUGEINT on both
+    * sides before replicating fixtures beyond ~sf5000). A doc with
     * score 0.9 keeps with probability 0.9; re-runs keep the identical SET,
     * so the resample is idempotent and incremental-append-safe — the
     * property that matters when the 100 TB corpus is re-selected monthly.

@@ -132,7 +132,8 @@ class DeterminismSpec extends AnyFunSuite {
     "txt_freq_tokens_det",       // vocab count + broadcast-scalar support gate
     "win_sliding_distinct_det",  // matrix explode + trailing countDistinct
     "txt_dsir_weight",           // md5-bucket profiles + integer ppm ratio
-    "txt_dsir_resample")         // Knuth-hash uniform vs integer score gate
+    "txt_dsir_resample",         // Knuth-hash uniform vs integer score gate
+    "agg_countmin_freq_det")     // md5 hex-pair grid + broadcast min join
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -321,9 +321,15 @@ class ExemptSpec extends AnyFunSuite {
   test("agg_countmin_freq: est >= exact within eps*N overshoot, merged == direct, deterministic") {
     val r1 = Registry.queries("agg_countmin_freq")(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    val exact = T.events(spark, sf).groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the exact side comes from the ORACLED twin agg_countmin_freq_det
+    // (exact_cnt is DuckDB-verified), so a CountMinSketch regression breaks
+    // an oracled key's sibling pin, not just a free-floating recount; the
+    // twin's own grid estimate must carry the same one-sided guarantee
+    val det = Registry.queries("agg_countmin_freq_det")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = det.view.mapValues(_._1).toMap
+    for ((k, (ex, estDet)) <- det)
+      assert(estDet >= ex, s"$k: det grid underestimated ($estDet < $ex) — impossible for a min-of-sums grid")
     val n = exact.values.sum
     assert(r1.keySet == exact.keySet)
     for ((k, (d1, m1)) <- r1) {

@@ -562,5 +562,46 @@ class PropertySpec extends AnyFunSuite {
     assert(rows.forall { case (l, _, _, _, kc) => kc <= tot(l) }, rows.mkString(","))
   }
 
+  test("scan_csv_multiline checksum survives a group that wraps a raw Long sum (r12 sf10 overflow pin)") {
+    // The sf10 sweep caught the pre-r12 form (raw sum of 12-hex md5
+    // values) overflowing Long past ~33k docs/group. This pins the fix on
+    // synthetic data: one constant payload whose md5 prefix is a fixed
+    // v ≈ 2.76e14, replicated 1M times — the RAW sum is ~2.8e20 >> 2^63
+    // and fails; the op's modular aggregate must return the BigInt-exact
+    // residue. Regressing md5MassModular to the raw sum fails HERE, not
+    // at the next scale sweep.
+    val payload = "overflow-pin"
+    val v = BigInt(java.security.MessageDigest.getInstance("MD5")
+      .digest(payload.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString, 16)
+    val n = 1000000L
+    assert(v * n > BigInt(Long.MaxValue), "fixture too small to prove the pin")
+    val m = BigInt(1000000007L)
+    val expected = (v.mod(m) * n).mod(m).toLong
+    val got = spark.range(n).select(lit(payload).as("payload"))
+      .agg(graft.ops.Scans.md5MassModular("payload").as("mass"))
+      .head.getLong(0)
+    assert(got == expected, s"modular checksum $got != BigInt-exact $expected")
+  }
+
+  test("dt_mom_growth ppm intermediate survives a diff that wraps a Long multiply (r12 sf10 overflow pin)") {
+    import spark.implicits._
+    // The sf10 sweep caught abs(diff) ≈ 1.2e13 units × 1e6 overflowing
+    // BIGINT. Synthetic rows drive the op's expression past 2^63 in both
+    // sign branches; the DECIMAL(38,0)-widened form must match BigInt
+    // math exactly. Regressing growthPpmExpr to the unwidened multiply
+    // fails HERE, not at the next scale sweep.
+    val rows = Seq(
+      (13000000000000L, 1000000000000L),
+      (1000000000000L, 13000000000000L))
+      .toDF("rev_units", "prev_units")
+    val got = rows.select(expr(graft.ops.Scalars.growthPpmExpr).as("g"))
+      .collect().map(_.getLong(0)).toSet
+    val diff = BigInt(12000000000000L) * 1000000
+    val expected = Set(
+      (diff / 1000000000000L).toLong,
+      -(diff / 13000000000000L).toLong)
+    assert(got == expected, s"growth_ppm $got != BigInt-exact $expected")
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }

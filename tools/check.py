@@ -4,12 +4,16 @@ tables (registered as bare-name views) and compare with the Spark parquet
 output written by graft.Verify. Mirrors the driver: sort columns by name,
 then compare row-for-row.
 
-Usage: python3 tools/check.py [--sort-rows] <sfDir> <outDir> [key ...]
+Usage: python3 tools/check.py [--sort-rows] [--json PATH] <sfDir> <outDir> [key ...]
 
 --sort-rows: compare as sorted multisets instead of row-for-row — for
 outputs written WITHOUT coalesce(1) (SPARK_GRAFT_VERIFY_COALESCE=0), where
 multi-file parquet loses the ORDER BY. Sorting both sides by ALL columns
 is a total order over full rows, so the comparison stays exact.
+--json PATH: also write a parseable per-key artifact
+{key: {"match": bool, "rows": N|null, "detail": str}} plus a "__summary__"
+tally — the committed attestation format for scale sweeps
+(CORRECTNESS_sf10.json etc.).
 """
 import json, os, sys, math
 import duckdb
@@ -22,8 +26,14 @@ def main():
     sort_rows = "--sort-rows" in argv
     if sort_rows:
         argv.remove("--sort-rows")
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
+    results = {}
     con = duckdb.connect()
     # default 4 mirrors the driver; scale sweeps override (heavy sf10
     # oracles — brute-force ANN ground truth — parallelize well)
@@ -34,6 +44,21 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+
+    def ok(key, rows, detail):
+        nonlocal n_pass
+        n_pass += 1
+        results[key] = {"match": True, "rows": int(rows), "detail": detail}
+        print(f"PASS {key} ({rows} rows{', ' + detail if detail else ''})")
+
+    def fail(key, detail, rows=None):
+        nonlocal n_fail
+        n_fail += 1
+        results[key] = {"match": False,
+                        "rows": None if rows is None else int(rows),
+                        "detail": detail}
+        print(f"FAIL {key}: {detail}")
+
     for key, sql in sorted(oracles.items()):
         if only and key not in only:
             continue
@@ -42,14 +67,18 @@ def main():
         # OOM). Above the threshold, compare entirely inside DuckDB: equal
         # column sets + equal row counts + empty symmetric EXCEPT ALL is
         # exactly the sorted-multiset compare, and DuckDB spills to disk.
+        # The count probe exists only for the duck-compare threshold branch,
+        # which requires --sort-rows; in row-for-row mode skip it so a
+        # missing output is still attributed at the `got` read (after the
+        # oracle ran), matching the driver's error ordering.
         duck_threshold = int(os.environ.get("GRAFT_DUCK_COMPARE_ROWS", "5000000"))
-        try:
-            n_spark = con.sql(
-                f"SELECT count(*) FROM '{out_dir}/{key}/*.parquet'").fetchone()[0]
-        except Exception as e:
-            print(f"FAIL {key}: spark output missing/unreadable: {e}")
-            n_fail += 1
-            continue
+        if sort_rows:
+            try:
+                n_spark = con.sql(
+                    f"SELECT count(*) FROM '{out_dir}/{key}/*.parquet'").fetchone()[0]
+            except Exception as e:
+                fail(key, f"spark output missing/unreadable: {e}")
+                continue
         if sort_rows and n_spark > duck_threshold:
             try:
                 ecols = sorted(r[0] for r in con.sql(
@@ -57,44 +86,37 @@ def main():
                 gcols = sorted(r[0] for r in con.sql(
                     f"DESCRIBE (SELECT * FROM '{out_dir}/{key}/*.parquet')").fetchall())
                 if ecols != gcols:
-                    print(f"FAIL {key}: columns differ: oracle={ecols} spark={gcols}")
-                    n_fail += 1
+                    fail(key, f"columns differ: oracle={ecols} spark={gcols}")
                     continue
                 cols = ", ".join(f'"{c}"' for c in ecols)
-                n_exp = con.sql(f"WITH __e AS ({sql}) SELECT count(*) FROM __e").fetchone()[0]
-                if n_exp != n_spark:
-                    print(f"FAIL {key}: rows differ: oracle={n_exp} spark={n_spark}")
-                    n_fail += 1
-                    continue
+                # One query, oracle evaluated ONCE (AS MATERIALIZED — DuckDB
+                # re-inlines multiply-referenced CTEs otherwise): an empty
+                # symmetric EXCEPT ALL is multiset equality, which subsumes
+                # the count check — no separate count(*) over the oracle.
                 diff = con.sql(f"""
-                    WITH e AS ({sql}),
-                         g AS (SELECT * FROM '{out_dir}/{key}/*.parquet')
+                    WITH e AS MATERIALIZED ({sql}),
+                         g AS MATERIALIZED (SELECT * FROM '{out_dir}/{key}/*.parquet')
                     SELECT count(*) FROM (
                       (SELECT {cols} FROM e EXCEPT ALL SELECT {cols} FROM g)
                       UNION ALL
                       (SELECT {cols} FROM g EXCEPT ALL SELECT {cols} FROM e))
                     """).fetchone()[0]
                 if diff:
-                    print(f"FAIL {key}: {diff} rows differ (duck multiset compare)")
-                    n_fail += 1
+                    fail(key, f"{diff} rows differ (duck multiset compare)", rows=n_spark)
                 else:
-                    print(f"PASS {key} ({n_spark} rows, duck multiset compare)")
-                    n_pass += 1
+                    ok(key, n_spark, "duck multiset compare")
             except Exception as e:
-                print(f"FAIL {key}: duck compare error: {e}")
-                n_fail += 1
+                fail(key, f"duck compare error: {e}")
             continue
         try:
             exp = con.sql(sql).df()
         except Exception as e:
-            print(f"FAIL {key}: oracle error: {e}")
-            n_fail += 1
+            fail(key, f"oracle error: {e}")
             continue
         try:
             got = con.sql(f"SELECT * FROM '{out_dir}/{key}/*.parquet'").df()
         except Exception as e:
-            print(f"FAIL {key}: spark output missing/unreadable: {e}")
-            n_fail += 1
+            fail(key, f"spark output missing/unreadable: {e}")
             continue
         exp = exp[sorted(exp.columns)]
         got = got[sorted(got.columns)]
@@ -104,12 +126,10 @@ def main():
             sk = [got[c].astype(str) for c in got.columns]
             got = got.iloc[sorted(range(len(got)), key=lambda i: tuple(k[i] for k in sk))].reset_index(drop=True)
         if list(exp.columns) != list(got.columns):
-            print(f"FAIL {key}: columns differ: oracle={list(exp.columns)} spark={list(got.columns)}")
-            n_fail += 1
+            fail(key, f"columns differ: oracle={list(exp.columns)} spark={list(got.columns)}")
             continue
         if len(exp) != len(got):
-            print(f"FAIL {key}: rows differ: oracle={len(exp)} spark={len(got)}")
-            n_fail += 1
+            fail(key, f"rows differ: oracle={len(exp)} spark={len(got)}")
             continue
         bad = None
         for ci, c in enumerate(exp.columns):
@@ -129,12 +149,17 @@ def main():
                 break
         if bad:
             ri, c, a, b = bad
-            print(f"FAIL {key}: row {ri} col {c}: oracle={a!r} spark={b!r}")
-            n_fail += 1
+            fail(key, f"row {ri} col {c}: oracle={a!r} spark={b!r}", rows=len(exp))
         else:
-            print(f"PASS {key} ({len(exp)} rows)")
-            n_pass += 1
+            ok(key, len(exp), "")
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_path:
+        results["__summary__"] = {
+            "n_pass": n_pass, "n_fail": n_fail,
+            "n_keys": n_pass + n_fail, "sf_dir": sf_dir,
+            "mode": "sorted-multiset" if sort_rows else "row-for-row"}
+        with open(json_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
