@@ -65,7 +65,7 @@ object PlanDump {
     "ml_ndcg_at_k" ->
       "twin TopKPerKey heaps (score-ranked and relevance-ranked) over one checkpointed scored relation",
     "sim_prefix_filter_join" ->
-      "PPJoin: df-ordered prefixes + length filter in the join condition + positional ubound aggregate — candidates pruned before the exact verify",
+      "PPJoin: df-ordered prefixes + length filter in the join condition + positional ubound aggregate -- candidates pruned before the exact verify",
     "mm_audio_energy" ->
       "typed frame loop: SerializeFromObject/MapPartitions, payloads never shuffle",
     "ml_ks_drift" ->
@@ -149,6 +149,52 @@ object PlanDump {
         spark.conf.set("spark.graft.topk.forceSpillRows", _))
       priorAqe.fold(spark.conf.unset("spark.sql.adaptive.enabled"))(
         spark.conf.set("spark.sql.adaptive.enabled", _))
+    }
+
+    // join_skew_salted's engine-native twin, EXECUTED: the same unsalted
+    // skewed join PlanShapeSpec pins, dumped here so the runtime re-plan
+    // is visible in PLANS.md — the executed SMJ carries skew=true and its
+    // shuffle reads are AQEShuffleRead skewed (the hot partition split
+    // across tasks instead of landing on one). Thresholds are
+    // fixture-scaled; production uses the 256 MB defaults.
+    println("\n## join_skew_salted -- engine-native AQE twin, executed (OptimizeSkewedJoin fired)\n")
+    println("_the UNSALTED join on the same hot key under test-scaled skew thresholds:")
+    println("the executed SortMergeJoin must carry `skew=true` + `AQEShuffleRead skewed`,")
+    println("proving the runtime split is live -- the manual salt op is the portable")
+    println("recipe, this is what AQE does natively at 100 TB._\n")
+    locally {
+      import org.apache.spark.sql.functions.{col, count, lit, when}
+      val c = spark.conf
+      val skewKeys = Seq(
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.shuffle.partitions")
+      val saved = skewKeys.map(k => k -> c.getOption(k))
+      try {
+        c.set("spark.sql.adaptive.enabled", "true")
+        c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+        c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+        c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
+        c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        c.set("spark.sql.shuffle.partitions", "64")
+        def keyed = ops.T.events(spark, "/root/testdata/sf0.01")
+          .repartition(8, col("event_id"))
+          .withColumn("k",
+            when(col("event_type") === "view", lit(-1L)).otherwise(col("user_id")))
+        val dim = keyed.groupBy(col("k")).agg(count(lit(1)).as("k_weight"))
+          .localCheckpoint(true)
+        val joined = keyed.join(dim.hint("merge"), Seq("k"))
+          .select(col("k"), col("k_weight"), col("value"))
+        joined.collect()
+        println("```")
+        println(joined.queryExecution.executedPlan.toString.trim)
+        println("```")
+      } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
     }
     spark.stop()
   }

@@ -15,10 +15,11 @@ import graft.ops.Registry
   * PageRank, windowed tie-breaks, scratch-state rebuild, and the
   * floor(x+0.5) quantizer.
   */
-class DeterminismSpec extends AnyFunSuite {
-  import TestSession._
-
-  private val keys = Seq(
+/** The matrix key list lives in a companion-style object so RegistrySpec
+  * can pin README.md's stated matrix size against the real one.
+  */
+object DeterminismMatrix {
+  val keys = Seq(
     "agg_hash_groupby",          // decimal-cast distributed sums
     "agg_exact_median_distributed", // two-pass rank, boundary pinning
     "win_rank_distributed",      // range-partition offsets
@@ -134,6 +135,11 @@ class DeterminismSpec extends AnyFunSuite {
     "txt_dsir_weight",           // md5-bucket profiles + integer ppm ratio
     "txt_dsir_resample",         // Knuth-hash uniform vs integer score gate
     "agg_countmin_freq_det")     // md5 hex-pair grid + broadcast min join
+}
+
+class DeterminismSpec extends AnyFunSuite {
+  import TestSession._
+  import DeterminismMatrix.keys
 
   private def rows(name: String, parts: String): Seq[String] = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
