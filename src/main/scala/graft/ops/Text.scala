@@ -216,6 +216,43 @@ object Text {
     None
   )
 
+  /** Deterministic HashingTF twin (r13) — the fully-oracled anchor of
+    * [[txtHashingTf]], completing the det-twin program across the last
+    * hash-dependent family (feature hashing): identical semantics — every
+    * token folds into one of 64 buckets, collisions and all, per-doc
+    * counts out — but the bucket hash is the md5-prefix idiom (first hex
+    * pair parsed to 0..255, mod 64) instead of murmur3, so DuckDB
+    * reproduces every row bit-for-bit (murmur `hash()` has no DuckDB
+    * twin; md5 does — the txt_fingerprint parity trick). ExemptSpec ties
+    * the murmur op to this twin: both must conserve token mass doc-by-doc
+    * against the SAME oracled per-doc totals, so a HashingTF regression
+    * breaks an oracled key's sibling pin. Shape at 100 TB: one narrow
+    * tokenize-explode, one map-side-combined groupBy — shuffle is
+    * docs×≤64 bucket rows, never raw tokens.
+    */
+  val txtHashingTfDet = Op(
+    "txt_hashing_tf_det",
+    (s, d) =>
+      tokens(s, d)
+        .withColumn("bucket",
+          expr("CAST(conv(substring(md5(token), 1, 2), 16, 10) AS BIGINT) % 64"))
+        .groupBy(col("doc_id"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("doc_id"), col("bucket")),
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      SELECT doc_id,
+             CAST(((strpos('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16
+                   + strpos('0123456789abcdef', substring(md5(token), 2, 1)) - 1) % 64
+                  AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM toks
+      GROUP BY 1, 2
+      ORDER BY doc_id, bucket
+    """)
+  )
+
   /** Pivot: source × lang doc-count matrix with a FIXED label set (pivot on
     * an unbounded label set would need a collect — never at scale).
     */
@@ -379,6 +416,7 @@ object Text {
 
   val ops: Vector[Op] = Vector(
     txtNormalize, txtWordcount, txtStopwordFilter, txtTf, txtIdfTfidf,
-    txtNgrams, txtDocStats, txtStringIndexer, txtHashingTf, txtLangDistPivot,
+    txtNgrams, txtDocStats, txtStringIndexer, txtHashingTf, txtHashingTfDet,
+    txtLangDistPivot,
     txtCollocationPmi, txtBm25Rank)
 }

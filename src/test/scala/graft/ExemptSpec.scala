@@ -144,13 +144,18 @@ class ExemptSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"heavy items missing from the summary: $missing")
   }
 
-  test("txt_hashing_tf: buckets in range, token mass conserved") {
+  test("txt_hashing_tf: buckets in range, per-doc token mass matches the oracled det twin") {
     val rows = Registry.queries("txt_hashing_tf")(spark, sf).collect()
     assert(rows.forall { r => val b = r.getLong(1); b >= 0 && b < 64 })
-    val mass = rows.map(_.getLong(2)).sum
-    val tokens = T.documents(spark, sf)
-      .select(explode(split(col("text"), " "))).count()
-    assert(mass == tokens, s"bucket mass $mass != token count $tokens")
+    // per-doc mass anchored to the ORACLED twin txt_hashing_tf_det (same
+    // tokenize + 64-bucket fold, md5 hash, DuckDB-verified): every token
+    // lands in exactly one bucket under EITHER hash, so the per-doc bucket
+    // mass must agree doc-by-doc — a HashingTF regression (dropped tokens,
+    // bucket-range drift) breaks an oracled key's sibling pin
+    val mass = rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    val det = Registry.queries("txt_hashing_tf_det")(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(mass == det, "per-doc token mass differs from the oracled md5 twin")
   }
 
   test("sim_minhash_lsh: recall >= 0.9 vs exact Jaccard pairs") {
