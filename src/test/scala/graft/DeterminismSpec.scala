@@ -134,7 +134,8 @@ object DeterminismMatrix {
     "win_sliding_distinct_det",  // matrix explode + trailing countDistinct
     "txt_dsir_weight",           // md5-bucket profiles + integer ppm ratio
     "txt_dsir_resample",         // Knuth-hash uniform vs integer score gate
-    "agg_countmin_freq_det")     // md5 hex-pair grid + broadcast min join
+    "agg_countmin_freq_det",     // md5 hex-pair grid + broadcast min join
+    "txt_hashing_tf_det")        // md5-pair bucket fold + per-doc counts
 }
 
 class DeterminismSpec extends AnyFunSuite {
