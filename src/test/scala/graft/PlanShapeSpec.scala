@@ -873,6 +873,27 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) => v.fold(c.unset(k))(c.set(k, _)) }
   }
 
+  test("agg_countmin_freq_det broadcasts the grid join and partial-aggregates the log scan") {
+    val p = plan("agg_countmin_freq_det")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the ≤1024-row grid must broadcast at ANY corpus scale: $p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join here shuffles the counts table by (i,b) for nothing: $p")
+    // the event-log groupBy sits BEHIND the localCheckpoint (materialized
+    // eagerly, so this dump starts at Scan ExistingRDD) — what must stay
+    // map-side combined in the visible plan is the grid-cell sum
+    assert(p.contains("partial_sum"),
+      s"the grid-cell aggregate must map-side combine (≤1024 cells): $p")
+  }
+
+  test("txt_hashing_tf_det partial-aggregates below the shuffle — token explode stays narrow") {
+    val p = plan("txt_hashing_tf_det")
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"the bucket groupBy must map-side combine (docs×64 shuffle, never raw tokens): $p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      s"no join belongs in this plan: $p")
+  }
+
   test("txt_dsir_weight broadcasts the 4096-bucket profile — no sort-merge join") {
     val p = plan("txt_dsir_weight")
     assert(p.contains("BroadcastHashJoin"),
