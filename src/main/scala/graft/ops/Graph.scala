@@ -67,24 +67,24 @@ object Graph {
         .limit(20)
     },
     Some("""
-      WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      edges AS (SELECT cust AS src, supp + 1000000 AS dst FROM e0
+      edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000 AS dst FROM e0
                 UNION ALL SELECT supp + 1000000, cust FROM e0),
-      deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
-      v AS (SELECT DISTINCT src AS v FROM edges),
-      p0 AS (SELECT v, CAST(1000000000 AS BIGINT) AS pr FROM v),
-      c1 AS (SELECT e.dst AS v, SUM(p.pr // d.deg) AS c FROM edges e
+      deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      v AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+      p0 AS MATERIALIZED (SELECT v, CAST(1000000000 AS BIGINT) AS pr FROM v),
+      c1 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.deg) AS c FROM edges e
              JOIN p0 p ON p.v = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
-      p1 AS (SELECT v.v, 150000000 + (85 * COALESCE(c1.c, 0)) // 100 AS pr
+      p1 AS MATERIALIZED (SELECT v.v, 150000000 + (85 * COALESCE(c1.c, 0)) // 100 AS pr
              FROM v LEFT JOIN c1 ON c1.v = v.v),
-      c2 AS (SELECT e.dst AS v, SUM(p.pr // d.deg) AS c FROM edges e
+      c2 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.deg) AS c FROM edges e
              JOIN p1 p ON p.v = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
-      p2 AS (SELECT v.v, 150000000 + (85 * COALESCE(c2.c, 0)) // 100 AS pr
+      p2 AS MATERIALIZED (SELECT v.v, 150000000 + (85 * COALESCE(c2.c, 0)) // 100 AS pr
              FROM v LEFT JOIN c2 ON c2.v = v.v),
-      c3 AS (SELECT e.dst AS v, SUM(p.pr // d.deg) AS c FROM edges e
+      c3 AS MATERIALIZED (SELECT e.dst AS v, SUM(p.pr // d.deg) AS c FROM edges e
              JOIN p2 p ON p.v = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
-      p3 AS (SELECT v.v, 150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS pr
+      p3 AS MATERIALIZED (SELECT v.v, 150000000 + (85 * COALESCE(c3.c, 0)) // 100 AS pr
              FROM v LEFT JOIN c3 ON c3.v = v.v)
       SELECT v AS vertex_id, CAST(pr AS BIGINT) AS pr_scaled,
              v >= 1000000 AS is_supplier
@@ -264,7 +264,7 @@ object Graph {
         .orderBy(col("is_supplier"), col("log2_bin"))
     },
     Some("""
-      WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       edges AS (SELECT cust AS src FROM e0
                 UNION ALL SELECT supp + 1000000 FROM e0),
@@ -329,26 +329,26 @@ object Graph {
         .orderBy(col("community"))
     },
     Some("""
-      WITH e0 AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+      WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      edges AS (SELECT cust AS src, supp + 1000000 AS dst FROM e0
+      edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000 AS dst FROM e0
                 UNION ALL SELECT supp + 1000000, cust FROM e0),
-      l0 AS (SELECT DISTINCT src AS v, src AS lab FROM edges),
-      n1 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+      l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM edges),
+      n1 AS MATERIALIZED (SELECT e.dst AS v, l.lab, COUNT(*) AS c
              FROM edges e JOIN l0 l ON l.v = e.src GROUP BY e.dst, l.lab),
-      l1 AS (SELECT v, lab FROM (
+      l1 AS MATERIALIZED (SELECT v, lab FROM (
                SELECT v, lab, ROW_NUMBER() OVER (
                  PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n1)
              WHERE rn = 1),
-      n2 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+      n2 AS MATERIALIZED (SELECT e.dst AS v, l.lab, COUNT(*) AS c
              FROM edges e JOIN l1 l ON l.v = e.src GROUP BY e.dst, l.lab),
-      l2 AS (SELECT v, lab FROM (
+      l2 AS MATERIALIZED (SELECT v, lab FROM (
                SELECT v, lab, ROW_NUMBER() OVER (
                  PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n2)
              WHERE rn = 1),
-      n3 AS (SELECT e.dst AS v, l.lab, COUNT(*) AS c
+      n3 AS MATERIALIZED (SELECT e.dst AS v, l.lab, COUNT(*) AS c
              FROM edges e JOIN l2 l ON l.v = e.src GROUP BY e.dst, l.lab),
-      l3 AS (SELECT v, lab FROM (
+      l3 AS MATERIALIZED (SELECT v, lab FROM (
                SELECT v, lab, ROW_NUMBER() OVER (
                  PARTITION BY v ORDER BY c DESC, lab) AS rn FROM n3)
              WHERE rn = 1)

@@ -79,6 +79,38 @@ def main():
             except Exception as e:
                 fail(key, f"spark output missing/unreadable: {e}")
                 continue
+        # Beyond ~half a billion rows even the DuckDB-side EXCEPT ALL cannot
+        # materialize both sides (sim_simhash_bands emits 1.8 B rows at sf10
+        # — two hash joins over that spilled past 140 GB). Digest compare:
+        # count(*) + SUM(hash(row)) (exact in HUGEINT) + bit_xor(hash(row)),
+        # all commutative, streamed through a constant-size aggregate on
+        # BOTH sides by the same DuckDB hash — multiset equality up to a
+        # 128-bit-digest collision, with zero materialization.
+        digest_threshold = int(os.environ.get("GRAFT_DUCK_DIGEST_ROWS", "500000000"))
+        if sort_rows and n_spark > digest_threshold:
+            try:
+                ecols = sorted(r[0] for r in con.sql(
+                    f"DESCRIBE (WITH __e AS ({sql}) SELECT * FROM __e)").fetchall())
+                gcols = sorted(r[0] for r in con.sql(
+                    f"DESCRIBE (SELECT * FROM '{out_dir}/{key}/*.parquet')").fetchall())
+                if ecols != gcols:
+                    fail(key, f"columns differ: oracle={ecols} spark={gcols}")
+                    continue
+                rexpr = "concat_ws('|', " + ", ".join(
+                    f"COALESCE(CAST(\"{c}\" AS VARCHAR), '<null>')" for c in ecols) + ")"
+                def dig(src):
+                    return con.sql(
+                        f"SELECT count(*), SUM(CAST(hash({rexpr}) AS HUGEINT)), "
+                        f"bit_xor(hash({rexpr})) FROM {src}").fetchone()
+                de = dig(f"({sql}) __e")
+                dg = dig(f"(SELECT * FROM '{out_dir}/{key}/*.parquet') __g")
+                if de != dg:
+                    fail(key, f"digest differs: oracle={de} spark={dg}", rows=n_spark)
+                else:
+                    ok(key, n_spark, "digest compare: count + sum-hash + xor-hash")
+            except Exception as e:
+                fail(key, f"digest compare error: {e}")
+            continue
         if sort_rows and n_spark > duck_threshold:
             try:
                 ecols = sorted(r[0] for r in con.sql(
