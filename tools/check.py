@@ -14,6 +14,13 @@ is a total order over full rows, so the comparison stays exact.
 {key: {"match": bool, "rows": N|null, "detail": str}} plus a "__summary__"
 tally — the committed attestation format for scale sweeps
 (CORRECTNESS_sf10.json etc.).
+
+Giant-output tier (> GRAFT_DUCK_DIGEST_ROWS, --sort-rows only): constant-
+memory digest compare using TWO INDEPENDENT hash families — (a) DuckDB's
+native multi-arg hash() over the column tuple (sum + xor, row-association-
+preserving, no delimiter serialization) and (b) per-column md5_number_lower
+sums + non-null counts (different bytes entirely) — so a blind spot in one
+function cannot silently pass both sides.
 """
 import json, os, sys, math
 import duckdb
@@ -29,8 +36,13 @@ def main():
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            sys.exit("usage: check.py [--sort-rows] [--json PATH] <sfDir> <outDir> [key ...]"
+                     " — --json requires a PATH value")
         json_path = argv[i + 1]
         del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit("usage: check.py [--sort-rows] [--json PATH] <sfDir> <outDir> [key ...]")
     sf_dir, out_dir = argv[0], argv[1]
     only = set(argv[2:])
     results = {}
@@ -80,12 +92,22 @@ def main():
                 fail(key, f"spark output missing/unreadable: {e}")
                 continue
         # Beyond ~half a billion rows even the DuckDB-side EXCEPT ALL cannot
-        # materialize both sides (sim_simhash_bands emits 1.8 B rows at sf10
-        # — two hash joins over that spilled past 140 GB). Digest compare:
-        # count(*) + SUM(hash(row)) (exact in HUGEINT) + bit_xor(hash(row)),
-        # all commutative, streamed through a constant-size aggregate on
-        # BOTH sides by the same DuckDB hash — multiset equality up to a
-        # 128-bit-digest collision, with zero materialization.
+        # materialize both sides (sim_simhash_bands emitted 1.8 B rows at
+        # sf10 pre-r14-cap — two hash joins over that spilled past 140 GB).
+        # Digest compare, all commutative and streamed through constant-size
+        # aggregates on BOTH sides, built from TWO INDEPENDENT hash families
+        # so a single-function blind spot cannot pass both:
+        #   (a) row digests from DuckDB's native hash() applied to the column
+        #       TUPLE directly (multi-arg hash — no delimiter serialization,
+        #       so '|'-containing values cannot alias across columns):
+        #       SUM(hash(c1..cn)) exact in HUGEINT + bit_xor(hash(c1..cn));
+        #   (b) per-column digests over DIFFERENT bytes: non-null count plus
+        #       SUM(md5_number_lower(CAST(c AS VARCHAR))) per column — md5
+        #       shares no structure with DuckDB's internal hash. Per-column
+        #       sums alone would miss cross-column row swaps; (a) pins row
+        #       association, (b) pins the byte content independently.
+        # Multiset equality up to a simultaneous collision in BOTH families,
+        # with zero materialization.
         digest_threshold = int(os.environ.get("GRAFT_DUCK_DIGEST_ROWS", "500000000"))
         if sort_rows and n_spark > digest_threshold:
             try:
@@ -96,18 +118,21 @@ def main():
                 if ecols != gcols:
                     fail(key, f"columns differ: oracle={ecols} spark={gcols}")
                     continue
-                rexpr = "concat_ws('|', " + ", ".join(
-                    f"COALESCE(CAST(\"{c}\" AS VARCHAR), '<null>')" for c in ecols) + ")"
+                tup = ", ".join(f'"{c}"' for c in ecols)
+                percol = ", ".join(
+                    f'count("{c}"), SUM(CAST(md5_number_lower(CAST("{c}" AS VARCHAR)) AS HUGEINT))'
+                    for c in ecols)
                 def dig(src):
                     return con.sql(
-                        f"SELECT count(*), SUM(CAST(hash({rexpr}) AS HUGEINT)), "
-                        f"bit_xor(hash({rexpr})) FROM {src}").fetchone()
+                        f"SELECT count(*), SUM(CAST(hash({tup}) AS HUGEINT)), "
+                        f"bit_xor(hash({tup})), {percol} FROM {src}").fetchone()
                 de = dig(f"({sql}) __e")
                 dg = dig(f"(SELECT * FROM '{out_dir}/{key}/*.parquet') __g")
                 if de != dg:
                     fail(key, f"digest differs: oracle={de} spark={dg}", rows=n_spark)
                 else:
-                    ok(key, n_spark, "digest compare: count + sum-hash + xor-hash")
+                    ok(key, n_spark,
+                       "digest compare: count + sum/xor of tuple-hash + per-column md5 sums")
             except Exception as e:
                 fail(key, f"digest compare error: {e}")
             continue
