@@ -93,7 +93,11 @@ object PlanDump {
     "agg_quantiles_hist_det" ->
       "deterministic sketch quantiles: ONE map-combinable histogram groupBy over the log; cum windows + probability explode run on sketch-sized rows",
     "txt_dsir_weight" ->
-      "DSIR importance scoring: codegen'd bigram explode, 4096-bucket profile BROADCAST back onto the bigram stream, map-side-combined per-doc dot products -- shuffle volume is docs, never bigrams")
+      "DSIR importance scoring: codegen'd bigram explode, 4096-bucket profile BROADCAST back onto the bigram stream, map-side-combined per-doc dot products -- shuffle volume is docs, never bigrams",
+    "agg_countmin_freq_det" ->
+      "exact 4x256 Count-Min grid: one vocab-bounded token agg, <=1024-row grid BROADCAST back for the estimate lookup -- no second corpus scan",
+    "txt_hashing_tf_det" ->
+      "md5-bucket HashingTF twin: narrow tokenize-explode, map-side-combined (doc, bucket) agg -- shuffle is docs x <=64 buckets, never raw tokens")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -182,7 +186,7 @@ object PlanDump {
         c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "512")
         c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         c.set("spark.sql.shuffle.partitions", "64")
-        def keyed = ops.T.events(spark, "/root/testdata/sf0.01")
+        def keyed = ops.T.events(spark, sfDir)
           .repartition(8, col("event_id"))
           .withColumn("k",
             when(col("event_type") === "view", lit(-1L)).otherwise(col("user_id")))

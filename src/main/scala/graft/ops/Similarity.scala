@@ -539,7 +539,11 @@ object Similarity {
     * and the join ~linear. This op stays registered as the hash-checked
     * oracle anchor for the banding construction itself (the
     * `sim_hamming_pairs` pattern: bounded/anchored twin keeps the exact
-    * oracle, the sibling carries the 100 TB design).
+    * oracle, the sibling carries the 100 TB design). r14: the corpus is
+    * contract-capped at doc_id < 100 000 (mirrored in the oracle) —
+    * inactive through sf1 (50 k docs), where the saturation demonstration
+    * is already measured, and binding above so decade sweeps oracle-check
+    * this key with zero skips instead of hitting the 1.8 B-row sf10 wall.
     *
     * Pigeonhole: split a
     * 60-bit sketch into 4 bands of 15 bits; any pair within hamming <= 3
@@ -573,7 +577,16 @@ object Similarity {
     "sim_simhash_bands",
     (s, d) => {
       graft.functions.Sketch60.register(s)
+      // Contract bound (the sim_prefix_filter_join precedent): this op is
+      // the saturation DIAGNOSTIC, and on the closed 31-word vocabulary its
+      // output grows quadratically (1.8 B rows at sf10 uncapped — beyond any
+      // oracle's reach). Cap the corpus at the first 100 k doc_ids, INACTIVE
+      // at every scale up to sf1 (50 k docs — where the superlinearity is
+      // already measured) and binding above, so every decade sweep can
+      // oracle-check the banding construction bit-for-bit with zero skips.
+      // Mirrored in the oracle's toks CTE.
       val sh = T.documents(s, d)
+        .filter(col("doc_id") < 100000)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .groupBy(col("doc_id"))
         .agg(collect_set(col("token")).as("toks"))
@@ -585,7 +598,8 @@ object Similarity {
       -- and DuckDB re-inlines plain CTEs per reference (see graph_k_core)
       WITH toks AS MATERIALIZED (
         SELECT DISTINCT doc_id, token FROM (
-          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)),
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id < 100000)),
       hashed AS MATERIALIZED (
         SELECT doc_id, token, k,
                CAST(SUM(ascii(c) * ((pos * (CASE k WHEN 0 THEN 12289 WHEN 1 THEN 28657

@@ -33,8 +33,10 @@ class ExemptSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged == direct,
       s"merged-sketch estimates diverge from the direct sketch: $merged vs $direct")
-    val exact = T.events(spark, sf)
-      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+    // exact side from the ORACLED key agg_count_distinct (same grouping,
+    // DuckDB-verified) — the det-twin anchoring standard: an HLL regression
+    // breaks a pin against oracle-backed truth, not an inline recompute
+    val exact = Registry.queries("agg_count_distinct")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(merged.keySet == exact.keySet)
     for ((k, e) <- exact)
@@ -127,12 +129,16 @@ class ExemptSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(summary.nonEmpty && summary.size <= k, s"summary size ${summary.size}")
     assert(summary.values.forall(_ > 0), "non-positive counter survived")
-    val toks = T.documents(spark, sf)
-      .select(explode(split(col("text"), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-    val n = toks.count()
-    val exact = toks.groupBy(col("token")).count()
+    // exact side from the ORACLED key txt_wordcount (same split-on-space
+    // tokenization, DuckDB-verified counts). Its LIMIT 100 covers the
+    // ENTIRE vocabulary on these fixtures (31 tokens) — guarded below so a
+    // fixture whose vocabulary outgrows the limit fails loudly here
+    // instead of silently anchoring to a truncated truth.
+    val exact = Registry.queries("txt_wordcount")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.size < 100,
+      s"txt_wordcount top-100 no longer covers the vocabulary (${exact.size} rows) — anchor invalid")
+    val n = exact.values.sum
     val slack = n / (k + 1)
     summary.foreach { case (t, est) =>
       val truth = exact.getOrElse(t, 0L)
