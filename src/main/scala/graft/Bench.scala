@@ -110,7 +110,15 @@ object Bench {
       // and the headline total stay consistent: every non-failed query
       // contributes a real measurement, every failed one contributes 0.0
       // and is listed.
+      // SPARK_GRAFT_BENCH_RUNS=1 (local scale sweeps only; the driver
+      // never sets it) skips the re-run: at sf100 the second execution
+      // DOUBLES a key's shuffle/checkpoint spill on disk, and for the
+      // graph tier that double is the difference between fitting the box
+      // and ENOSPC (see BASELINE.md round-13). Single-run timings are
+      // noisier; the decade tables label them.
+      val singleRun = sys.env.get("SPARK_GRAFT_BENCH_RUNS").contains("1")
       val sec = timed() match {
+        case Right(t1) if singleRun => t1
         case Right(t1) => timed() match {
           case Right(t2) => math.min(t1, t2)
           case Left(e) =>
