@@ -70,6 +70,14 @@ def main():
                         "rows": None if rows is None else int(rows),
                         "detail": detail}
         print(f"FAIL {key}: {detail}")
+        # Some errors (observed: an IO Error probing a missing output at the
+        # sf100 sweep) leave the implicit transaction ABORTED, and every
+        # later query then fails with "Current transaction is aborted" — one
+        # bad key must not poison the rest of the sweep.
+        try:
+            con.execute("ROLLBACK")
+        except Exception:
+            pass
 
     for key, sql in sorted(oracles.items()):
         if only and key not in only:
