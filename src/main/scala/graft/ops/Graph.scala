@@ -24,6 +24,13 @@ object Graph {
     * shuffles once per round on the vertex key, contributions map-side
     * combine, and rank state is 16 bytes/vertex — the standard Pregel-style
     * plan without a graph framework.
+    *
+    * Deployment note (measured at sf100, 1.1 B edges — BASELINE.md r14):
+    * set `spark.rdd.compress=true` (+ `spark.io.compression.codec=zstd`).
+    * localCheckpoint blocks spill to disk UNCOMPRESSED by default, and for
+    * this op's checkpointed edge relation that encoding — not the volume —
+    * is what exhausts a node's local disk (measured 60.1 GB stock vs
+    * 8.7 GB zstd peak spill, edge-linear at 8 bytes/edge compressed).
     */
   val graphPagerank = Op(
     "graph_pagerank",
