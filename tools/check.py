@@ -62,6 +62,11 @@ def main():
         n_pass += 1
         results[key] = {"match": True, "rows": int(rows), "detail": detail}
         print(f"PASS {key} ({rows} rows{', ' + detail if detail else ''})")
+        # incremental checkpoint: a multi-hour scale sweep killed mid-run
+        # still leaves a parseable partial attestation (in_progress: true)
+        if json_path:
+            write_json(json_path, results, n_pass, n_fail, sf_dir, sort_rows,
+                       in_progress=True)
 
     def fail(key, detail, rows=None):
         nonlocal n_fail
@@ -78,6 +83,9 @@ def main():
             con.execute("ROLLBACK")
         except Exception:
             pass
+        if json_path:
+            write_json(json_path, results, n_pass, n_fail, sf_dir, sort_rows,
+                       in_progress=True)
 
     for key, sql in sorted(oracles.items()):
         if only and key not in only:
@@ -219,13 +227,24 @@ def main():
             ok(key, len(exp), "")
     print(f"== {n_pass} pass, {n_fail} fail ==")
     if json_path:
-        results["__summary__"] = {
-            "n_pass": n_pass, "n_fail": n_fail,
-            "n_keys": n_pass + n_fail, "sf_dir": sf_dir,
-            "mode": "sorted-multiset" if sort_rows else "row-for-row"}
-        with open(json_path, "w") as f:
-            json.dump(results, f, indent=1, sort_keys=True)
+        write_json(json_path, results, n_pass, n_fail, sf_dir, sort_rows,
+                   in_progress=False)
     sys.exit(1 if n_fail else 0)
+
+
+def write_json(json_path, results, n_pass, n_fail, sf_dir, sort_rows,
+               in_progress):
+    out = dict(results)
+    out["__summary__"] = {
+        "n_pass": n_pass, "n_fail": n_fail,
+        "n_keys": n_pass + n_fail, "sf_dir": sf_dir,
+        "mode": "sorted-multiset" if sort_rows else "row-for-row"}
+    if in_progress:
+        out["__summary__"]["in_progress"] = True
+    tmp = json_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    os.replace(tmp, json_path)
 
 if __name__ == "__main__":
     main()
