@@ -1925,7 +1925,170 @@ object Events {
     """)
   )
 
+  /** Sample-ratio-mismatch guardrail (r14) — the first check every A/B
+    * platform runs before reading a lift number (Fabijan et al. 2019,
+    * "Diagnosing Sample Ratio Mismatch"): are the realized variant counts
+    * consistent with the designed split? Users are bucketed 4 ways by the
+    * shared Knuth-multiplicative cohort hash (designed 25% each); the
+    * Pearson χ² against the uniform expectation (df = 3, α = .05 critical
+    * value 7.814728) is computed from EXACT integer counts, so the only
+    * FP is the final division — same expression in both engines, rounded
+    * to 6. Scale shape: one user-keyed aggregate (the event log's natural
+    * partition key, map-side combined) then a 4-row global roll-up —
+    * nothing downstream of the first agg is data-sized. The id-range
+    * bound on the hash is documented at evt_ab_test_lift.
+    */
+  val evtSrmCheck = Op(
+    "evt_srm_check",
+    (s, d) => {
+      val bucket = pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+      val users = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"))
+        .withColumn("variant", (bucket / lit(1073741824L)).cast("long"))
+      val counts = users.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_v0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_v1"),
+        sum(when(col("variant") === 2, 1L).otherwise(0L)).as("n_v2"),
+        sum(when(col("variant") === 3, 1L).otherwise(0L)).as("n_v3"))
+      val e = col("n_users") / lit(4.0)
+      def term(c: org.apache.spark.sql.Column) = (c - e) * (c - e) / e
+      counts
+        .withColumn("chisq", round(
+          term(col("n_v0")) + term(col("n_v1")) + term(col("n_v2")) + term(col("n_v3")), 6))
+        .withColumn("srm_detected", col("chisq") > 7.814728)
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id, COUNT(*) AS n_ev,
+               CAST((user_id * 2654435761) % 4294967296 // 1073741824 AS BIGINT) AS variant
+        FROM events GROUP BY user_id),
+      counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+               CAST(SUM(CASE WHEN variant = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+               CAST(SUM(CASE WHEN variant = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_v3
+        FROM users)
+      SELECT n_users, n_v0, n_v1, n_v2, n_v3,
+             ROUND((n_v0 - n_users / 4.0) * (n_v0 - n_users / 4.0) / (n_users / 4.0)
+                 + (n_v1 - n_users / 4.0) * (n_v1 - n_users / 4.0) / (n_users / 4.0)
+                 + (n_v2 - n_users / 4.0) * (n_v2 - n_users / 4.0) / (n_users / 4.0)
+                 + (n_v3 - n_users / 4.0) * (n_v3 - n_users / 4.0) / (n_users / 4.0), 6) AS chisq,
+             ((n_v0 - n_users / 4.0) * (n_v0 - n_users / 4.0) / (n_users / 4.0)
+                 + (n_v1 - n_users / 4.0) * (n_v1 - n_users / 4.0) / (n_users / 4.0)
+                 + (n_v2 - n_users / 4.0) * (n_v2 - n_users / 4.0) / (n_users / 4.0)
+                 + (n_v3 - n_users / 4.0) * (n_v3 - n_users / 4.0) / (n_users / 4.0))
+               > 7.814728 AS srm_detected
+      FROM counts
+    """)
+  )
+
+  /** CUPED variance reduction (r14; Deng, Xu, Kohavi & Walker 2013,
+    * "Improving the Sensitivity of Online Controlled Experiments") — the
+    * standard pre-experiment-covariate adjustment: Y_adj = Y − θ(X − X̄)
+    * with θ = cov(X,Y)/var(X), where X is the user's PRE-period spend and
+    * Y the experiment-period spend. Split at TIMESTAMP '2024-01-16', the
+    * midpoint of the fixtures' 30-day horizon (generator contract,
+    * TESTDATA.md; the dow-seasonality anchor documents the same idiom).
+    * Determinism: X and Y are per-user EXACT integer spend units
+    * (value → DECIMAL(18,4) → ×100 → BIGINT), every moment (Σx, Σy, Σxy,
+    * Σx², Σy²) is an exact BIGINT sum (magnitudes ≤ ~1e16 « 2^63 at
+    * sf100), and θ / variance-reduction / lifts are the SAME double
+    * expression over those identical integers in both engines, rounded
+    * to 6. Per-variant CUPED-adjusted means use the linearity shortcut
+    * mean(Y_adj | v) = Ȳ_v − θ(X̄_v − X̄) — no second data pass. Scale
+    * shape: ONE user-keyed aggregate (map-side combined) then a
+    * constant-width global roll-up; the plan is two exchanges total
+    * regardless of corpus size.
+    */
+  val evtCupedLift = Op(
+    "evt_cuped_lift",
+    (s, d) => {
+      val bucket = pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+      val cut = lit("2024-01-16").cast("timestamp")
+      val users = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          (sum(when(col("ts") < cut, Det.dec(col("value"))).otherwise(Det.dec(lit(0.0)))) * 100)
+            .cast("long").as("x"),
+          (sum(when(col("ts") >= cut, Det.dec(col("value"))).otherwise(Det.dec(lit(0.0)))) * 100)
+            .cast("long").as("y"))
+        .withColumn("t", when(bucket < lit(2147483648L), 0L).otherwise(1L))
+      val m = users.agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t") === 1, col("x")).otherwise(0L)).as("sx_t"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("sy_t"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("t") === 0, col("x")).otherwise(0L)).as("sx_c"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("sy_c"),
+        sum(col("y") * col("y")).as("syy"))
+      val n = col("n").cast("double")
+      val mx = col("sx") / n; val my = col("sy") / n
+      val varX = col("sxx") / n - mx * mx
+      val covXY = col("sxy") / n - mx * my
+      val varY = col("syy") / n - my * my
+      val theta = covXY / varX
+      val myT = col("sy_t") / col("n_t"); val myC = col("sy_c") / col("n_c")
+      val mxT = col("sx_t") / col("n_t"); val mxC = col("sx_c") / col("n_c")
+      val adjT = myT - theta * (mxT - mx)
+      val adjC = myC - theta * (mxC - mx)
+      m.select(
+        col("n"), col("n_t"), col("n_c"),
+        round(theta, 6).as("theta"),
+        round(lit(1.0) - (varY - covXY * covXY / varX) / varY, 6).as("var_reduction"),
+        round(myT / myC - 1.0, 6).as("lift_raw"),
+        round(adjT / adjC - 1.0, 6).as("lift_cuped"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0.0 AS DECIMAL(18,4)) END) * 100 AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                 THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0.0 AS DECIMAL(18,4)) END) * 100 AS BIGINT) AS y,
+               CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                    THEN 0 ELSE 1 END AS t
+        FROM events GROUP BY user_id),
+      m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+               CAST(SUM(CASE WHEN t = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_t,
+               CAST(SUM(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+               CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+               CAST(SUM(CASE WHEN t = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_c,
+               CAST(SUM(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_c,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM users)
+      SELECT n, n_t, n_c,
+             ROUND(((sxy / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                 / ((sxx / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))), 6) AS theta,
+             ROUND(1.0 - (((syy / CAST(n AS DOUBLE)) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                 - ((sxy / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   * ((sxy / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   / ((sxx / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))
+                 / ((syy / CAST(n AS DOUBLE)) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE))), 6) AS var_reduction,
+             ROUND((sy_t / CAST(n_t AS DOUBLE)) / (sy_c / CAST(n_c AS DOUBLE)) - 1.0, 6) AS lift_raw,
+             ROUND(((sy_t / CAST(n_t AS DOUBLE))
+                 - (((sxy / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   / ((sxx / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))
+                   * ((sx_t / CAST(n_t AS DOUBLE)) - (sx / CAST(n AS DOUBLE))))
+                 / ((sy_c / CAST(n_c AS DOUBLE))
+                 - (((sxy / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)))
+                   / ((sxx / CAST(n AS DOUBLE)) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE))))
+                   * ((sx_c / CAST(n_c AS DOUBLE)) - (sx / CAST(n AS DOUBLE)))) - 1.0, 6) AS lift_cuped
+      FROM m
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    evtSrmCheck, evtCupedLift,
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
     evtSurvivalKm, evtPeakConcurrency, evtAssocRules, evtBounceRate,
     evtWelchTtest, evtAbPowerMde,

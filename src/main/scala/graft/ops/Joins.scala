@@ -1049,7 +1049,70 @@ object Joins {
     """)
   )
 
+  /** Epsilon self-join via grid bucketing (r14) — the classic spatial /
+    * metric-space join: all point pairs within distance eps, without the
+    * O(n²) cross join. Points are the purchase events embedded in a 2-D
+    * plane (x = value, y = user_id mod 512 — exact small integers in
+    * DOUBLE). Algorithm: home cell = (⌊x/eps⌋, ⌊y/eps⌋); the PROBE side
+    * replicates each point to its 3×3 cell neighborhood, the BUILD side
+    * keeps one home cell per point; an equi-join on the cell key then the
+    * exact (a.x−b.x)²+(a.y−b.y)² ≤ eps² filter. A qualifying pair (a<b)
+    * matches exactly once: b's unique home cell lies inside a's
+    * neighborhood. Scale shape: 9× replication then ONE hash shuffle on
+    * the cell key — candidate work is O(n · local density), never n²; hot
+    * cells (price round-numbers) are ordinary join skew, handled by AQE
+    * skew splitting exactly as join_skew_salted demonstrates. Determinism:
+    * cell ids from floor() on identical doubles, the distance predicate is
+    * the same IEEE expression in both engines, output is exact ids plus
+    * dist2 rounded to 6. The DuckDB oracle is the NAIVE semantics (self
+    * join with |Δx|,|Δy| band predicates) — independent of the grid
+    * algorithm, so it checks the candidate-generation logic itself.
+    */
+  val joinSpatialGridEps = Op(
+    "join_spatial_grid_eps",
+    (s, d) => {
+      val eps = 0.5
+      val pts = T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("id"), col("value").as("x"),
+          (col("user_id") % 512).cast("double").as("y"))
+      val home = pts
+        .withColumn("cx", floor(col("x") / eps).cast("long"))
+        .withColumn("cy", floor(col("y") / eps).cast("long"))
+      val probe = home
+        .withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+      val build = home.select(
+        col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+        col("cx"), col("cy"))
+      probe.join(build, Seq("cx", "cy"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("dist2",
+          (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+          (col("ay") - col("by")) * (col("ay") - col("by")))
+        .filter(col("dist2") <= eps * eps)
+        .select(col("a_id"), col("b_id"), round(col("dist2"), 6).as("dist2"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+    Some("""
+      WITH pts AS (
+        SELECT event_id AS id, value AS x, CAST(user_id % 512 AS DOUBLE) AS y
+        FROM events WHERE event_type = 'purchase')
+      SELECT a.id AS a_id, b.id AS b_id,
+             ROUND((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 6) AS dist2
+      FROM pts a JOIN pts b
+        ON a.id < b.id
+       AND b.x BETWEEN a.x - 0.5 AND a.x + 0.5
+       AND b.y BETWEEN a.y - 0.5 AND a.y + 0.5
+       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.25
+      ORDER BY a_id, b_id
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    joinSpatialGridEps,
     joinViewDeltaMaintain, joinDsv2StatsBroadcast, joinDsv2RuntimeFilter,
     joinStar5Way, joinBroadcastInner, joinShuffleInner, joinBucketedColocated,
     joinDppPrune, joinSqlExists, joinNullsafeEq, joinLeftOuter, joinFullOuter,

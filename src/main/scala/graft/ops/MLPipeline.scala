@@ -2024,7 +2024,83 @@ object MLPipeline {
     """)
   )
 
+  /** Propensity-score stratification ATE (r14; Rosenbaum & Rubin 1984,
+    * "Reducing Bias in Observational Studies Using Subclassification on
+    * the Propensity Score") — the third leg of the causal toolkit next to
+    * ml_cem_matching (exact matching) and ml_qini_uplift (uplift ranking):
+    * subclassify users on a confounder (activity level = events capped at
+    * 20 — the quantity that drives both exposure and spend in an
+    * observational log), then average the within-stratum treated-vs-
+    * control spend gaps weighted by stratum size. Treatment is the shared
+    * Knuth cohort hash (id bound documented at evt_ab_test_lift).
+    * Determinism: spend is exact cents (the DECIMAL(18,4)→×100→BIGINT
+    * idiom, fixture 2-decimal contract), each stratum term is computed in
+    * exact integer MICRO-cents via BIGINT floor-division quantization
+    * (n_b · (⌊1e6·sum1/n1⌋ − ⌊1e6·sum0/n0⌋), the ppm idiom of
+    * evt_attribution_u), and the single final division to ATE happens
+    * once, on identical integers, rounded to 6. Magnitude headroom:
+    * per-stratum mean ≤ ~1e10 micro-cents, ×n_b ≤ 1e6 at sf100 → ≤ 1e16
+    * per term, ≤ 21 terms « 2^63. Strata with a missing arm are dropped
+    * (common support), their user count reported. Scale shape: one
+    * user-keyed aggregate, a ≤21-row stratum table, a 1-row answer — the
+    * only data-sized exchange is the first, map-side-combined groupBy.
+    */
+  val mlPropensityStratAte = Op(
+    "ml_propensity_strat_ate",
+    (s, d) => {
+      val bucket = pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+      val users = T.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_ev"),
+          (sum(Det.dec(col("value"))) * 100).cast("long").as("spend"))
+        .withColumn("t", when(bucket < lit(2147483648L), 0L).otherwise(1L))
+        .withColumn("stratum", least(col("n_ev"), lit(20L)))
+      val strata = users.groupBy(col("stratum"))
+        .agg(
+          count(lit(1)).as("n_b"),
+          sum(when(col("t") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("t") === 1, col("spend")).otherwise(0L)).as("s1"),
+          sum(when(col("t") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("t") === 0, col("spend")).otherwise(0L)).as("s0"))
+      val supported = strata.filter(col("n1") > 0 && col("n0") > 0)
+      supported.agg(
+          sum(col("n_b")).as("n_supported"),
+          count(lit(1)).as("n_strata"),
+          sum(col("n_b") * (expr("(s1 * 1000000) div n1") - expr("(s0 * 1000000) div n0")))
+            .as("ate_micro_total"))
+        .select(
+          col("n_supported"), col("n_strata"),
+          round(col("ate_micro_total") / (col("n_supported") * lit(100000000.0)), 6)
+            .as("ate_spend"))
+    },
+    Some("""
+      WITH users AS (
+        SELECT user_id, COUNT(*) AS n_ev,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS spend,
+               CASE WHEN (user_id * 2654435761) % 4294967296 < 2147483648
+                    THEN 0 ELSE 1 END AS t,
+               CAST(LEAST(COUNT(*), 20) AS BIGINT) AS stratum
+        FROM events GROUP BY user_id),
+      strata AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN t = 1 THEN spend ELSE 0 END) AS BIGINT) AS s1,
+               CAST(SUM(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN t = 0 THEN spend ELSE 0 END) AS BIGINT) AS s0
+        FROM users GROUP BY stratum),
+      supported AS (SELECT * FROM strata WHERE n1 > 0 AND n0 > 0)
+      SELECT CAST(SUM(n_b) AS BIGINT) AS n_supported,
+             CAST(COUNT(*) AS BIGINT) AS n_strata,
+             ROUND(CAST(SUM(n_b * ((s1 * 1000000) // n1 - (s0 * 1000000) // n0)) AS BIGINT)
+                   / (CAST(SUM(n_b) AS BIGINT) * 100000000.0), 6) AS ate_spend
+      FROM supported
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    mlPropensityStratAte,
     mlWoeEncoding, mlBrierDecomposition, mlFairnessParity,
     mlChampionChallenger, mlCemMatching, mlQiniUplift,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,

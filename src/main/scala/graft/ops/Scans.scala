@@ -1356,7 +1356,44 @@ object Scans {
     """)
   )
 
+  /** XML round-trip through Spark 4's NATIVE xml data source (SPARK-44265
+    * folded spark-xml into sql/core — `format("xml")` with `rowTag`, no
+    * external jar). XML is the enterprise-feed format the reference's
+    * ingestion tier has to accept (r14); the scalable discipline mirrors
+    * CSV: schema-on-read (never inference over 100 TB), many medium files
+    * so read tasks parallelize (the writer fans out to 4), and a
+    * projection+aggregate immediately after parse so only the needed
+    * fields survive the row-based parse. Oracle reads the parquet
+    * original — same rows by construction.
+    */
+  val scanXmlRoundtrip = Op(
+    "scan_xml_roundtrip",
+    (s, d) => {
+      val tmp = T.scratch("supplier_xml")
+      T.supplier(s, d)
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("rowTag", "supplier").option("rootTag", "suppliers")
+        .format("xml").save(tmp)
+      val schema = StructType(Seq(
+        StructField("s_suppkey", LongType),
+        StructField("s_name", StringType),
+        StructField("s_nationkey", IntegerType),
+        StructField("s_acctbal", DoubleType)))
+      s.read.schema(schema).option("rowTag", "supplier").format("xml").load(tmp)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"), Det.sumDec(col("s_acctbal")).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+    Some("""
+      SELECT s_nationkey, COUNT(*) AS n_supp,
+             CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    scanXmlRoundtrip,
     scanJdbcPushdown,
     scanCustomDsv2, scanDsv2AggPushdown, scanCsvMultiline, scanRecursiveGlob,
     scanTextLines, scanFileMetadata,

@@ -414,7 +414,98 @@ object Text {
     """)
   )
 
+  /** RAKE keyword extraction (r14; Rose, Engel, Cramer & Cowley 2010,
+    * "Automatic Keyword Extraction from Individual Documents") — candidate
+    * phrases are the maximal stopword-free token runs per document
+    * (gaps-and-islands: island id = pos − row_number over non-stop tokens,
+    * the win_gap_islands idiom applied inside text); word score =
+    * degree/frequency over the whole corpus where degree(w) sums the
+    * lengths of every phrase occurrence containing w; phrase score sums
+    * its words' scores. Determinism: degree and frequency are exact
+    * counts, the division is quantized ONCE per word to exact ppm BIGINTs
+    * (⌊1e6·deg/freq⌋, the evt_attribution_u idiom — float word scores
+    * would make the phrase sum order-dependent), phrase scores are exact
+    * BIGINT sums of those ppm units, and the top-30 cut orders by
+    * (score_ppm, phrase) — total. Scale shape: posexplode, ONE doc-keyed
+    * window for the island ids (the event log pattern: partition by the
+    * key the data is already clustered by), a phrase-string aggregate,
+    * then everything downstream is vocabulary-sized; the word-score table
+    * re-joins to phrase words via a broadcast-sized vocab in any real
+    * corpus — here a plain equi-join the optimizer sizes itself.
+    */
+  val txtRakeKeywords = Op(
+    "txt_rake_keywords",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .filter(!col("token").isin(stoplist: _*))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val phrases = toks
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(
+          concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+              x => x.getField("token"))).as("phrase"),
+          count(lit(1)).cast("long").as("len"))
+      val words = phrases
+        .select(col("len"), explode(split(col("phrase"), " ")).as("word"))
+      val wordScore = words.groupBy(col("word"))
+        .agg(expr("(sum(len) * 1000000) div count(1)").as("score_ppm"))
+      val phraseScore = phrases
+        .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+        .join(wordScore, "word")
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_words_x_occur"), sum(col("score_ppm")).as("total_ppm"))
+      // identical phrase text ⇒ identical per-occurrence score; collapse to
+      // one row per distinct phrase with its occurrence count
+      phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
+        .join(phraseScore, "phrase")
+        .withColumn("score_ppm", (col("total_ppm") / col("n_occur")).cast("long"))
+        .select(col("phrase"), col("n_occur"), col("score_ppm"),
+          round(col("score_ppm") / 1000000.0, 6).as("score"))
+        .orderBy(col("score_ppm").desc, col("phrase"))
+        .limit(30)
+    },
+    Some(s"""
+      WITH seq AS (
+        SELECT doc_id, unnest(toks) AS token,
+               generate_subscripts(toks, 1) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      nonstop AS (
+        SELECT doc_id, token, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM seq
+        WHERE token NOT IN (${stoplist.map(w => s"'$w'").mkString(", ")})),
+      phrases AS (
+        SELECT doc_id, grp,
+               string_agg(token, ' ' ORDER BY pos) AS phrase,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM nonstop GROUP BY doc_id, grp),
+      word_score AS (
+        SELECT word, (SUM(len) * 1000000) // COUNT(*) AS score_ppm
+        FROM (SELECT len, unnest(string_split(phrase, ' ')) AS word FROM phrases)
+        GROUP BY word),
+      phrase_score AS (
+        SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_words_x_occur,
+               CAST(SUM(score_ppm) AS BIGINT) AS total_ppm
+        FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM phrases) pw
+        JOIN word_score USING (word)
+        GROUP BY phrase)
+      SELECT phrase, n_occur, score_ppm, ROUND(score_ppm / 1000000.0, 6) AS score
+      FROM (
+        SELECT p.phrase, p.n_occur, ps.n_words_x_occur,
+               CAST(ps.total_ppm / p.n_occur AS BIGINT) AS score_ppm
+        FROM (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur
+              FROM phrases GROUP BY phrase) p
+        JOIN phrase_score ps USING (phrase))
+      ORDER BY score_ppm DESC, phrase LIMIT 30
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    txtRakeKeywords,
     txtNormalize, txtWordcount, txtStopwordFilter, txtTf, txtIdfTfidf,
     txtNgrams, txtDocStats, txtStringIndexer, txtHashingTf, txtHashingTfDet,
     txtLangDistPivot,

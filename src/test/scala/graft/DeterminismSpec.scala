@@ -135,7 +135,13 @@ object DeterminismMatrix {
     "txt_dsir_weight",           // md5-bucket profiles + integer ppm ratio
     "txt_dsir_resample",         // Knuth-hash uniform vs integer score gate
     "agg_countmin_freq_det",     // md5 hex-pair grid + broadcast min join
-    "txt_hashing_tf_det")        // md5-pair bucket fold + per-doc counts
+    "txt_hashing_tf_det",        // md5-pair bucket fold + per-doc counts
+    "scan_xml_roundtrip",        // 4-file xml fan-out + schema-on-read agg
+    "join_spatial_grid_eps",     // 3x3 cell replication + exact dist filter
+    "evt_srm_check",             // exact variant counts + IEEE chi-square
+    "evt_cuped_lift",            // exact integer moments + linearity finish
+    "ml_propensity_strat_ate",   // integer strata + ppm-quantized gap
+    "txt_rake_keywords")         // islands window + ppm word scores
 }
 
 class DeterminismSpec extends AnyFunSuite {

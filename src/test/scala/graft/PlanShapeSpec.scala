@@ -910,4 +910,31 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(df.rdd.getNumPartitions == 8,
       s"expected 8 input partitions, got ${df.rdd.getNumPartitions}")
   }
+
+  test("join_spatial_grid_eps: cell equi-join, never a nested-loop/cartesian candidate pass") {
+    // the whole point of the grid is turning an O(n²) distance join into
+    // an equi-join on cell ids — if the cell key ever falls out of the
+    // join condition Spark silently plans BroadcastNestedLoopJoin /
+    // CartesianProduct and the op stops scaling
+    val p = plan("join_spatial_grid_eps")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"candidate generation must be the (cx,cy) equi-join: $p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected an equi-join on the cell key: $p")
+  }
+
+  test("evt_cuped_lift / ml_propensity_strat_ate: user rollup map-side combines") {
+    // both causal keys hinge on the SAME scale shape: the only data-sized
+    // exchange is the user-keyed aggregate, which must partial-aggregate
+    // before the shuffle (per-user event counts are tiny; raw-row shuffles
+    // are not)
+    for (k <- Seq("evt_cuped_lift", "ml_propensity_strat_ate", "evt_srm_check")) {
+      val p = plan(k)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$k: the user-keyed aggregate must map-side combine: $p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$k: no join belongs in this plan: $p")
+    }
+  }
 }
