@@ -97,7 +97,11 @@ object PlanDump {
     "agg_countmin_freq_det" ->
       "exact 4x256 Count-Min grid: one vocab-bounded token agg, <=1024-row grid BROADCAST back for the estimate lookup -- no second corpus scan",
     "txt_hashing_tf_det" ->
-      "md5-bucket HashingTF twin: narrow tokenize-explode, map-side-combined (doc, bucket) agg -- shuffle is docs x <=64 buckets, never raw tokens")
+      "md5-bucket HashingTF twin: narrow tokenize-explode, map-side-combined (doc, bucket) agg -- shuffle is docs x <=64 buckets, never raw tokens",
+    "join_spatial_grid_eps" ->
+      "epsilon distance self-join: 3x3 cell-neighborhood replication then ONE equi-join on the cell key -- candidate work O(n x local density), never a CartesianProduct/BroadcastNestedLoopJoin",
+    "evt_cuped_lift" ->
+      "CUPED: the only data-sized exchange is the map-side-combined user rollup; the five exact-integer moments reduce in one constant-width global agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
