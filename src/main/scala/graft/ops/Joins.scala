@@ -1067,6 +1067,18 @@ object Joins {
     * dist2 rounded to 6. The DuckDB oracle is the NAIVE semantics (self
     * join with |Δx|,|Δy| band predicates) — independent of the grid
     * algorithm, so it checks the candidate-generation logic itself.
+    *
+    * ORACLE BAND WIDTH (caught by the sf1 decade check, 11/394,956 pairs):
+    * the oracle's band endpoints a.x ± 0.5 are ROUNDED doubles, so a pair
+    * whose decimal Δx is exactly 0.50 — whose computed (a.x−b.x) is
+    * exactly 0.5 and dist² exactly 0.25, included by the distance
+    * predicate in BOTH engines — can fall just outside the rounded
+    * endpoint and be wrongly excluded by the band alone. The band is
+    * widened to ±0.500001 (pre-filter only; the exact dist² ≤ 0.25
+    * predicate is the semantics). The GRID side has no such edge: cells
+    * are exact for any |Δx| ≤ 0.5 pair because fixture coordinates are
+    * cents (boundary-aligned values are exact binary doubles), so a
+    * computed-0.5 gap spans at most one cell boundary.
     */
   val joinSpatialGridEps = Op(
     "join_spatial_grid_eps",
@@ -1104,8 +1116,8 @@ object Joins {
              ROUND((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 6) AS dist2
       FROM pts a JOIN pts b
         ON a.id < b.id
-       AND b.x BETWEEN a.x - 0.5 AND a.x + 0.5
-       AND b.y BETWEEN a.y - 0.5 AND a.y + 0.5
+       AND b.x BETWEEN a.x - 0.500001 AND a.x + 0.500001
+       AND b.y BETWEEN a.y - 0.500001 AND a.y + 0.500001
        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.25
       ORDER BY a_id, b_id
     """)

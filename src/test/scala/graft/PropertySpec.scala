@@ -603,5 +603,37 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expected, s"growth_ppm $got != BigInt-exact $expected")
   }
 
+  test("join_spatial_grid_eps: exact eps-boundary pairs are found (sf1 band-exclusion pin)") {
+    import spark.implicits._
+    // The sf1 decade check caught 11 pairs with decimal Δx exactly 0.50:
+    // computed (a.x−b.x) is exactly 0.5, dist² exactly 0.25 — inside the
+    // predicate — while a naive band pre-filter with ROUNDED endpoints
+    // (a.x ± 0.5) excludes them. This fixture plants that exact boundary
+    // (0.42/0.92 — both inexact doubles whose difference rounds to 0.5)
+    // plus an exact-binary boundary pair (5.00/5.50, adjacent cells) and
+    // near-misses that must stay excluded, so the grid's candidate
+    // generation and the ≤-boundary semantics are pinned at unit scale.
+    val ts = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    val rows = Seq(
+      (1L, ts, 0L, "purchase", 0.42, "{}"),
+      (2L, ts, 512L, "purchase", 0.92, "{}"),   // y=0 both: Δx=0.50 decimal → IN
+      (3L, ts, 0L, "purchase", 2.00, "{}"),
+      (4L, ts, 512L, "purchase", 2.51, "{}"),   // Δx=0.51 → OUT
+      (5L, ts, 0L, "purchase", 5.00, "{}"),
+      (6L, ts, 512L, "purchase", 5.50, "{}"),   // exact binary boundary → IN
+      (7L, ts, 1L, "purchase", 9.00, "{}"),
+      (8L, ts, 0L, "purchase", 9.00, "{}"),     // Δy=1.0 → OUT
+      (9L, ts, 513L, "purchase", 7.10, "{}"),
+      (10L, ts, 1L, "purchase", 7.10, "{}"),    // identical point → IN, dist2=0
+      (11L, ts, 0L, "view", 0.92, "{}"))        // non-purchase: never a point
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = graft.ops.T.scratch("grid_eps_boundary_fixture")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Registry.queries("join_spatial_grid_eps")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.25), (5L, 6L, 0.25), (9L, 10L, 0.0)),
+      s"boundary semantics drifted: $got")
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }
