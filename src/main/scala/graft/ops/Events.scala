@@ -2087,8 +2087,65 @@ object Events {
     """)
   )
 
+  /** Classical seasonal decomposition by moving average (r14; the
+    * decompose() of Kendall & Stuart / Hyndman FPP ch. 6, additive form) —
+    * trend = centered 7-day moving average of daily revenue, seasonal =
+    * per-day-of-week mean of the detrended series over FULL windows only.
+    * The missing leg beside evt_dow_seasonality (raw dow medians) and
+    * evt_forecast_backtest (naive forecasts): this one removes trend
+    * before reading seasonality, the textbook order. Determinism: daily
+    * revenue in exact cents; the MA is kept as its 7-day SUM (no division),
+    * detrended(d) = 7·rev(d) − trendsum(d) exactly; the per-dow index is
+    * ONE integer division at the edge (sum(detrended) div (7·n), the ppm
+    * idiom); dow via the datediff-mod-7 anchor (2024-01-01, a Monday —
+    * evt_dow_seasonality's documented idiom). Scale shape: the corpus
+    * reduces to a horizon-sized daily series in one map-side-combined
+    * agg; every window after runs on ≤|days| rows. The full-window rule
+    * (cnt=7) drops the 3 edge days each side, as decompose() does.
+    */
+  val evtSeasonalMaDecompose = Op(
+    "evt_seasonal_ma_decompose",
+    (s, d) => {
+      val daily = T.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg((sum(Det.dec(col("value"))) * 100).cast("long").as("rev"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      daily
+        .withColumn("trend7", sum(col("rev")).over(w))
+        .withColumn("cnt7", count(lit(1)).over(w))
+        .filter(col("cnt7") === 7)
+        .withColumn("detr7", col("rev") * 7 - col("trend7"))
+        .withColumn("dow", expr("datediff(day, DATE '2024-01-01') % 7").cast("long"))
+        .groupBy(col("dow"))
+        .agg(
+          count(lit(1)).as("n_days"),
+          sum(col("detr7")).as("detr7_sum"))
+        .withColumn("seasonal_cents", expr("detr7_sum div (7 * n_days)"))
+        .orderBy(col("dow"))
+    },
+    Some("""
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) * 100 AS BIGINT) AS rev
+        FROM events GROUP BY day),
+      ma AS (
+        SELECT day, rev,
+               SUM(rev) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend7,
+               COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS cnt7
+        FROM daily),
+      detr AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', day) % 7 AS BIGINT) AS dow,
+               rev * 7 - trend7 AS detr7
+        FROM ma WHERE cnt7 = 7)
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(detr7) AS BIGINT) AS detr7_sum,
+             CAST(SUM(detr7) AS BIGINT) // (7 * CAST(COUNT(*) AS BIGINT)) AS seasonal_cents
+      FROM detr GROUP BY dow ORDER BY dow
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    evtSrmCheck, evtCupedLift,
+    evtSrmCheck, evtCupedLift, evtSeasonalMaDecompose,
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
     evtSurvivalKm, evtPeakConcurrency, evtAssocRules, evtBounceRate,
     evtWelchTtest, evtAbPowerMde,

@@ -2099,8 +2099,99 @@ object MLPipeline {
     """)
   )
 
+  /** Split-conformal prediction interval (r14; Vovk et al. 2005; Lei et al.
+    * 2018 "Distribution-Free Predictive Inference for Regression") — the
+    * distribution-free uncertainty wrapper production ML serves with:
+    * calibration/test split by the shared Knuth user hash, point model =
+    * per-event-type mean spend fit on CALIBRATION only, nonconformity
+    * s = |value − pred|, q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest calibration
+    * score, and the guarantee to check is test coverage ≥ ~90%.
+    * Determinism: spend in exact cents, pred integer-quantized
+    * (sum div count), s exact integer cents, q̂ an exact order statistic
+    * picked off the score HISTOGRAM cumsum (the agg_quantiles_hist_det
+    * recipe — never a row-sized sort), coverage in exact ppm. Scale shape:
+    * TWO corpus scans — the first reduces to the 5-row model (map-side
+    * combined), the second scores against the BROADCAST model and builds
+    * both histograms at once (groupBy s with a calibration and a test
+    * counter); everything after is bounded by the score domain (≤ cents
+    * range), and the single-partition cumsum window runs over the bounded
+    * histogram, not the log.
+    */
+  val mlConformalInterval = Op(
+    "ml_conformal_interval",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val bucket = pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+      val ev = T.events(s, d)
+        .withColumn("cents", (Det.dec(col("value")) * 100).cast("long"))
+        .withColumn("is_cal", bucket < lit(2147483648L))
+      val pred = ev.filter(col("is_cal"))
+        .groupBy(col("event_type"))
+        .agg(expr("(sum(cents)) div count(1)").as("pred_cents"))
+      val scored = ev.join(broadcast(pred), "event_type")
+        .withColumn("s", abs(col("cents") - col("pred_cents")))
+      val hist = scored.groupBy(col("s")).agg(
+        sum(when(col("is_cal"), 1L).otherwise(0L)).as("c_cal"),
+        sum(when(!col("is_cal"), 1L).otherwise(0L)).as("c_test"))
+      val w = Window.orderBy(col("s"))
+      val cum = hist
+        .withColumn("cum_cal", sum(col("c_cal")).over(w))
+        .withColumn("n_cal", sum(col("c_cal")).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("n_test", sum(col("c_test")).over(
+          Window.partitionBy(lit(1))))
+      val qhat = cum
+        .filter(col("cum_cal") >= ceil(lit(0.9) * (col("n_cal") + 1)))
+        .agg(min(col("s")).as("q_hat"))
+      cum.crossJoin(broadcast(qhat))
+        .groupBy(col("q_hat"))
+        .agg(
+          max(col("n_cal")).as("n_cal"),
+          max(col("n_test")).as("n_test"),
+          sum(when(col("s") <= col("q_hat"), col("c_test")).otherwise(0L)).as("covered"))
+        .select(
+          col("n_cal"), col("n_test"), col("q_hat"), col("covered"),
+          expr("(covered * 1000000) div n_test").as("coverage_ppm"))
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents,
+               (user_id * 2654435761) % 4294967296 < 2147483648 AS is_cal
+        FROM events),
+      pred AS (
+        SELECT event_type, SUM(cents) // COUNT(*) AS pred_cents
+        FROM ev WHERE is_cal GROUP BY event_type),
+      scored AS (
+        SELECT is_cal, ABS(cents - pred_cents) AS s
+        FROM ev JOIN pred USING (event_type)),
+      hist AS (
+        SELECT s,
+               CAST(SUM(CASE WHEN is_cal THEN 1 ELSE 0 END) AS BIGINT) AS c_cal,
+               CAST(SUM(CASE WHEN is_cal THEN 0 ELSE 1 END) AS BIGINT) AS c_test
+        FROM scored GROUP BY s),
+      cum AS (
+        SELECT s, c_cal, c_test,
+               SUM(c_cal) OVER (ORDER BY s) AS cum_cal,
+               SUM(c_cal) OVER () AS n_cal,
+               SUM(c_test) OVER () AS n_test
+        FROM hist),
+      qhat AS (
+        SELECT CAST(MIN(s) AS BIGINT) AS q_hat FROM cum
+        WHERE cum_cal >= CEIL(0.9 * (n_cal + 1)))
+      SELECT CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+             CAST(MAX(n_test) AS BIGINT) AS n_test,
+             q_hat,
+             CAST(SUM(CASE WHEN s <= q_hat THEN c_test ELSE 0 END) AS BIGINT) AS covered,
+             (CAST(SUM(CASE WHEN s <= q_hat THEN c_test ELSE 0 END) AS BIGINT) * 1000000)
+               // CAST(MAX(n_test) AS BIGINT) AS coverage_ppm
+      FROM cum CROSS JOIN qhat
+      GROUP BY q_hat
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    mlPropensityStratAte,
+    mlPropensityStratAte, mlConformalInterval,
     mlWoeEncoding, mlBrierDecomposition, mlFairnessParity,
     mlChampionChallenger, mlCemMatching, mlQiniUplift,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,

@@ -141,7 +141,9 @@ object DeterminismMatrix {
     "evt_srm_check",             // exact variant counts + IEEE chi-square
     "evt_cuped_lift",            // exact integer moments + linearity finish
     "ml_propensity_strat_ate",   // integer strata + ppm-quantized gap
-    "txt_rake_keywords")         // islands window + ppm word scores
+    "txt_rake_keywords",         // islands window + ppm word scores
+    "ml_conformal_interval",     // dual-counter histogram + cumsum pick
+    "evt_seasonal_ma_decompose") // daily rollup + centered-MA windows
 }
 
 class DeterminismSpec extends AnyFunSuite {
