@@ -2144,8 +2144,85 @@ object Events {
     """)
   )
 
+  /** Group-sequential A/B monitoring with O'Brien–Fleming boundaries (r14;
+    * O'Brien & Fleming 1979; Pocock 1977 for the contrast) — the interim-
+    * analysis discipline that lets an experiment be peeked at K=5 looks
+    * (every 6 days of the 30-day horizon) without inflating false
+    * positives: the two-proportion z at look k is compared to the OBF
+    * boundary c·√(K/k) (c = 2.04, the classical K=5 / α=.05 two-sided
+    * table value) — strict early, nominal-ish late. Determinism: per-look
+    * cohorts and conversions are EXACT integer counts (the evt_ab_test_lift
+    * converted definition, re-evaluated as-of each cutoff), z and the
+    * boundary are the same double expressions in both engines, rounded to
+    * 6. Scale shape: one events scan exploded ×≤5 looks (map-side combined
+    * into user×look), one user-keyed agg, then a 5-row rollup — the
+    * monitoring table is look-count-sized no matter the log volume.
+    */
+  val evtGroupSequentialObf = Op(
+    "evt_group_sequential_obf",
+    (s, d) => {
+      val bucket = pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+      val userLook = T.events(s, d)
+        .withColumn("k", explode(expr("sequence(1, 5)")))
+        .filter(col("ts") < expr("timestamp(date_add(DATE '2024-01-01', k * 6))"))
+        .groupBy(col("user_id"), col("k"))
+        .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >
+              sum(when(col("event_type") === "signup", 1L).otherwise(0L)))
+          .cast("long").as("converted"))
+        .withColumn("variant", when(bucket < lit(2147483648L), "A").otherwise("B"))
+      val looks = userLook.groupBy(col("k"))
+        .agg(
+          sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === "A", col("converted")).otherwise(0L)).as("conv_a"),
+          sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === "B", col("converted")).otherwise(0L)).as("conv_b"))
+      val p = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+      val z = ((col("conv_a") / col("n_a")) - (col("conv_b") / col("n_b"))) /
+        nullif(sqrt(p * (lit(1.0) - p) * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))),
+          lit(0.0))
+      looks
+        .withColumn("z", round(z, 6))
+        .withColumn("boundary", round(lit(2.04) * sqrt(lit(5.0) / col("k")), 6))
+        .withColumn("crossed", abs(round(z, 6)) > round(lit(2.04) * sqrt(lit(5.0) / col("k")), 6))
+        .select(col("k").cast("long").as("k"), col("n_a"), col("conv_a"),
+          col("n_b"), col("conv_b"), col("z"), col("boundary"), col("crossed"))
+        .orderBy(col("k"))
+    },
+    Some("""
+      WITH userlook AS (
+        SELECT user_id, k,
+               CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >
+                         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS converted,
+               CASE WHEN (MIN(user_id) * 2654435761) % 4294967296 < 2147483648
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events CROSS JOIN (SELECT unnest(range(1, 6)) AS k)
+        WHERE ts < CAST(DATE '2024-01-01' + CAST(6 * k AS INTEGER) AS TIMESTAMP)
+        GROUP BY user_id, k),
+      looks AS (
+        SELECT k,
+               CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN variant = 'A' THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+               CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(SUM(CASE WHEN variant = 'B' THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+        FROM userlook GROUP BY k)
+      SELECT CAST(k AS BIGINT) AS k, n_a, conv_a, n_b, conv_b,
+             ROUND(((conv_a / n_a) - (conv_b / n_b)) /
+                   NULLIF(sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+                        (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+                        (1.0 / n_a + 1.0 / n_b)), 0.0), 6) AS z,
+             ROUND(2.04 * sqrt(5.0 / k), 6) AS boundary,
+             ABS(ROUND(((conv_a / n_a) - (conv_b / n_b)) /
+                   NULLIF(sqrt(((conv_a + conv_b) / (n_a + n_b)) *
+                        (1.0 - (conv_a + conv_b) / (n_a + n_b)) *
+                        (1.0 / n_a + 1.0 / n_b)), 0.0), 6))
+               > ROUND(2.04 * sqrt(5.0 / k), 6) AS crossed
+      FROM looks ORDER BY k
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    evtSrmCheck, evtCupedLift, evtSeasonalMaDecompose,
+    evtSrmCheck, evtCupedLift, evtSeasonalMaDecompose, evtGroupSequentialObf,
     evtGiniConcentration, evtDiffInDiff, evtStickinessRatio,
     evtSurvivalKm, evtPeakConcurrency, evtAssocRules, evtBounceRate,
     evtWelchTtest, evtAbPowerMde,

@@ -2190,8 +2190,92 @@ object MLPipeline {
     """)
   )
 
+  /** Poisson-bootstrap confidence interval (r14; Chamandy, Muralidharan,
+    * Najmi & Naidu 2012, "Estimating Uncertainty for Massive Data Streams";
+    * Efron 1979 percentile form) — THE bootstrap that works at 100 TB:
+    * instead of B resampling passes, each row draws an independent
+    * Poisson(1)-distributed multiplicity per replicate in ONE pass, so the
+    * whole B=64 bootstrap is one scan + a 64-row aggregate. Every draw is
+    * DETERMINISTIC: u = first 4 md5 hex chars of (event_id # r) as a
+    * 16-bit integer (conv/strpos parity idiom of txt_hashing_tf_det),
+    * multiplicity from the fixed quantized Poisson(1) CDF thresholds
+    * 24109/48219/60273/64292 (/65536 ≈ e⁻¹, 2e⁻¹, 2.5e⁻¹, …; the
+    * quantization is part of the op's contract — both engines use the
+    * SAME table, and a 2⁻¹⁶ CDF error is invisible next to bootstrap
+    * noise). Replicate means in exact micro-cents ((Σk·x)·1e6 div Σk —
+    * magnitudes ≤ ~7e16 « 2^63 at sf100), the 95% percentile CI is the
+    * 2nd/63rd order statistic of the 64 exact means — the output carries
+    * NO floating point at all. Scale shape: the ×64 replicate explode is
+    * map-side combined straight into 64 rows; the order-statistic window
+    * runs on those 64 rows.
+    */
+  val mlPoissonBootstrapCi = Op(
+    "ml_poisson_bootstrap_ci",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val x = T.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), (Det.dec(col("value")) * 100).cast("long").as("cents"))
+      val point = x.agg(
+        count(lit(1)).as("n"),
+        expr("(sum(cents) * 1000000) div count(1)").as("point_ppm"))
+      val reps = x
+        .withColumn("r", explode(expr("sequence(0, 63)")))
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(concat_ws('#', event_id, r)), 1, 4), 16, 10) AS BIGINT)"))
+        .withColumn("k",
+          when(col("u") < 24109, 0L).when(col("u") < 48219, 1L)
+            .when(col("u") < 60273, 2L).when(col("u") < 64292, 3L).otherwise(4L))
+        .groupBy(col("r"))
+        .agg(expr("(sum(k * cents) * 1000000) div sum(k)").as("mean_ppm"))
+      val w = Window.orderBy(col("mean_ppm"), col("r"))
+      val ranked = reps.withColumn("rk", row_number().over(w))
+      ranked.agg(
+          min(when(col("rk") === 2, col("mean_ppm"))).as("ci_lo_ppm"),
+          min(when(col("rk") === 63, col("mean_ppm"))).as("ci_hi_ppm"))
+        .crossJoin(broadcast(point))
+        .select(col("n"), col("point_ppm"), col("ci_lo_ppm"), col("ci_hi_ppm"),
+          (col("ci_hi_ppm") - col("ci_lo_ppm")).as("width_ppm"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT event_id, CAST(CAST(value AS DECIMAL(18,4)) * 100 AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'),
+      point AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               (CAST(SUM(cents) AS BIGINT) * 1000000) // CAST(COUNT(*) AS BIGINT) AS point_ppm
+        FROM x),
+      draws AS (
+        SELECT r, cents,
+               (strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1) AS u
+        FROM (SELECT cents, r, md5(event_id || '#' || r) AS h
+              FROM x CROSS JOIN (SELECT unnest(range(0, 64)) AS r))),
+      reps AS (
+        SELECT r,
+               (CAST(SUM(k * cents) AS BIGINT) * 1000000) // CAST(SUM(k) AS BIGINT) AS mean_ppm
+        FROM (SELECT r, cents,
+                     CASE WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1
+                          WHEN u < 60273 THEN 2 WHEN u < 64292 THEN 3
+                          ELSE 4 END AS k
+              FROM draws)
+        GROUP BY r),
+      ranked AS (
+        SELECT mean_ppm, ROW_NUMBER() OVER (ORDER BY mean_ppm, r) AS rk FROM reps)
+      SELECT n, point_ppm,
+             MIN(CASE WHEN rk = 2 THEN mean_ppm END) AS ci_lo_ppm,
+             MIN(CASE WHEN rk = 63 THEN mean_ppm END) AS ci_hi_ppm,
+             MIN(CASE WHEN rk = 63 THEN mean_ppm END)
+               - MIN(CASE WHEN rk = 2 THEN mean_ppm END) AS width_ppm
+      FROM ranked CROSS JOIN point
+      GROUP BY n, point_ppm
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
-    mlPropensityStratAte, mlConformalInterval,
+    mlPropensityStratAte, mlConformalInterval, mlPoissonBootstrapCi,
     mlWoeEncoding, mlBrierDecomposition, mlFairnessParity,
     mlChampionChallenger, mlCemMatching, mlQiniUplift,
     mlIntentLabel, mlFeaturePipeline, mlLogregIntent, mlTrainTestSplit,

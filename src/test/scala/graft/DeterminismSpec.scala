@@ -143,7 +143,9 @@ object DeterminismMatrix {
     "ml_propensity_strat_ate",   // integer strata + ppm-quantized gap
     "txt_rake_keywords",         // islands window + ppm word scores
     "ml_conformal_interval",     // dual-counter histogram + cumsum pick
-    "evt_seasonal_ma_decompose") // daily rollup + centered-MA windows
+    "evt_seasonal_ma_decompose", // daily rollup + centered-MA windows
+    "ml_poisson_bootstrap_ci",   // md5 Poisson weights + order statistic
+    "evt_group_sequential_obf")  // per-look exact counts + IEEE z finish
 }
 
 class DeterminismSpec extends AnyFunSuite {
