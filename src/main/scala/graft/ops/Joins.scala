@@ -1068,17 +1068,35 @@ object Joins {
     * join with |Δx|,|Δy| band predicates) — independent of the grid
     * algorithm, so it checks the candidate-generation logic itself.
     *
-    * ORACLE BAND WIDTH (caught by the sf1 decade check, 11/394,956 pairs):
-    * the oracle's band endpoints a.x ± 0.5 are ROUNDED doubles, so a pair
-    * whose decimal Δx is exactly 0.50 — whose computed (a.x−b.x) is
-    * exactly 0.5 and dist² exactly 0.25, included by the distance
-    * predicate in BOTH engines — can fall just outside the rounded
-    * endpoint and be wrongly excluded by the band alone. The band is
-    * widened to ±0.500001 (pre-filter only; the exact dist² ≤ 0.25
-    * predicate is the semantics). The GRID side has no such edge: cells
-    * are exact for any |Δx| ≤ 0.5 pair because fixture coordinates are
-    * cents (boundary-aligned values are exact binary doubles), so a
-    * computed-0.5 gap spans at most one cell boundary.
+    * ORACLE FORM (revised for the sf10 decade, r14): the first committed
+    * oracle was the literal band self-join (b.x BETWEEN a.x±eps AND b.y
+    * BETWEEN a.y±eps). DuckDB plans that with IEJoin/hash-join shapes
+    * whose candidate set is quadratic at sf10 (measured: the naive form
+    * did not finish in 80 min; a y-only hash join leaves 7.8e9 residual
+    * pairs). The committed oracle instead exploits an IMPLIED exactness:
+    * y is integer-valued and eps < 1, so dist² ≤ eps² forces Δy = 0 — the
+    * oracle equi-joins on y PLUS a width-1.0 ⌊x⌋ bucket ±1 neighborhood
+    * (materialized as a plain column so DuckDB composes the (y, bx) hash
+    * key — measured 20.4 s / 39.6 M pairs at sf10). The bucketing differs
+    * from the op's construction in width (1.0 vs 0.5), dimensionality
+    * (1-D x vs 2-D cells), and replication side, so candidate generation
+    * is still independently derived; the exact dist² ≤ 0.25 predicate is
+    * the shared semantics, as before.
+    *
+    * ORACLE BAND WIDTH (history; caught by the sf1 decade check,
+    * 11/394,956 pairs): the first oracle's band endpoints a.x ± 0.5 were
+    * ROUNDED doubles, so a pair whose decimal Δx is exactly 0.50 — whose
+    * computed (a.x−b.x) is exactly 0.5 and dist² exactly 0.25, included
+    * by the distance predicate in BOTH engines — could fall just outside
+    * the rounded endpoint and be wrongly excluded by the band pre-filter
+    * alone. The revised bucket form has no rounded endpoint at all (the
+    * ±1 width-1.0 neighborhood over-covers every |Δx| ≤ 0.5 pair, and
+    * ⌊x⌋ is exact on cents doubles); the boundary case stays pinned at
+    * unit scale by PropertySpec's planted 0.42/0.92 fixture. The GRID
+    * side has no such edge either: cells are exact for any |Δx| ≤ 0.5
+    * pair because fixture coordinates are cents (boundary-aligned values
+    * are exact binary doubles), so a computed-0.5 gap spans at most one
+    * cell boundary.
     */
   val joinSpatialGridEps = Op(
     "join_spatial_grid_eps",
@@ -1110,15 +1128,17 @@ object Joins {
     },
     Some("""
       WITH pts AS (
-        SELECT event_id AS id, value AS x, CAST(user_id % 512 AS DOUBLE) AS y
-        FROM events WHERE event_type = 'purchase')
+        SELECT event_id AS id, value AS x, CAST(user_id % 512 AS DOUBLE) AS y,
+               CAST(FLOOR(value) AS BIGINT) AS bx
+        FROM events WHERE event_type = 'purchase'),
+      probe AS (
+        SELECT id, x, y, bx + d AS bxd
+        FROM pts, (SELECT UNNEST([-1, 0, 1]) AS d) ds)
       SELECT a.id AS a_id, b.id AS b_id,
              ROUND((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y), 6) AS dist2
-      FROM pts a JOIN pts b
-        ON a.id < b.id
-       AND b.x BETWEEN a.x - 0.500001 AND a.x + 0.500001
-       AND b.y BETWEEN a.y - 0.500001 AND a.y + 0.500001
-       AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.25
+      FROM probe a JOIN pts b ON b.y = a.y AND b.bx = a.bxd
+      WHERE a.id < b.id
+        AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 0.25
       ORDER BY a_id, b_id
     """)
   )
