@@ -441,6 +441,18 @@ object Text {
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
         .filter(!col("token").isin(stoplist: _*))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      // PHRASE-BUILD FORM, measured at sf10 (500k docs / 25M tokens,
+      // 16 CPUs, single run; page-cache state adds ±2× noise — warm
+      // numbers quoted): (a) islands window, phrases re-derived by every
+      // consumer — 134 s; (b) islands window + localCheckpoint so the
+      // corpus-sized posexplode+window pass runs ONCE — 46–56 s;
+      // (c) a shuffle-free `aggregate` higher-order fold over each doc's
+      // token array — 84 s, because HigherOrderFunction lambdas are
+      // CodegenFallback (interpreted per-token closures + O(run²) array
+      // copies) and lose more than the doc-keyed exchange costs. (b) is
+      // committed; at cluster scale the checkpoint is the staged phrase
+      // table a real pipeline would materialize anyway, and doc_id is the
+      // natural partition key.
       val phrases = toks
         .withColumn("grp", col("pos") - row_number().over(w))
         .groupBy(col("doc_id"), col("grp"))
@@ -449,20 +461,22 @@ object Text {
             transform(array_sort(collect_list(struct(col("pos"), col("token")))),
               x => x.getField("token"))).as("phrase"),
           count(lit(1)).cast("long").as("len"))
+        .localCheckpoint(true)
       val words = phrases
-        .select(col("len"), explode(split(col("phrase"), " ")).as("word"))
+        .select(col("phrase"), col("len"), explode(split(col("phrase"), " ")).as("word"))
       val wordScore = words.groupBy(col("word"))
         .agg(expr("(sum(len) * 1000000) div count(1)").as("score_ppm"))
-      val phraseScore = phrases
-        .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      // identical phrase text ⇒ identical per-occurrence word multiset, so
+      // n_occur needs no third pass: it is n_words_x_occur / words-per-
+      // occurrence (= len, carried through the explode), exactly
+      val phraseScore = words
         .join(wordScore, "word")
         .groupBy(col("phrase"))
-        .agg(count(lit(1)).as("n_words_x_occur"), sum(col("score_ppm")).as("total_ppm"))
-      // identical phrase text ⇒ identical per-occurrence score; collapse to
-      // one row per distinct phrase with its occurrence count
-      phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occur"))
-        .join(phraseScore, "phrase")
-        .withColumn("score_ppm", (col("total_ppm") / col("n_occur")).cast("long"))
+        .agg(count(lit(1)).as("n_words_x_occur"), sum(col("score_ppm")).as("total_ppm"),
+          max(col("len")).as("len"))
+      phraseScore
+        .withColumn("n_occur", expr("n_words_x_occur div len"))
+        .withColumn("score_ppm", expr("(total_ppm * len) div n_words_x_occur"))
         .select(col("phrase"), col("n_occur"), col("score_ppm"),
           round(col("score_ppm") / 1000000.0, 6).as("score"))
         .orderBy(col("score_ppm").desc, col("phrase"))
@@ -478,7 +492,7 @@ object Text {
                pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
         FROM seq
         WHERE token NOT IN (${stoplist.map(w => s"'$w'").mkString(", ")})),
-      phrases AS (
+      phrases AS MATERIALIZED (
         SELECT doc_id, grp,
                string_agg(token, ' ' ORDER BY pos) AS phrase,
                CAST(COUNT(*) AS BIGINT) AS len
