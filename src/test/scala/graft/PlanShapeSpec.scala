@@ -924,6 +924,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected an equi-join on the cell key: $p")
   }
 
+  test("ml_conformal_interval: 5-row model broadcasts; histograms map-side combine") {
+    val p = plan("ml_conformal_interval")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-type model (≤5 rows at ANY scale) must broadcast: $p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join would shuffle the corpus by event_type for nothing: $p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"the score histogram must map-side combine: $p")
+  }
+
+  test("ml_poisson_bootstrap_ci / evt_group_sequential_obf: replicate explode map-side combines") {
+    // both keys multiply the scan (×64 replicates / ×5 looks) and must
+    // collapse to replicate- or look-sized rows BEFORE the shuffle — a
+    // raw-row exchange here is the difference between one pass and
+    // shipping 64× the log
+    for (k <- Seq("ml_poisson_bootstrap_ci", "evt_group_sequential_obf")) {
+      val p = plan(k)
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$k: the post-explode aggregate must map-side combine: $p")
+      assert(!p.contains("CartesianProduct"),
+        s"$k: no cartesian belongs in this plan: $p")
+    }
+  }
+
   test("evt_cuped_lift / ml_propensity_strat_ate: user rollup map-side combines") {
     // both causal keys hinge on the SAME scale shape: the only data-sized
     // exchange is the user-keyed aggregate, which must partial-aggregate
