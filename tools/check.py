@@ -52,6 +52,11 @@ def main():
     con.execute("SET threads=%d" % int(os.environ.get("GRAFT_DUCKDB_THREADS", "4")))
     if os.environ.get("GRAFT_DUCKDB_MEMLIMIT"):
         con.execute("SET memory_limit='%s'" % os.environ["GRAFT_DUCKDB_MEMLIMIT"])
+    # in-memory DuckDB has operator spilling DISABLED unless a temp dir is
+    # set — without this, a memory_limit turns big-oracle sweeps into hard
+    # OOM errors instead of spills (hit by txt_rake_keywords at sf100)
+    if os.environ.get("GRAFT_DUCKDB_TMPDIR"):
+        con.execute("SET temp_directory='%s'" % os.environ["GRAFT_DUCKDB_TMPDIR"])
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
