@@ -635,5 +635,45 @@ class PropertySpec extends AnyFunSuite {
       s"boundary semantics drifted: $got")
   }
 
+  test("conformal interval: coverage is near the 90% guarantee and q_hat is attainable") {
+    val r = Registry.queries("ml_conformal_interval")(spark, sf).collect()(0)
+    val (nCal, nTest, qHat, covered, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nCal > 0 && nTest > 0 && qHat >= 0)
+    assert(covered <= nTest)
+    // split-conformal guarantees coverage >= 90% in expectation over splits;
+    // on one fixed split a finite-sample band applies — generous bounds so
+    // the test pins "the estimator works", not sampling noise
+    assert(ppm >= 820000 && ppm <= 980000,
+      s"coverage $ppm ppm is far from the 90% conformal guarantee")
+  }
+
+  test("poisson bootstrap: the CI brackets the point estimate with positive width") {
+    val r = Registry.queries("ml_poisson_bootstrap_ci")(spark, sf).collect()(0)
+    val (point, lo, hi, width) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(lo <= point && point <= hi,
+      s"CI [$lo, $hi] must bracket the point estimate $point")
+    assert(width > 0, "64 replicates over a non-degenerate metric cannot collapse")
+  }
+
+  test("group-sequential OBF: boundaries decrease over looks and crossings are consistent") {
+    val rows = Registry.queries("evt_group_sequential_obf")(spark, sf)
+      .orderBy(col("k")).collect()
+    assert(rows.length == 5)
+    val bounds = rows.map(_.getDouble(6))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a > b },
+      s"OBF boundaries must be strictly decreasing: ${bounds.toSeq}")
+    for (r <- rows)
+      assert(r.getBoolean(7) == (math.abs(r.getDouble(5)) > r.getDouble(6)),
+        s"crossed flag inconsistent with |z| vs boundary at look ${r.getLong(0)}")
+  }
+
+  test("SRM check: chi-square is non-negative and variant counts partition the users") {
+    val r = Registry.queries("evt_srm_check")(spark, sf).collect()(0)
+    val n = r.getLong(0)
+    assert(Seq(1, 2, 3, 4).map(r.getLong).sum == n, "variants must partition users")
+    assert(r.getDouble(5) >= 0.0)
+  }
+
   private def r0(s: Seq[String]): Seq[String] = s.toList
 }
