@@ -101,7 +101,11 @@ object PlanDump {
     "join_spatial_grid_eps" ->
       "epsilon distance self-join: 3x3 cell-neighborhood replication then ONE equi-join on the cell key -- candidate work O(n x local density), never a CartesianProduct/BroadcastNestedLoopJoin",
     "evt_cuped_lift" ->
-      "CUPED: the only data-sized exchange is the map-side-combined user rollup; the five exact-integer moments reduce in one constant-width global agg")
+      "CUPED: the only data-sized exchange is the map-side-combined user rollup; the five exact-integer moments reduce in one constant-width global agg",
+    "ml_conformal_interval" ->
+      "split-conformal: 5-row model BROADCAST back onto the corpus, both score histograms built in one map-side-combined pass, the cumsum window runs on the bounded histogram",
+    "ml_poisson_bootstrap_ci" ->
+      "Poisson bootstrap: the x64 replicate explode collapses map-side into 64 rows -- one corpus pass, no resampling shuffles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
