@@ -483,20 +483,26 @@ object Text {
         .limit(30)
     },
     Some(s"""
-      WITH seq AS (
-        SELECT doc_id, unnest(toks) AS token,
-               generate_subscripts(toks, 1) AS pos
-        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
-      nonstop AS (
-        SELECT doc_id, token, pos,
-               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        FROM seq
-        WHERE token NOT IN (${stoplist.map(w => s"'$w'").mkString(", ")})),
+      -- phrase build is PER-ROW list arithmetic, not a global explode +
+      -- window: stopword tokens become a record separator (chr(30)),
+      -- splitting each doc into its maximal stopword-free runs with
+      -- memory bounded per document. The first committed form (explode +
+      -- ROW_NUMBER window + string_agg) held ~250M positioned tokens as
+      -- unspillable window/agg state and OOM'd DuckDB at sf100. Equivalent
+      -- to the islands form for any corpus without empty-string tokens
+      -- (fixture contract; '' is not a stopword, and trim() would strip a
+      -- would-be '' boundary token).
+      WITH segs AS (
+        SELECT unnest(string_split(array_to_string(
+                 list_transform(string_split(text, ' '),
+                   t -> CASE WHEN t IN (${stoplist.map(w => s"'$w'").mkString(", ")})
+                             THEN chr(30) ELSE t END),
+                 ' '), chr(30))) AS seg
+        FROM documents),
       phrases AS MATERIALIZED (
-        SELECT doc_id, grp,
-               string_agg(token, ' ' ORDER BY pos) AS phrase,
-               CAST(COUNT(*) AS BIGINT) AS len
-        FROM nonstop GROUP BY doc_id, grp),
+        SELECT trim(seg) AS phrase,
+               CAST(array_length(string_split(trim(seg), ' ')) AS BIGINT) AS len
+        FROM segs WHERE trim(seg) <> ''),
       word_score AS (
         SELECT word, (SUM(len) * 1000000) // COUNT(*) AS score_ppm
         FROM (SELECT len, unnest(string_split(phrase, ' ')) AS word FROM phrases)
