@@ -28,6 +28,8 @@ object Bench {
       val cmd = (Seq(jvm) ++ opens ++ Seq(
         "-XX:ReservedCodeCacheSize=1g", "-XX:+UseCodeCacheFlushing",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-Dspark.io.compression.codec=zstd", "-Dspark.rdd.compress=true",
+        "-Dspark.checkpoint.compress=true",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-Dgraft.bench.child=1",
         "-cp", System.getProperty("java.class.path"),
@@ -53,11 +55,11 @@ object Bench {
     val keyFilter: Set[String] = args.toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = SpillDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Framework warm-up so the first timed query doesn't absorb one-time

@@ -105,15 +105,23 @@ object PlanDump {
     "ml_conformal_interval" ->
       "split-conformal: 5-row model BROADCAST back onto the corpus, both score histograms built in one map-side-combined pass, the cumsum window runs on the bounded histogram",
     "ml_poisson_bootstrap_ci" ->
-      "Poisson bootstrap: the x64 replicate explode collapses map-side into 64 rows -- one corpus pass, no resampling shuffles")
+      "Poisson bootstrap: the x64 replicate explode collapses map-side into 64 rows -- one corpus pass, no resampling shuffles",
+    "txt_rake_keywords" ->
+      "RAKE: ONE corpus-sized posexplode+window pass pinned by an EAGER localCheckpoint (NOTE: the checkpoint runs at plan-BUILD time, so constructing this DataFrame -- including this dump -- executes the corpus pass; blocks are non-replicated, acceptable single-run trade measured 2.4-2.9x vs re-derivation, see Text.scala) -- everything downstream of the LogicalRDD is phrase/vocab-sized",
+    "evt_srm_check" ->
+      "SRM guardrail: map-side-combined per-user rollup, then the 4-bucket chi-square reduces in one constant-width global agg -- no second corpus pass",
+    "evt_seasonal_ma_decompose" ->
+      "seasonal MA decomposition: agg-before-window -- the centered-MA and seasonal-mean windows run over the ~30-row daily aggregate, never the event log",
+    "evt_group_sequential_obf" ->
+      "O'Brien-Fleming monitoring: map-side-combined per-(look,variant) explode collapses to <=10 rows before the cumulative windows and z-boundary compare")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
+    val spark = SpillDefaults(SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     println("# PLANS -- explain(\"formatted\") of the headline queries")

@@ -1976,10 +1976,10 @@ object Events {
                  + (n_v1 - n_users / 4.0) * (n_v1 - n_users / 4.0) / (n_users / 4.0)
                  + (n_v2 - n_users / 4.0) * (n_v2 - n_users / 4.0) / (n_users / 4.0)
                  + (n_v3 - n_users / 4.0) * (n_v3 - n_users / 4.0) / (n_users / 4.0), 6) AS chisq,
-             ((n_v0 - n_users / 4.0) * (n_v0 - n_users / 4.0) / (n_users / 4.0)
+             ROUND((n_v0 - n_users / 4.0) * (n_v0 - n_users / 4.0) / (n_users / 4.0)
                  + (n_v1 - n_users / 4.0) * (n_v1 - n_users / 4.0) / (n_users / 4.0)
                  + (n_v2 - n_users / 4.0) * (n_v2 - n_users / 4.0) / (n_users / 4.0)
-                 + (n_v3 - n_users / 4.0) * (n_v3 - n_users / 4.0) / (n_users / 4.0))
+                 + (n_v3 - n_users / 4.0) * (n_v3 - n_users / 4.0) / (n_users / 4.0), 6)
                > 7.814728 AS srm_detected
       FROM counts
     """)

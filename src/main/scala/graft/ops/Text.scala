@@ -19,7 +19,9 @@ object Text {
     T.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
 
-  private val stoplist = Seq(
+  // private[graft]: PropertySpec's rake oracle-equivalence pin rebuilds the
+  // separator phrase form with the same list
+  private[graft] val stoplist = Seq(
     "the", "a", "an", "and", "or", "but", "if", "then", "else", "of",
     "to", "in", "on", "for", "with", "as", "by", "at", "is", "are",
     "was", "be", "this", "that", "it")
@@ -516,7 +518,9 @@ object Text {
       SELECT phrase, n_occur, score_ppm, ROUND(score_ppm / 1000000.0, 6) AS score
       FROM (
         SELECT p.phrase, p.n_occur, ps.n_words_x_occur,
-               CAST(ps.total_ppm / p.n_occur AS BIGINT) AS score_ppm
+               -- // (integer div) matches Spark's `div` exactly at any
+               -- magnitude; float / + CAST diverges past 2^53 (r14 advice)
+               CAST(ps.total_ppm // p.n_occur AS BIGINT) AS score_ppm
         FROM (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occur
               FROM phrases GROUP BY phrase) p
         JOIN phrase_score ps USING (phrase))

@@ -82,6 +82,14 @@ class RegistrySpec extends AnyFunSuite {
       s"README says a ${mx.get.group(1)}-key matrix but DeterminismMatrix has ${DeterminismMatrix.keys.size}")
   }
 
+  test("zstd spill-encoding defaults are live in the session (r14 recipe is harness default)") {
+    // BASELINE.md round-14: zstd spill blocks turn the graph tier's 60 GB
+    // sf100 ENOSPC into an 8.7–17.2 GB peak. SpillDefaults applies the
+    // recipe in every builder; this pin fails if a builder drops it.
+    for ((k, v) <- SpillDefaults.configs)
+      assert(spark.conf.get(k) == v, s"$k != $v in the live session")
+  }
+
   test("entry returns rows on sf0.001 (t1 smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

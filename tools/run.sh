@@ -15,6 +15,8 @@ done
 exec java $OPENS \
   -XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Dspark.io.compression.codec=zstd -Dspark.rdd.compress=true \
+  -Dspark.checkpoint.compress=true \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes:/opt/spark/jars/*" \
   "$CLS" "$@"
