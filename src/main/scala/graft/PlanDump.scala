@@ -113,7 +113,9 @@ object PlanDump {
     "evt_seasonal_ma_decompose" ->
       "seasonal MA decomposition: agg-before-window -- the centered-MA and seasonal-mean windows run over the ~30-row daily aggregate, never the event log",
     "evt_group_sequential_obf" ->
-      "O'Brien-Fleming monitoring: map-side-combined per-(look,variant) explode collapses to <=10 rows before the cumulative windows and z-boundary compare")
+      "O'Brien-Fleming monitoring: map-side-combined per-(look,variant) explode collapses to <=10 rows before the cumulative windows and z-boundary compare",
+    "txt_cdc_chunks" ->
+      "content-defined chunking: gear cuts + chunk md5s are per-position-parallel list arithmetic below the first Exchange -- only 16-byte hashes shuffle, text never moves")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

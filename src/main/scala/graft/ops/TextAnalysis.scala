@@ -1804,7 +1804,115 @@ object TextAnalysis {
     """)
   )
 
+  /** Content-defined chunking — the rolling-fingerprint cut-point recipe of
+    * LBFS (Muthitacharoen et al. 2001) with FastCDC's gear hash (Xia et
+    * al. 2016), the substring-dedup PRIMITIVE whose fixed 10-token
+    * boundaries [[txtChunkDedup]] approximates: a boundary is declared by
+    * the CONTENT (a windowed gear fingerprint hitting a mask), so an
+    * inserted or deleted prefix re-aligns every downstream boundary and
+    * shared text chunks identically at ANY offset — the production idiom
+    * for crawl-corpus dedup at 100 TB, where offset-fixed chunks share
+    * nothing after a one-token edit (PropertySpec pins the re-alignment).
+    *
+    * Mechanics, all exact integer math (deterministic by construction):
+    * gear(t) = md5fold48(t) (the repo's 48-bit codegen'd sketch hash); the
+    * boundary fingerprint after token i is the 4-token windowed gear sum
+    * h_i = 8·g(i−3) + 4·g(i−2) + 2·g(i−1) + g(i) (< 2^53, Long-exact);
+    * cut after token i (4 ≤ i < n) iff h_i % 16 == 0 → average chunk ~16
+    * tokens at txt_chunk_dedup's scale. Unlike FastCDC's normalized
+    * chunking there are no min/max clamps and the fingerprint is strictly
+    * windowed, so every boundary decision is LOCAL to 4 tokens: the whole
+    * chunker is per-position-parallel list arithmetic — no sequential
+    * state, no shuffle, and an exact DuckDB twin (the rake per-row
+    * list-arithmetic oracle recipe). Only 16-byte chunk md5s ever shuffle
+    * (the txt_chunk_dedup discipline); text never moves. Emits per-source
+    * chunk counts, cross-doc duplicated-chunk stats, and the exact mean
+    * chunk length (ppm) attesting the cut-point math.
+    */
+  val txtCdcChunks = Op(
+    "txt_cdc_chunks",
+    (s, d) => {
+      graft.functions.HashFold.register(s)
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) > 0)
+      val chunks = docs
+        .withColumn("n", size(col("toks")))
+        .withColumn("gears", expr("transform(toks, t -> md5fold48(t))"))
+        // sequence(1, n) is ascending for every n >= 1 (sequence(4, n-1)
+        // would run DESCENDING on short docs); i >= 4 keeps the window in
+        // range, i < n forbids a cut at the doc end (implicit boundary).
+        // Spark [] is 0-based: 1-based token position p reads gears[p-1].
+        .withColumn("cuts", expr(
+          "filter(sequence(1, n), i -> i >= 4 AND i < n AND " +
+            "(8*gears[i-4] + 4*gears[i-3] + 2*gears[i-2] + gears[i-1]) % 16 = 0)"))
+        .withColumn("bounds", expr("concat(array(0), cuts, array(n))"))
+        .select(col("doc_id"), col("source"), col("toks"), col("bounds"),
+          explode(expr("sequence(0, size(bounds) - 2)")).as("j"))
+        .select(col("doc_id"), col("source"),
+          md5(expr("array_join(slice(toks, bounds[j] + 1, bounds[j+1] - bounds[j]), ' ')")).as("h"),
+          expr("CAST(bounds[j+1] - bounds[j] AS BIGINT)").as("n_tok"))
+      val dup = chunks.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1)
+        .select(col("h"), lit(1L).as("isdup"))
+      chunks.join(dup, Seq("h"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("isdup"), lit(0L))).as("n_dup_chunks"),
+          sum(col("n_tok")).as("n_toks"))
+        .select(col("source"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks") / col("n_chunks"), 6).as("dup_frac"),
+          expr("n_toks * 1000000 div n_chunks").as("mean_chunk_toks_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS toks
+        FROM documents WHERE len(string_split(text, ' ')) > 0),
+      g AS (
+        -- gear(t) = first 12 md5 hex chars as an integer: the md5fold48
+        -- strpos fold, per token (nested lambda = the kmv twin, vectorized)
+        SELECT doc_id, source, toks, len(toks) AS n,
+               list_transform(toks, t ->
+                 list_reduce(list_transform(range(1, 13),
+                   i -> CAST(strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1 AS BIGINT)),
+                   (acc, v) -> acc * 16 + v)) AS gears
+        FROM docs),
+      c AS (
+        -- DuckDB lists are 1-based: token position i reads gears[i]
+        SELECT doc_id, source, toks, n,
+               list_filter(range(1, n + 1), i -> i >= 4 AND i < n AND
+                 (8*gears[i-3] + 4*gears[i-2] + 2*gears[i-1] + gears[i]) % 16 = 0) AS cuts
+        FROM g),
+      b AS (
+        SELECT doc_id, source, toks,
+               list_concat(list_concat([CAST(0 AS BIGINT)], cuts),
+                           [CAST(n AS BIGINT)]) AS bounds
+        FROM c),
+      chunks AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(bounds)),
+                 j -> struct_pack(
+                   h := md5(array_to_string(toks[(bounds[j]+1):(bounds[j+1])], ' ')),
+                   nt := bounds[j+1] - bounds[j]))) AS ch
+        FROM b),
+      ch2 AS (SELECT doc_id, source, ch['h'] AS h, CAST(ch['nt'] AS BIGINT) AS n_tok
+              FROM chunks),
+      dup AS (SELECT h FROM ch2 GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1)
+      SELECT c2.source,
+             CAST(COUNT(*) AS BIGINT) AS n_chunks,
+             CAST(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+             ROUND(SUM(CASE WHEN d.h IS NULL THEN 0 ELSE 1 END) / COUNT(*), 6) AS dup_frac,
+             CAST(SUM(c2.n_tok) * 1000000 // COUNT(*) AS BIGINT) AS mean_chunk_toks_ppm
+      FROM ch2 c2 LEFT JOIN dup d ON c2.h = d.h
+      GROUP BY c2.source ORDER BY c2.source
+    """)
+  )
+
   val ops: Vector[Op] = Vector(
+    txtCdcChunks,
     txtGopherFilter, txtBoilerplateCoverage, txtCompressionRatio, txtWinnowing,
     txtMattrDiversity,
     txtLangId, txtQualityScore, txtTokenCount, txtFingerprint, txtFreqTokens,

@@ -145,7 +145,8 @@ object DeterminismMatrix {
     "ml_conformal_interval",     // dual-counter histogram + cumsum pick
     "evt_seasonal_ma_decompose", // daily rollup + centered-MA windows
     "ml_poisson_bootstrap_ci",   // md5 Poisson weights + order statistic
-    "evt_group_sequential_obf")  // per-look exact counts + IEEE z finish
+    "evt_group_sequential_obf",  // per-look exact counts + IEEE z finish
+    "txt_cdc_chunks")            // windowed gear cuts + chunk-hash rollup
 }
 
 class DeterminismSpec extends AnyFunSuite {

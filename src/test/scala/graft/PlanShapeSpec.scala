@@ -408,6 +408,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), p)
   }
 
+  test("txt_cdc_chunks: gear cuts and chunk md5s are computed below the first shuffle") {
+    import org.apache.spark.sql.execution.ProjectExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the content-defined chunker's SURVEY claim: per-position-parallel
+    // list arithmetic with no sequential state — every projection that
+    // computes a chunk md5 sits on the scan side with zero shuffles below
+    // it, so only 16-byte hashes ever cross the wire, never text
+    val p = Registry.queries("txt_cdc_chunks")(spark, sf).queryExecution.sparkPlan
+    assert(p.toString.contains("Generate explode"), s"chunk explode missing: $p")
+    val md5Projects = p.collect {
+      case pr: ProjectExec
+        if pr.projectList.exists(_.toString.toLowerCase.contains("md5(")) => pr
+    }
+    assert(md5Projects.nonEmpty, s"no chunk-md5 projection found: $p")
+    md5Projects.foreach { pr =>
+      assert(pr.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"shuffle below the chunk-hash projection — text is crossing the wire: $pr")
+    }
+  }
+
   test("join_dpp_prune injects a dynamic partition pruning filter into the fact scan") {
     val p = plan("join_dpp_prune")
     assert(p.toLowerCase.contains("dynamicpruning"),

@@ -648,6 +648,39 @@ class PropertySpec extends AnyFunSuite {
       s"coverage $ppm ppm is far from the 90% conformal guarantee")
   }
 
+  test("conformal interval: score histogram stays value-domain-sized (cumsum window bound)") {
+    // ml_conformal_interval's cumulative-calibration pass is a GLOBAL
+    // Window.orderBy over the nonconformity-score histogram — safe only
+    // while distinct integer-cent scores ≪ input rows (the
+    // agg_quantiles_hist_det recipe). This pins that bound on the fixtures,
+    // the txt_wordcount vocabulary-guard idiom (ExemptSpec): a fixture or
+    // quantization change that makes the histogram data-sized fails HERE,
+    // not as a silent single-task bottleneck. For genuinely wide value
+    // domains (micro-unit prices), stage the cumsum via Det.stage's
+    // two-pass range-partition idiom instead of the single window.
+    val bucket = pmod(col("user_id") * lit(2654435761L), lit(4294967296L))
+    val ev = graft.ops.T.events(spark, sf)
+      .withColumn("cents", (graft.ops.Det.dec(col("value")) * 100).cast("long"))
+      .withColumn("is_cal", bucket < lit(2147483648L))
+    val pred = ev.filter(col("is_cal"))
+      .groupBy(col("event_type"))
+      .agg(expr("(sum(cents)) div count(1)").as("pred_cents"))
+    val scored = ev.join(broadcast(pred), "event_type")
+      .select(abs(col("cents") - col("pred_cents")).as("s"))
+    val r = scored.agg(countDistinct(col("s")), min(col("s")), max(col("s"))).collect()(0)
+    val (distinctScores, minS, maxS) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val domain = maxS - minS + 1
+    assert(distinctScores <= domain, s"impossible: $distinctScores distinct in [$minS,$maxS]")
+    // the load-bearing constant: `value` is a bounded price in whole cents,
+    // so the histogram is O(domain) rows NO MATTER the corpus size. A
+    // fixture/quantization change to micro-units or an unbounded metric
+    // blows this up and must fail here, not as a single-task bottleneck.
+    assert(domain <= 100000L,
+      s"nonconformity score domain $domain cents exceeds the bounded-price contract " +
+        "(≤ $1000) — the single-partition cumsum window would absorb the corpus; " +
+        "switch ml_conformal_interval to the Det.stage two-pass idiom")
+  }
+
   test("poisson bootstrap: the CI brackets the point estimate with positive width") {
     val r = Registry.queries("ml_poisson_bootstrap_ci")(spark, sf).collect()(0)
     val (point, lo, hi, width) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
@@ -666,6 +699,100 @@ class PropertySpec extends AnyFunSuite {
     for (r <- rows)
       assert(r.getBoolean(7) == (math.abs(r.getDouble(5)) > r.getDouble(6)),
         s"crossed flag inconsistent with |z| vs boundary at look ${r.getLong(0)}")
+  }
+
+  test("rake oracle precondition: fixtures have no empty-string tokens, and the two phrase-build forms agree on them") {
+    // the r14 sf100 oracle rework replaced the islands-window phrase build
+    // with per-row list arithmetic (stopword →  separator, split,
+    // trim). The two forms are equivalent ONLY for corpora without
+    // empty-string tokens (a doubled/leading space makes `split` emit ''
+    // which is not a stopword, so the islands form glues it into a phrase
+    // while the separator form's trim() strips it). Pin both halves:
+    // (a) the fixture contract — documents.text emits no '' token;
+    // (b) structural equivalence — the separator form REBUILT IN SPARK
+    //     yields the identical (phrase, len) multiset as the islands form
+    //     the engine runs, on the real fixture.
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.ops.T.documents(spark, sf)
+    val emptyToks = docs
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") === "").count()
+    assert(emptyToks == 0L,
+      "documents.text contains a doubled/leading/trailing space — the rake " +
+        "list-arithmetic oracle form is no longer equivalent to the islands form")
+
+    val stop = graft.ops.Text.stoplist
+    val islands = {
+      val toks = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+        .filter(!col("token").isin(stop: _*))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      toks.withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token"))).as("phrase"),
+          count(lit(1)).cast("long").as("len"))
+        .groupBy(col("phrase"), col("len")).count()
+    }
+    val sepForm = {
+      val sep = "\u001E"
+      docs.select(explode(split(concat_ws(" ",
+          transform(split(col("text"), " "),
+            t => when(t.isin(stop: _*), lit(sep)).otherwise(t))), sep)).as("seg"))
+        .select(trim(col("seg")).as("phrase"))
+        .filter(col("phrase") =!= "")
+        .withColumn("len", size(split(col("phrase"), " ")).cast("long"))
+        .groupBy(col("phrase"), col("len")).count()
+    }
+    assert(islands.exceptAll(sepForm).isEmpty && sepForm.exceptAll(islands).isEmpty,
+      "islands-window and separator-arithmetic phrase builds diverged on the fixture")
+  }
+
+  test("cdc chunks: boundaries re-align after a prefix edit (the content-defined property)") {
+    // THE property that separates CDC from fixed chunking: prepend one
+    // token to a document and every boundary decision beyond the first
+    // 4-token window is unchanged (the gear fingerprint is strictly
+    // windowed), so all interior chunks — those between two content cuts —
+    // hash identically at the shifted offset. txt_chunk_dedup's fixed
+    // 10-token grid shares nothing after such an edit.
+    import spark.implicits._
+    // deterministic pseudo-corpus, long enough to guarantee several cuts
+    val toks = (0 until 240).map(i => s"w${(i * 2654435761L) % 97}")
+    val base = toks.mkString(" ")
+    val shifted = "zzz " + base
+    val dir = graft.ops.T.scratch("cdc_shift_fixture")
+    Seq((1L, base, "en", "src0", base.length.toLong),
+        (2L, shifted, "en", "src0", shifted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.functions.HashFold.register(spark)
+    def chunksOf(text: String): Seq[String] = {
+      // reference chunker, independent scalar re-implementation
+      val ts = text.split(" ").toSeq
+      val g = ts.map(t => graft.functions.HashFold.md5fold48(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      val cuts = (4 until ts.length).filter(i =>
+        (8 * g(i - 4) + 4 * g(i - 3) + 2 * g(i - 2) + g(i - 1)) % 16 == 0)
+      val bounds = 0 +: cuts :+ ts.length
+      bounds.sliding(2).map { case Seq(a, b) => ts.slice(a, b).mkString(" ") }.toSeq
+    }
+    val c1 = chunksOf(base)
+    val c2 = chunksOf(shifted)
+    assert(c1.length >= 4, s"fixture too short for the property: ${c1.length} chunks")
+    // interior chunks of the base doc (drop first and last) all reappear
+    // verbatim in the shifted doc's chunk list
+    val interior = c1.drop(1).dropRight(1)
+    assert(interior.nonEmpty && interior.forall(c2.contains),
+      s"CDC re-alignment broken: ${interior.filterNot(c2.contains)} missing after shift")
+    // and the ENGINE agrees with the reference chunker: per-source chunk
+    // count over the planted fixture = both docs' chunk counts summed
+    val row = Registry.queries("txt_cdc_chunks")(spark, dir).collect()(0)
+    assert(row.getLong(1) == c1.length + c2.length,
+      s"engine chunk count ${row.getLong(1)} != reference ${c1.length + c2.length}")
+    // interior dup mass: every realigned interior chunk is a cross-doc dup
+    assert(row.getLong(2) >= 2L * interior.length,
+      s"dup chunks ${row.getLong(2)} < realigned mass ${2 * interior.length}")
   }
 
   test("SRM check: chi-square is non-negative and variant counts partition the users") {
