@@ -18,5 +18,5 @@ exec java $OPENS \
   -Dspark.io.compression.codec=zstd -Dspark.rdd.compress=true \
   -Dspark.checkpoint.compress=true \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
-  -cp "/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes:/opt/spark/jars/*" \
+  -cp "${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes:/root/repo/target/scala-2.13/test-classes}:/opt/spark/jars/*" \
   "$CLS" "$@"
