@@ -1111,25 +1111,33 @@ object TextAnalysis {
       merges.reduce(_ unionByName _).orderBy(col("round"))
     },
     Some("""
+      -- pair generation is PER-ROW list arithmetic (the rake sf100 recipe):
+      -- the first committed form's corpus-wide LEAD window held ~2.7B
+      -- positioned tokens as unspillable window state and OOM'd DuckDB at
+      -- sf100 (100 GB limit, 0 bytes spilled). list_zip of the token list
+      -- with its own tail forms exactly the same within-doc adjacent pairs
+      -- (LEAD's cross-position NULL at the last token = range(1, len)
+      -- excluding it), memory bounded per document; the pair GROUP BY is
+      -- vocabulary-sized either way.
       WITH d0 AS (SELECT doc_id, '|' || replace(text, ' ', ' |') AS canon FROM documents),
-      t1 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
-                    unnest(string_split(canon, ' ')) AS tok FROM d0),
-      p1 AS (SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair FROM t1),
-      c1 AS (SELECT pair, COUNT(*) AS cnt FROM p1 WHERE pair IS NOT NULL GROUP BY pair),
+      p1 AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair
+             FROM (SELECT string_split(canon, ' ') AS toks FROM d0)),
+      c1 AS (SELECT pair, COUNT(*) AS cnt FROM p1 GROUP BY pair),
       b1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
       d1 AS (SELECT doc_id, replace(canon, (SELECT pair FROM b1),
                     replace((SELECT pair FROM b1), ' |', '')) AS canon FROM d0),
-      t2 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
-                    unnest(string_split(canon, ' ')) AS tok FROM d1),
-      p2 AS (SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair FROM t2),
-      c2 AS (SELECT pair, COUNT(*) AS cnt FROM p2 WHERE pair IS NOT NULL GROUP BY pair),
+      p2 AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair
+             FROM (SELECT string_split(canon, ' ') AS toks FROM d1)),
+      c2 AS (SELECT pair, COUNT(*) AS cnt FROM p2 GROUP BY pair),
       b2 AS (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
       d2 AS (SELECT doc_id, replace(canon, (SELECT pair FROM b2),
                     replace((SELECT pair FROM b2), ' |', '')) AS canon FROM d1),
-      t3 AS (SELECT doc_id, generate_subscripts(string_split(canon, ' '), 1) AS pos,
-                    unnest(string_split(canon, ' ')) AS tok FROM d2),
-      p3 AS (SELECT tok || ' ' || LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS pair FROM t3),
-      c3 AS (SELECT pair, COUNT(*) AS cnt FROM p3 WHERE pair IS NOT NULL GROUP BY pair),
+      p3 AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair
+             FROM (SELECT string_split(canon, ' ') AS toks FROM d2)),
+      c3 AS (SELECT pair, COUNT(*) AS cnt FROM p3 GROUP BY pair),
       b3 AS (SELECT pair, cnt FROM c3 ORDER BY cnt DESC, pair LIMIT 1)
       SELECT 1 AS round, pair AS merged_pair, CAST(cnt AS BIGINT) AS n_occurrences FROM b1
       UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM b2
