@@ -31,6 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.io.compression.codec=zstd",
   "-Dspark.rdd.compress=true",
   "-Dspark.checkpoint.compress=true",
+  "-Dspark.io.compression.zstd.bufferSize=512k",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // 86 queries × whole-stage-codegen classes overflow the default 240 MB
   // code cache; when it fills, the JIT disables itself and random queries

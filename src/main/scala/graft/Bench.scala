@@ -30,6 +30,7 @@ object Bench {
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-Dspark.io.compression.codec=zstd", "-Dspark.rdd.compress=true",
         "-Dspark.checkpoint.compress=true",
+        "-Dspark.io.compression.zstd.bufferSize=512k",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-Dgraft.bench.child=1",
         "-cp", System.getProperty("java.class.path"),

@@ -16,8 +16,20 @@ object SpillDefaults {
   val configs: Seq[(String, String)] = Seq(
     "spark.io.compression.codec" -> "zstd",
     "spark.rdd.compress"         -> "true",
-    "spark.checkpoint.compress"  -> "true")
+    "spark.checkpoint.compress"  -> "true",
+    // the 32 KB default buffer makes every small block pay zstd stream
+    // setup: measured +19% on the full sf0.1 bench (8 keys regressed ≥2×,
+    // checkpoint-heavy ones worst). 512 KB amortizes it to noise-level at
+    // bench scale (A/B matrix in BASELINE.md round-15) and, if anything,
+    // IMPROVES the decade-spill ratio (larger window); per-stream memory
+    // at 512 KB × concurrent streams is MBs/executor — standard practice.
+    "spark.io.compression.zstd.bufferSize" -> "512k")
 
+  /** GRAFT_SPILL_DEFAULTS=0 disables the recipe for A/B codec measurement
+    * (how the r15 bench isolated the codec's own cost); never set by the
+    * driver, so the default path is always the recipe.
+    */
   def apply(b: SparkSession.Builder): SparkSession.Builder =
-    configs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    if (sys.env.get("GRAFT_SPILL_DEFAULTS").contains("0")) b
+    else configs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
 }
