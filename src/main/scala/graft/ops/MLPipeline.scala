@@ -2115,7 +2115,11 @@ object MLPipeline {
     * both histograms at once (groupBy s with a calibration and a test
     * counter); everything after is bounded by the score domain (≤ cents
     * range), and the single-partition cumsum window runs over the bounded
-    * histogram, not the log.
+    * histogram, not the log. That bound is load-bearing and PINNED
+    * (PropertySpec's bounded-price guard): for a genuinely wide value
+    * domain (micro-unit prices, unbounded metrics) the histogram goes
+    * data-sized and the cumsum must be staged via Det.stage's two-pass
+    * range-partition idiom instead of one window.
     */
   val mlConformalInterval = Op(
     "ml_conformal_interval",
