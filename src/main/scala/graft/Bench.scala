@@ -25,12 +25,16 @@ object Bench {
         "java.base/sun.nio.ch", "java.base/sun.nio.cs",
         "java.base/sun.security.action", "java.base/sun.util.calendar"
       ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-      val cmd = (Seq(jvm) ++ opens ++ Seq(
+      // GRAFT_SPILL_DEFAULTS=0 must silence the zstd -D flags here too:
+      // SparkConf reads -Dspark.* regardless of SpillDefaults skipping
+      // .config, so an ungated re-exec would make A/B "off" runs through
+      // Bench silently measure with zstd still enabled (r15 advisor).
+      val spill =
+        if (sys.env.get("GRAFT_SPILL_DEFAULTS").contains("0")) Seq.empty[String]
+        else SpillDefaults.configs.map { case (k, v) => s"-D$k=$v" }
+      val cmd = (Seq(jvm) ++ opens ++ spill ++ Seq(
         "-XX:ReservedCodeCacheSize=1g", "-XX:+UseCodeCacheFlushing",
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-Dspark.io.compression.codec=zstd", "-Dspark.rdd.compress=true",
-        "-Dspark.checkpoint.compress=true",
-        "-Dspark.io.compression.zstd.bufferSize=512k",
         s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
         "-Dgraft.bench.child=1",
         "-cp", System.getProperty("java.class.path"),

@@ -27,7 +27,13 @@ object SpillDefaults {
 
   /** GRAFT_SPILL_DEFAULTS=0 disables the recipe for A/B codec measurement
     * (how the r15 bench isolated the codec's own cost); never set by the
-    * driver, so the default path is always the recipe.
+    * driver, so the default path is always the recipe. Honored by every
+    * session builder, tools/run.sh, and Bench's code-cache re-exec — but
+    * NOT by the sbt path: build.sbt's fork javaOptions hard-code the four
+    * -Dspark.* flags, which SparkConf reads regardless of this method
+    * skipping .config. A/B "off" runs must go through tools/run.sh or a
+    * bare java -cp, never `sbt run`/`sbt test` (where RegistrySpec's
+    * session pin would also fail with the switch set, by design).
     */
   def apply(b: SparkSession.Builder): SparkSession.Builder =
     if (sys.env.get("GRAFT_SPILL_DEFAULTS").contains("0")) b

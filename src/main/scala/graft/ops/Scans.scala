@@ -345,20 +345,29 @@ object Scans {
     * postings read is proportional to the terms' document frequency, not
     * the corpus.
     */
+  /** The _SUCCESS-gated postings build shared by [[serveInvertedIndex]]
+    * and Similarity's serve_hybrid_search: token→doc postings clustered
+    * by token (repartition + sortWithinPartitions, so parquet min/max
+    * stats make a term lookup skip every irrelevant row group). Repeated
+    * queries in a sweep — and a real serving loop — pay the build once.
+    */
+  private[ops] def invertedIndex(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val idx = T.scratchFor(d, "inverted_index")
+    if (!new java.io.File(s"$idx/_SUCCESS").exists())
+      T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .distinct()
+        .repartition(col("token"))
+        .sortWithinPartitions(col("token"), col("doc_id"))
+        .write.mode("overwrite").parquet(idx)
+    s.read.parquet(idx)
+  }
+
   val serveInvertedIndex = Op(
     "serve_inverted_index",
     (s, d) => {
-      // _SUCCESS gates the build (same idiom as the IVF index): repeated
-      // queries in a sweep — and a real serving loop — pay the build once
-      val idx = T.scratchFor(d, "inverted_index")
-      if (!new java.io.File(s"$idx/_SUCCESS").exists())
-        T.documents(s, d)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-          .distinct()
-          .repartition(col("token"))
-          .sortWithinPartitions(col("token"), col("doc_id"))
-          .write.mode("overwrite").parquet(idx)
-      val postings = s.read.parquet(idx)
+      val postings = invertedIndex(s, d)
         .filter(col("token").isin("join", "filter"))
       postings.alias("a").filter(col("a.token") === "join")
         .join(postings.alias("b").filter(col("b.token") === "filter"),

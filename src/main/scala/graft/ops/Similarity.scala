@@ -865,6 +865,87 @@ object Similarity {
     None
   )
 
+  /** Hybrid search serving — the reference's actual product surface: one
+    * query answered by TWO retrieval legs fused with reciprocal-rank
+    * fusion (Cormack et al. 2009, the published k=60 constant). Lexical
+    * leg: a disjunctive 3-term lookup against the _SUCCESS-gated postings
+    * index ([[Scans.invertedIndex]] — token IN-list pushed into the
+    * token-clustered parquet, so the read is proportional to the terms'
+    * document frequency, never the corpus), coordinate-scored by #terms
+    * matched. Semantic leg: exact cosine re-rank of the lexical top-50
+    * against the query vector — the probe is BOUNDED at 50 candidates by
+    * construction (a distributed TakeOrdered cut, never a global sort),
+    * so the vector work per query is k·dim regardless of corpus size; the
+    * production-scale variant swaps in the IVF probe ([[simIvfKnn]]) when
+    * the semantic leg must recall beyond the lexical candidates — kept
+    * exact here so the full fusion stays DuckDB-oracled. RRF is pure
+    * integer rank arithmetic (1e6 div (60+r), both engines' integer
+    * division), top-10 fused. Candidates live in BOTH index spaces
+    * (postings ∩ embeddings) — the hybrid contract.
+    */
+  val serveHybridSearch = Op(
+    "serve_hybrid_search",
+    (s, d) => {
+      graft.functions.VectorDot.register(s)
+      val lex = Scans.invertedIndex(s, d)
+        .filter(col("token").isin("join", "filter", "group"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_terms"))
+      val e = T.embeddings(s, d)
+      val cand = lex
+        .join(e.select(col("vec_id").as("doc_id"), col("embedding")), "doc_id")
+        .orderBy(col("n_terms").desc, col("doc_id")).limit(50)
+      val q = e.filter(col("vec_id") === 5)
+        .select(col("embedding").as("pe"), norm(col("embedding")).as("pnorm"))
+      val scored = cand.crossJoin(broadcast(q))
+        .withColumn("cosine",
+          round(dot(col("pe"), col("embedding"))
+            / (col("pnorm") * norm(col("embedding"))), 6))
+        .select(col("doc_id"), col("n_terms"), col("cosine"))
+      // single-partition windows over exactly 50 rows — bounded by k, the
+      // RRF merge never sees more than the probe cut
+      val wl = Window.orderBy(col("n_terms").desc, col("doc_id"))
+      val ws = Window.orderBy(col("cosine").desc, col("doc_id"))
+      scored
+        .withColumn("lex_rank", row_number().over(wl).cast("long"))
+        .withColumn("sem_rank", row_number().over(ws).cast("long"))
+        .withColumn("rrf_ppm",
+          expr("1000000 div (60 + lex_rank) + 1000000 div (60 + sem_rank)"))
+        .orderBy(col("rrf_ppm").desc, col("doc_id")).limit(10)
+        .select(col("doc_id"), col("n_terms"), col("lex_rank"),
+          col("sem_rank"), col("cosine"), col("rrf_ppm"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      lex AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM p
+        WHERE token IN ('join', 'filter', 'group') GROUP BY doc_id),
+      cand AS (
+        SELECT l.doc_id, l.n_terms, e.embedding
+        FROM lex l JOIN embeddings e ON e.vec_id = l.doc_id
+        ORDER BY l.n_terms DESC, l.doc_id LIMIT 50),
+      q AS (SELECT embedding AS pe FROM embeddings WHERE vec_id = 5),
+      scored AS (
+        SELECT c.doc_id, c.n_terms,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(pe[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(pe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+                 AS cosine
+        FROM cand c CROSS JOIN q),
+      ranked AS (
+        SELECT doc_id, n_terms, cosine,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_terms DESC, doc_id) AS BIGINT) AS lex_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS sem_rank
+        FROM scored)
+      SELECT doc_id, n_terms, lex_rank, sem_rank, cosine,
+             1000000 // (60 + lex_rank) + 1000000 // (60 + sem_rank) AS rrf_ppm
+      FROM ranked ORDER BY rrf_ppm DESC, doc_id LIMIT 10
+    """)
+  )
+
   /** SemDeDup composition (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): k-means
     * cluster the embedding corpus, then search for near-duplicates ONLY
@@ -2637,7 +2718,7 @@ object Similarity {
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simMinhashDet, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simSimhashShingleBands,
-    simBrpLsh, simIvfKnn, simEditDistance,
+    simBrpLsh, simIvfKnn, serveHybridSearch, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
     dedupBlockedFuzzy, simContainmentPairs, embMatryoshkaTrunc,

@@ -1062,53 +1062,98 @@ object TextAnalysis {
     """)
   )
 
-  /** Byte-pair-encoding merge learning (Sennrich et al. 2016 — THE
+  /** Shared BPE merge-learning loop (Sennrich et al. 2016 — THE
     * tokenizer-training primitive of every modern LLM pipeline), run
-    * distributed for 3 merge rounds: each round counts adjacent token
-    * pairs across the corpus, picks the most frequent (count DESC, pair
-    * ASC — the deterministic tie-break vanilla BPE leaves unspecified),
-    * and rewrites the corpus with the pair fused. Token boundaries are
-    * made unambiguous by the '|' start-of-token marker (the GPT-2 'Ġ'
-    * trick): the search string '|a |b' can only match at token starts, and
-    * plain left-to-right non-overlapping replace — identical semantics in
-    * both engines — IS the leftmost-first merge order real BPE uses. Per
-    * round: one doc_id-partitioned lead window for pairs, one
-    * map-side-combined pair count, a 1-row TakeOrdered argmax broadcast
-    * into the rewrite; corpus state is checkpointed per round with
-    * superseded blocks freed (the iterative-op discipline). Production
-    * trainers run thousands of rounds on a sample — the per-round plan is
-    * exactly this one. Emits the learned merge table, the tokenizer
-    * artifact itself.
+    * distributed for `rounds` merge rounds: each round counts adjacent
+    * token pairs across the corpus, picks the most frequent (count DESC,
+    * pair ASC — the deterministic tie-break vanilla BPE leaves
+    * unspecified), and rewrites the corpus with the pair fused. Token
+    * boundaries are made unambiguous by the '|' start-of-token marker
+    * (the GPT-2 'Ġ' trick): the search string '|a |b' can only match at
+    * token starts, and plain left-to-right non-overlapping replace —
+    * identical semantics in both engines — IS the leftmost-first merge
+    * order real BPE uses.
+    *
+    * Pair generation is per-row token bigrams via the native codegen'd
+    * [[graft.functions.NGrams]] (the same per-row-list-arithmetic shape
+    * that saved the sf100 DuckDB oracle in r15): adjacency is a
+    * within-row property, so the previous doc_id-partitioned lead
+    * window's full-corpus shuffle (once per
+    * round!) was pure overhead — the narrow form feeds the map-side-
+    * combined pair count with zero shuffle below it. Iteration
+    * discipline (r16): the 1-row argmax is COLLECTED to the driver — the
+    * canonical iterative-algorithm decision point (KMeans collects its
+    * centroids the same way) — so each round is exactly ONE Spark job and
+    * the next round's rewrite embeds the winner as a literal, no
+    * crossJoin/broadcast/checkpoint machinery at all. The corpus is never
+    * checkpointed: with bounded rounds the lineage is `rounds` narrow
+    * replace() maps over the parquet scan, and re-scanning beats
+    * round-tripping the whole corpus through a zstd localCheckpoint
+    * (measured 1.7× of txt_bpe_merges' bench time at r15; a
+    * thousand-round production trainer re-enables a corpus checkpoint
+    * every K rounds to bound lineage depth). The rewrites are lazy, so a
+    * caller that only reads the merge table never executes the final
+    * round's rewrite at all.
+    *
+    * The corpus rows carry (source, tokens-before) from the scan through
+    * every rewrite projection — narrow columns Catalyst prunes away for
+    * callers that don't read them — so the ENCODE consumer aggregates the
+    * rewritten corpus directly with no join back to the documents table
+    * (no second scan, no doc_id shuffle).
+    *
+    * Returns (the learned (round, pair, count) merge table, the corpus as
+    * (doc_id, source, tb, canon) with all `rounds` merges applied).
+    */
+  private def bpeLearn(s: org.apache.spark.sql.SparkSession, d: String,
+      rounds: Int) = {
+    // The corpus is NOT cached, checkpointed, or repartitioned: a round's
+    // input is the parquet scan + r narrow replaces, all inside one
+    // codegen span, and the bench-scale A/B matrix was unambiguous —
+    // rescan ~0.95 s / MEMORY_AND_DISK persist(+repartition) ~1.6 s /
+    // r15's per-round zstd localCheckpoint 2.11 s. Materializing the
+    // corpus in ANY form costs more than recomputing two string replaces
+    // over it; a thousand-round production trainer re-enables a corpus
+    // checkpoint every K rounds to bound lineage depth.
+    var docs = T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tb"),
+        concat(lit("|"), expr("replace(text, ' ', ' |')")).as("canon"))
+    var merges = Vector.empty[(Int, String, Long)]
+    graft.functions.NGrams.register(s)
+    for (r <- 1 to rounds) {
+      // pair generation = the native codegen'd token_ngrams (n=2): the
+      // interpreted transform(sequence(...)) lambda form measured ~2.5x
+      // the whole round's cost (higher-order functions never enter
+      // whole-stage codegen); semantics are bit-identical, and <2-token
+      // docs yield an empty array (no explicit filter needed)
+      val best = docs
+        .select(explode(call_function("token_ngrams",
+          split(col("canon"), " "), lit(2))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()(0)
+      val (pair, cnt) = (best.getString(0), best.getLong(1))
+      merges = merges :+ ((r, pair, cnt))
+      docs = docs.select(col("doc_id"), col("source"), col("tb"),
+        replace(col("canon"), lit(pair), lit(pair.replace(" |", "")))
+          .as("canon"))
+    }
+    (merges, docs)
+  }
+
+  /** BPE merge LEARNING: the per-round plan of [[bpeLearn]] (pair count →
+    * deterministic argmax → literal rewrite), emitting the learned merge
+    * table — the tokenizer artifact itself. Production trainers run
+    * thousands of rounds on a sample; the per-round plan is exactly this
+    * one.
     */
   val txtBpeMerges = Op(
     "txt_bpe_merges",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      var docs = T.documents(s, d)
-        .select(col("doc_id"),
-          concat(lit("|"), expr("replace(text, ' ', ' |')")).as("canon"))
-        .localCheckpoint(true)
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      var merges = Vector.empty[org.apache.spark.sql.DataFrame]
-      for (r <- 1 to 3) {
-        val pairs = docs
-          .select(col("doc_id"), posexplode(split(col("canon"), " ")).as(Seq("pos", "tok")))
-          .withColumn("pair", concat(col("tok"), lit(" "), lead(col("tok"), 1).over(w)))
-          .filter(col("pair").isNotNull)
-        val best = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1)
-          .localCheckpoint(true)
-        merges = merges :+ best.select(lit(r).as("round"),
-          col("pair").as("merged_pair"), col("cnt").as("n_occurrences"))
-        val next = docs.crossJoin(broadcast(best))
-          .select(col("doc_id"),
-            expr("replace(canon, pair, replace(pair, ' |', ''))").as("canon"))
-          .localCheckpoint(true)
-        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
-        docs = next
-      }
-      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(docs)
-      merges.reduce(_ unionByName _).orderBy(col("round"))
+      import s.implicits._
+      bpeLearn(s, d, 3)._1
+        .toDF("round", "merged_pair", "n_occurrences")
+        .orderBy(col("round"))
     },
     Some("""
       -- pair generation is PER-ROW list arithmetic (the rake sf100 recipe):
@@ -1143,6 +1188,78 @@ object TextAnalysis {
       UNION ALL SELECT 2, pair, CAST(cnt AS BIGINT) FROM b2
       UNION ALL SELECT 3, pair, CAST(cnt AS BIGINT) FROM b3
       ORDER BY round
+    """)
+  )
+
+  /** BPE ENCODE — the consuming half of the tokenizer pipeline ([[txtBpeMerges]]
+    * learns the merge table; this applies it): rewrite the corpus with the
+    * learned merges in rank order (greedy lowest-rank-first — the fixed
+    * order vanilla BPE encoding prescribes, deterministic by construction)
+    * and emit per-source token budgets under the learned vocab — docs,
+    * tokens before/after, milli-tokens-per-doc and the compression ppm.
+    * Tokens-per-doc is THE budget number a training-data pipeline re-runs
+    * daily: it prices every source's contribution to the token budget.
+    * Shape at 100 TB: the merge loop's bounded rounds (each a narrow pair
+    * explode → map-side-combined count → 1-row broadcast rewrite), then
+    * ONE aggregation over the rewritten corpus — source and the pre-merge
+    * token count ride the scan through the rewrite projections, so there
+    * is no join back to the corpus and no shuffle wider than the
+    * |sources|-row rollup. Ratio intermediates ride DECIMAL(38,0)/HUGEINT
+    * (the dt_mom_growth discipline — Σtokens·1e6 wraps a long past
+    * ~9e12 tokens, inside a 100 TB corpus).
+    */
+  val txtBpeEncode = Op(
+    "txt_bpe_encode",
+    (s, d) => {
+      val enc = bpeLearn(s, d, 3)._2
+      enc.select(col("source"), col("tb"),
+          size(split(col("canon"), " ")).cast("long").as("ta"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tb")).as("tokens_before"),
+          sum(col("ta")).as("tokens_after"),
+          expr("CAST(CAST(SUM(ta) AS DECIMAL(38,0)) * 1000 div COUNT(*) AS BIGINT)")
+            .as("tokens_per_doc_milli"),
+          expr("CAST(CAST(SUM(ta) AS DECIMAL(38,0)) * 1000000 div SUM(tb) AS BIGINT)")
+            .as("compression_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      -- the merge chain is the txt_bpe_merges oracle (per-row list
+      -- arithmetic, the sf100-proven form) extended by the round-3 rewrite
+      WITH d0 AS (SELECT doc_id, source,
+                         len(string_split(text, ' ')) AS tb,
+                         '|' || replace(text, ' ', ' |') AS canon FROM documents),
+      p1 AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair
+             FROM (SELECT string_split(canon, ' ') AS toks FROM d0)),
+      c1 AS (SELECT pair, COUNT(*) AS cnt FROM p1 GROUP BY pair),
+      b1 AS (SELECT pair, cnt FROM c1 ORDER BY cnt DESC, pair LIMIT 1),
+      d1 AS (SELECT doc_id, source, tb, replace(canon, (SELECT pair FROM b1),
+                    replace((SELECT pair FROM b1), ' |', '')) AS canon FROM d0),
+      p2 AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair
+             FROM (SELECT string_split(canon, ' ') AS toks FROM d1)),
+      c2 AS (SELECT pair, COUNT(*) AS cnt FROM p2 GROUP BY pair),
+      b2 AS (SELECT pair, cnt FROM c2 ORDER BY cnt DESC, pair LIMIT 1),
+      d2 AS (SELECT doc_id, source, tb, replace(canon, (SELECT pair FROM b2),
+                    replace((SELECT pair FROM b2), ' |', '')) AS canon FROM d1),
+      p3 AS (SELECT unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i+1])) AS pair
+             FROM (SELECT string_split(canon, ' ') AS toks FROM d2)),
+      c3 AS (SELECT pair, COUNT(*) AS cnt FROM p3 GROUP BY pair),
+      b3 AS (SELECT pair, cnt FROM c3 ORDER BY cnt DESC, pair LIMIT 1),
+      d3 AS (SELECT doc_id, source, tb, replace(canon, (SELECT pair FROM b3),
+                    replace((SELECT pair FROM b3), ' |', '')) AS canon FROM d2),
+      stats AS (SELECT source, tb, len(string_split(canon, ' ')) AS ta FROM d3)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(tb) AS BIGINT) AS tokens_before,
+             CAST(SUM(ta) AS BIGINT) AS tokens_after,
+             CAST(CAST(SUM(ta) AS HUGEINT) * 1000 // COUNT(*) AS BIGINT)
+               AS tokens_per_doc_milli,
+             CAST(CAST(SUM(ta) AS HUGEINT) * 1000000 // SUM(tb) AS BIGINT)
+               AS compression_ppm
+      FROM stats GROUP BY source ORDER BY source
     """)
   )
 
@@ -1766,12 +1883,13 @@ object TextAnalysis {
     * Knuth multiplicative hash `(doc_id·2654435761) mod 2^32` that
     * sample_hash_bucket/sample_stratified use (stable across engines,
     * partitionings and runs, unlike any RNG draw), and the keep rule is
-    * the all-integer cross-multiplication `u·1e6 < score_ppm·2^32` (both
-    * sides < 2^63 — no widening needed; NOTE the hash input bound
-    * doc_id < 2^63/2654435761 ≈ 3.47e9: past it doc_id·2654435761 itself
-    * wraps Long on Spark while DuckDB raises BIGINT overflow, breaking
-    * oracle parity — widen the hash to DECIMAL(38,0)/HUGEINT on both
-    * sides before replicating fixtures beyond ~sf5000). A doc with
+    * the all-integer cross-multiplication `u·1e6 < score_ppm·2^32`. The
+    * hash product rides DECIMAL(38,0)/HUGEINT on BOTH sides (r16, the
+    * dt_mom_growth recipe): in plain BIGINT, doc_id past 2^63/2654435761
+    * ≈ 3.47e9 (~sf5000) wraps Long on Spark while DuckDB raises overflow,
+    * breaking parity — pre-widened, u is exact at any fixture scale and
+    * identical to the narrow form below the bound (PropertySpec pins a
+    * synthetic past-the-bound id against the closed form). A doc with
     * score 0.9 keeps with probability 0.9; re-runs keep the identical SET,
     * so the resample is idempotent and incremental-append-safe — the
     * property that matters when the 100 TB corpus is re-selected monthly.
@@ -1786,7 +1904,9 @@ object TextAnalysis {
     (s, d) => {
       val scored = dsirScores(s, d)
         .join(T.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-        .withColumn("u", pmod(col("doc_id") * lit(2654435761L), lit(4294967296L)))
+        .withColumn("u",
+          pmod(col("doc_id").cast("decimal(38,0)") * lit(2654435761L),
+            lit(4294967296L)).cast("long"))
         .withColumn("kept",
           (col("u") * lit(1000000L) < col("score_ppm") * lit(4294967296L)).cast("int"))
       scored.groupBy(col("lang")).agg(
@@ -1797,18 +1917,23 @@ object TextAnalysis {
         .orderBy(col("lang"))
     },
     Some(dsirOracleCtes + """
-      SELECT s.lang, COUNT(*) AS n_candidates,
-             CAST(SUM(CASE WHEN (s.doc_id * 2654435761) % 4294967296 * 1000000
-                                < s.score_ppm * 4294967296 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_kept,
-             CAST(SUM(CASE WHEN (s.doc_id * 2654435761) % 4294967296 * 1000000
-                                < s.score_ppm * 4294967296 THEN 1 ELSE 0 END)
+      , u AS (
+        -- HUGEINT-widened Knuth hash (r16): exact at any doc_id, identical
+        -- to the BIGINT form below the 2^63/2654435761 wrap bound
+        SELECT s.lang, s.score_ppm, d2.n_chars,
+               CAST((CAST(s.doc_id AS HUGEINT) * 2654435761) % 4294967296
+                    AS BIGINT) AS u
+        FROM scored s JOIN documents d2 ON s.doc_id = d2.doc_id)
+      SELECT lang, COUNT(*) AS n_candidates,
+             CAST(SUM(CASE WHEN u * 1000000 < score_ppm * 4294967296
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN u * 1000000 < score_ppm * 4294967296
+                           THEN 1 ELSE 0 END)
                   * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm,
-             CAST(SUM(CASE WHEN (s.doc_id * 2654435761) % 4294967296 * 1000000
-                                < s.score_ppm * 4294967296 THEN d2.n_chars ELSE 0 END) AS BIGINT)
-               AS kept_chars
-      FROM scored s JOIN documents d2 ON s.doc_id = d2.doc_id
-      GROUP BY s.lang ORDER BY s.lang
+             CAST(SUM(CASE WHEN u * 1000000 < score_ppm * 4294967296
+                           THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+      FROM u
+      GROUP BY lang ORDER BY lang
     """)
   )
 
@@ -1928,6 +2053,6 @@ object TextAnalysis {
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,
-    txtHeapsLaw, txtBpeMerges, txtCharEntropy, txtCodeDetect,
+    txtHeapsLaw, txtBpeMerges, txtBpeEncode, txtCharEntropy, txtCodeDetect,
     txtSourceOverlap)
 }

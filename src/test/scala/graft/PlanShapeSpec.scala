@@ -409,21 +409,35 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("txt_cdc_chunks: gear cuts and chunk md5s are computed below the first shuffle") {
-    import org.apache.spark.sql.execution.ProjectExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.{ProjectExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     // the content-defined chunker's SURVEY claim: per-position-parallel
     // list arithmetic with no sequential state — every projection that
     // computes a chunk md5 sits on the scan side with zero shuffles below
-    // it, so only 16-byte hashes ever cross the wire, never text
-    val p = Registry.queries("txt_cdc_chunks")(spark, sf).queryExecution.sparkPlan
+    // it, so only 16-byte hashes ever cross the wire, never text.
+    // MUST inspect the EXECUTED plan: exchanges are inserted by
+    // EnsureRequirements there — queryExecution.sparkPlan has none yet,
+    // so a guard over it can never fail (r15 advisor). Under AQE the root
+    // is an AdaptiveSparkPlanExec leaf; unwrap to its current physical
+    // plan so collect() actually traverses the exchange-bearing tree.
+    val qe = Registry.queries("txt_cdc_chunks")(spark, sf).queryExecution
+    val p: SparkPlan = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
     assert(p.toString.contains("Generate explode"), s"chunk explode missing: $p")
+    // guard the guard: the plan must contain at least one shuffle overall
+    // (the chunk-hash groupBy), or the below-projection assertion is vacuous
+    assert(p.collect { case e: ShuffleExchangeLike => e }.nonEmpty,
+      s"no shuffle anywhere — guard would be vacuous: $p")
     val md5Projects = p.collect {
       case pr: ProjectExec
         if pr.projectList.exists(_.toString.toLowerCase.contains("md5(")) => pr
     }
     assert(md5Projects.nonEmpty, s"no chunk-md5 projection found: $p")
     md5Projects.foreach { pr =>
-      assert(pr.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+      assert(pr.collect { case e: ShuffleExchangeLike => e }.isEmpty,
         s"shuffle below the chunk-hash projection — text is crossing the wire: $pr")
     }
   }

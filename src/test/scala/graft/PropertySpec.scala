@@ -795,6 +795,32 @@ class PropertySpec extends AnyFunSuite {
       s"dup chunks ${row.getLong(2)} < realigned mass ${2 * interior.length}")
   }
 
+  test("DSIR resample hash: DECIMAL(38,0) widening is exact past the 2^63/phi wrap bound") {
+    // txt_dsir_resample's keep-decision uniform is the Knuth hash
+    // (doc_id·2654435761) mod 2^32, widened to DECIMAL(38,0) in r16 so
+    // doc_id past 2^63/2654435761 ≈ 3.47e9 (~sf5000 fixtures) neither
+    // wraps Long (old Spark behavior) nor overflows (DuckDB behavior).
+    // Pin BOTH properties: exactness past the bound vs BigInt ground
+    // truth, and identity with the narrow BIGINT form below the bound.
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 12345L, 3470000000L,          // below the bound
+      4000000000L, 1L << 40, Long.MaxValue / 3, Long.MaxValue) // past it
+    val got = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.pmod(
+          col("doc_id").cast("decimal(38,0)") * lit(2654435761L),
+          lit(4294967296L)).cast("long").as("u"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- ids) {
+      val exact = (BigInt(id) * BigInt(2654435761L)).mod(BigInt(4294967296L))
+      assert(BigInt(got(id)) == exact, s"widened hash wrong for doc_id=$id")
+      if (BigInt(id) * BigInt(2654435761L) <= BigInt(Long.MaxValue)) {
+        val narrow = math.floorMod(id * 2654435761L, 4294967296L)
+        assert(got(id) == narrow, s"widened != narrow below the bound for $id")
+      }
+    }
+  }
+
   test("SRM check: chi-square is non-negative and variant counts partition the users") {
     val r = Registry.queries("evt_srm_check")(spark, sf).collect()(0)
     val n = r.getLong(0)
