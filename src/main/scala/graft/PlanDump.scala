@@ -40,6 +40,14 @@ object PlanDump {
       "two-pass global rank: range partitioning + per-pid window + broadcast offsets, no SinglePartition exchange",
     "sql_q3_shipping_priority" ->
       "composite flagship: broadcast dim filter, pushed date filters on both fact scans, TakeOrderedAndProject top-10",
+    "serve_hybrid_search" ->
+      "both index paths pruned: token IN-list in postings PushedFilters, broadcast 1-row query vector, TakeOrdered candidate cut, 50-row RRF windows",
+    "serve_prefix_autocomplete" ->
+      "StringStartsWith disjunction in postings PushedFilters, map-side df combine, bounded per-prefix top-5 window",
+    "txt_pack_sequences" ->
+      "two-pass distributed prefix sum: bounded bucket sums -> broadcast prefix join -> within-bucket window over <=2^16-row partitions",
+    "txt_bpe_encode" ->
+      "narrow merge-rewrite chain over the scan (no join back to the corpus), |sources|-row final agg",
     "join_bloom_reduce" ->
       "bloom sketch pre-filter on the fact side BELOW the shuffle join",
     "graph_pagerank" ->

@@ -946,6 +946,52 @@ object Similarity {
     """)
   )
 
+  /** Prefix autocomplete serving — the other live surface of a search
+    * product: for each typed prefix, the top-5 completions ranked by
+    * document frequency (df DESC, token ASC — deterministic). Served from
+    * the same _SUCCESS-gated postings index as [[serveHybridSearch]]:
+    * the startsWith disjunction pushes into the token-clustered parquet
+    * as StringStartsWith filters (min/max row-group skip — the scan reads
+    * the matching token ranges, never the corpus), df is a
+    * map-side-combined count over the matching postings, and the per-
+    * prefix top-5 window is bounded by the matching vocabulary slice.
+    * Output is |prefixes|×5 rows at any corpus size.
+    */
+  val servePrefixAutocomplete = Op(
+    "serve_prefix_autocomplete",
+    (s, d) => {
+      val prefixes = Seq("s", "c", "f", "w")
+      val postings = Scans.invertedIndex(s, d)
+        .filter(prefixes.map(p => col("token").startsWith(p)).reduce(_ || _))
+      val df = postings.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .withColumn("prefix", substring(col("token"), 1, 1))
+      val w = Window.partitionBy(col("prefix"))
+        .orderBy(col("df").desc, col("token"))
+      df.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("prefix"), col("rn"), col("token"), col("df"))
+        .orderBy(col("prefix"), col("rn"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+               substr(token, 1, 1) AS prefix
+        FROM p
+        WHERE token LIKE 's%' OR token LIKE 'c%'
+           OR token LIKE 'f%' OR token LIKE 'w%'
+        GROUP BY token)
+      SELECT prefix, rn, token, df FROM (
+        SELECT prefix, token, df,
+               CAST(ROW_NUMBER() OVER (PARTITION BY prefix
+                 ORDER BY df DESC, token) AS BIGINT) AS rn
+        FROM df)
+      WHERE rn <= 5 ORDER BY prefix, rn
+    """)
+  )
+
   /** SemDeDup composition (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): k-means
     * cluster the embedding corpus, then search for near-duplicates ONLY
@@ -2718,7 +2764,8 @@ object Similarity {
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simMinhashDet, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simSimhashShingleBands,
-    simBrpLsh, simIvfKnn, serveHybridSearch, simEditDistance,
+    simBrpLsh, simIvfKnn, serveHybridSearch, servePrefixAutocomplete,
+    simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
     dedupBlockedFuzzy, simContainmentPairs, embMatryoshkaTrunc,

@@ -1962,6 +1962,75 @@ object TextAnalysis {
     * chunk counts, cross-doc duplicated-chunk stats, and the exact mean
     * chunk length (ppm) attesting the cut-point math.
     */
+  /** Sequence PACKING accounting — the concatenate-then-chunk recipe every
+    * GPT-style pretraining pipeline runs (docs are concatenated per source
+    * in a fixed order and sliced into 2048-token training sequences; docs
+    * may span slice boundaries): emits the per-source packing ledger —
+    * docs, total tokens, sequences produced, boundary-crossing docs, tail
+    * waste, fill ppm — the numbers that price a packing config before a
+    * training run. Deterministic by construction (order = doc_id within
+    * source; token count = whitespace tokens).
+    *
+    * The hard part at 100 TB is the per-source PREFIX SUM of token counts
+    * (a naive window is one task per source — 4 tasks for 25 GB of text).
+    * Two-pass distributed form (the win_rank_distributed/
+    * agg_exact_median_distributed discipline): bucket docs by doc_id div
+    * 2^16, aggregate per-bucket token sums (bounded: buckets × sources
+    * rows, broadcastable at any plausible corpus), prefix those with a
+    * window over the TINY bucket table, then a within-bucket cumsum whose
+    * partitions are ≤ 2^16 docs by construction. The oracle is the
+    * single-window form — hash-equality IS the two-pass proof.
+    */
+  val txtPackSequences = Op(
+    "txt_pack_sequences",
+    (s, d) => {
+      val C = 2048L
+      val toks = T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tk"),
+          expr("doc_id div 65536").as("bkt"))
+      val bsums = toks.groupBy(col("source"), col("bkt"))
+        .agg(sum(col("tk")).as("bsum"))
+      val wB = Window.partitionBy(col("source")).orderBy(col("bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val boff = bsums.select(col("source"), col("bkt"),
+        coalesce(sum(col("bsum")).over(wB), lit(0L)).as("boff"))
+      val wL = Window.partitionBy(col("source"), col("bkt")).orderBy(col("doc_id"))
+      val pos = toks.join(broadcast(boff), Seq("source", "bkt"))
+        .withColumn("endpos", col("boff") + sum(col("tk")).over(wL))
+        .withColumn("startpos", col("endpos") - col("tk"))
+      pos.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("tk")).as("total_tokens"),
+          expr(s"(SUM(tk) + ${C - 1}) div $C").as("n_sequences"),
+          sum(when(expr(s"startpos div $C") =!= expr(s"(endpos - 1) div $C"), 1L)
+            .otherwise(0L)).as("n_docs_crossing"),
+          expr(s"(SUM(tk) + ${C - 1}) div $C * $C - SUM(tk)").as("tail_waste_tokens"),
+          expr(s"CAST(CAST(SUM(tk) AS DECIMAL(38,0)) * 1000000 div " +
+            s"((SUM(tk) + ${C - 1}) div $C * $C) AS BIGINT)").as("fill_ppm"))
+        .orderBy(col("source"))
+    },
+    Some("""
+      WITH t AS (
+        SELECT source, doc_id, len(string_split(text, ' ')) AS tk FROM documents),
+      pos AS (
+        SELECT source, tk,
+               SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS endpos
+        FROM t)
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(tk) AS BIGINT) AS total_tokens,
+             CAST((SUM(tk) + 2047) // 2048 AS BIGINT) AS n_sequences,
+             CAST(SUM(CASE WHEN (endpos - tk) // 2048 <> (endpos - 1) // 2048
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_crossing,
+             CAST((SUM(tk) + 2047) // 2048 * 2048 - SUM(tk) AS BIGINT)
+               AS tail_waste_tokens,
+             CAST(CAST(SUM(tk) AS HUGEINT) * 1000000
+                  // ((SUM(tk) + 2047) // 2048 * 2048) AS BIGINT) AS fill_ppm
+      FROM pos GROUP BY source ORDER BY source
+    """)
+  )
+
   val txtCdcChunks = Op(
     "txt_cdc_chunks",
     (s, d) => {
@@ -2053,6 +2122,7 @@ object TextAnalysis {
     txtChunkDedup, txtPiiRedact, txtUnicodeNfc, txtContaminationCheck,
     txtUnigramLogprob, txtSubstringDedup, txtRepetitionRatio, txtSeqPack,
     txtDomainMixBalance, txtChunkOverlap, txtZipfSlope, txtBigramLogprob,
-    txtHeapsLaw, txtBpeMerges, txtBpeEncode, txtCharEntropy, txtCodeDetect,
+    txtHeapsLaw, txtBpeMerges, txtBpeEncode, txtPackSequences,
+    txtCharEntropy, txtCodeDetect,
     txtSourceOverlap)
 }

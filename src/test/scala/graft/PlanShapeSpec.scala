@@ -60,6 +60,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters: [In(doc_id"), p)
   }
 
+  test("serve_hybrid_search: postings IN-pushdown, broadcast probe, bounded RRF merge") {
+    val p = plan("serve_hybrid_search")
+    // lexical leg: the 3-term IN-list reaches the token-clustered postings
+    // scan (read ∝ document frequency, never the corpus)
+    assert(p.contains("PushedFilters: [In(token"), s"postings IN not pushed: $p")
+    // semantic leg: the 1-row query vector broadcasts; the candidate cut
+    // is a distributed TakeOrdered, never a global sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), s"top-50 cut is not TakeOrdered: $p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("serve_prefix_autocomplete pushes the StartsWith disjunction to the postings scan") {
+    val p = plan("serve_prefix_autocomplete")
+    assert(p.contains("StringStartsWith(token"), s"prefix filter not pushed: $p")
+  }
+
   test("sink_partitioned_prune reads only the filtered partition") {
     val p = plan("sink_partitioned_prune")
     assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"), p)
