@@ -146,7 +146,11 @@ object DeterminismMatrix {
     "evt_seasonal_ma_decompose", // daily rollup + centered-MA windows
     "ml_poisson_bootstrap_ci",   // md5 Poisson weights + order statistic
     "evt_group_sequential_obf",  // per-look exact counts + IEEE z finish
-    "txt_cdc_chunks")            // windowed gear cuts + chunk-hash rollup
+    "txt_cdc_chunks",            // windowed gear cuts + chunk-hash rollup
+    "txt_bpe_encode",            // rank-ordered literal rewrites + rollup
+    "serve_hybrid_search",       // dual rank windows + integer RRF ties
+    "serve_prefix_autocomplete", // df ties broken by token, bounded top-5
+    "txt_pack_sequences")        // two-pass prefix sum vs partition count
 }
 
 class DeterminismSpec extends AnyFunSuite {
