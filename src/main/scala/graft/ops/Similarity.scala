@@ -992,6 +992,49 @@ object Similarity {
     """)
   )
 
+  /** KWIC snippet serving — the last visible piece of a results page: for
+    * the first 20 docs matching a term, the ±40-char window around the
+    * term's first occurrence. Two bounded index hops, corpus never
+    * scanned: (1) the term's posting list from the _SUCCESS-gated index
+    * (EqualTo pushdown into the token-clustered parquet), first 20 doc
+    * ids by a distributed TakeOrdered, COLLECTED — the id list is the
+    * serving decision, exactly serve_point_lookup's contract; (2) a
+    * doc_id IN-list point lookup into the corpus (row-group skip) plus a
+    * narrow locate/substring projection over just those 20 rows. First-
+    * occurrence-substring semantics (locate/strpos) are identical across
+    * engines, so the snippet bytes hash-match.
+    */
+  val serveDocSnippet = Op(
+    "serve_doc_snippet",
+    (s, d) => {
+      val term = "filter"
+      val ids = Scans.invertedIndex(s, d)
+        .filter(col("token") === term)
+        .select(col("doc_id")).orderBy(col("doc_id")).limit(20)
+        .collect().map(_.getLong(0)).toSeq
+      T.documents(s, d)
+        .filter(col("doc_id").isin(ids: _*))
+        .select(col("doc_id"),
+          locate(term, col("text")).cast("long").as("pos"),
+          expr(s"substring(text, greatest(1, locate('$term', text) - 40), 86)")
+            .as("snippet"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      cand AS (
+        SELECT doc_id FROM p WHERE token = 'filter' ORDER BY doc_id LIMIT 20)
+      SELECT d.doc_id,
+             CAST(strpos(d.text, 'filter') AS BIGINT) AS pos,
+             substr(d.text, GREATEST(1, strpos(d.text, 'filter') - 40), 86)
+               AS snippet
+      FROM documents d JOIN cand USING (doc_id)
+      ORDER BY d.doc_id
+    """)
+  )
+
   /** SemDeDup composition (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): k-means
     * cluster the embedding corpus, then search for near-duplicates ONLY
@@ -2765,7 +2808,7 @@ object Similarity {
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simSimhashShingleBands,
     simBrpLsh, simIvfKnn, serveHybridSearch, servePrefixAutocomplete,
-    simEditDistance,
+    serveDocSnippet, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
     dedupBlockedFuzzy, simContainmentPairs, embMatryoshkaTrunc,

@@ -150,6 +150,7 @@ object DeterminismMatrix {
     "txt_bpe_encode",            // rank-ordered literal rewrites + rollup
     "serve_hybrid_search",       // dual rank windows + integer RRF ties
     "serve_prefix_autocomplete", // df ties broken by token, bounded top-5
+    "serve_doc_snippet",         // collected id cut + first-occurrence pos
     "txt_pack_sequences")        // two-pass prefix sum vs partition count
 }
 
