@@ -72,6 +72,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("txt_pack_sequences: the corpus-scale prefix sum never collapses to one partition") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val qe = Registry.queries("txt_pack_sequences")(spark, sf).queryExecution
+    val p = qe.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other                    => other
+    }
+    // no SinglePartition exchange anywhere: the naive form of this op is a
+    // one-task-per-source window, which is exactly what the two-pass
+    // bucket decomposition exists to avoid
+    assert(!p.toString.contains("SinglePartition"),
+      s"prefix sum collapsed to a single partition: $p")
+    // the doc-level cumsum window must be partitioned by (source, bkt) —
+    // i.e. ≤ 2^16 rows per partition by construction; only the tiny
+    // bucket-table prefix window may partition by source alone
+    val docWindows = p.collect {
+      case w: WindowExec if w.child.output.exists(_.name == "doc_id") => w
+    }
+    assert(docWindows.nonEmpty, s"doc-level window missing: $p")
+    docWindows.foreach { w =>
+      val parts = w.partitionSpec.map(_.toString).mkString(",")
+      assert(parts.contains("source") && parts.contains("bkt"),
+        s"doc-level window not bucketed: $parts")
+    }
+  }
+
   test("serve_prefix_autocomplete pushes the StartsWith disjunction to the postings scan") {
     val p = plan("serve_prefix_autocomplete")
     assert(p.contains("StringStartsWith(token"), s"prefix filter not pushed: $p")
