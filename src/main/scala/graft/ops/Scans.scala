@@ -350,17 +350,19 @@ object Scans {
     * by token (repartition + sortWithinPartitions, so parquet min/max
     * stats make a term lookup skip every irrelevant row group). Repeated
     * queries in a sweep — and a real serving loop — pay the build once.
+    * Published via [[T.buildOnce]] (temp dir + atomic rename), so a
+    * reader never sees a half-written postings table.
     */
   private[ops] def invertedIndex(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
-    val idx = T.scratchFor(d, "inverted_index")
-    if (!new java.io.File(s"$idx/_SUCCESS").exists())
+    val idx = T.buildOnce(T.scratchFor(d, "inverted_index")) { tmp =>
       T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .distinct()
         .repartition(col("token"))
         .sortWithinPartitions(col("token"), col("doc_id"))
-        .write.mode("overwrite").parquet(idx)
+        .write.mode("overwrite").parquet(tmp)
+    }
     s.read.parquet(idx)
   }
 

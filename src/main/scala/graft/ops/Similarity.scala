@@ -1016,7 +1016,11 @@ object Similarity {
         .filter(col("doc_id").isin(ids: _*))
         .select(col("doc_id"),
           locate(term, col("text")).cast("long").as("pos"),
-          expr(s"substring(text, greatest(1, locate('$term', text) - 40), 86)")
+          // Typed column tree, no SQL splicing: the term reaches the plan
+          // only as a literal, so a quote-bearing term can never break
+          // parsing if this is parameterized later.
+          col("text").substr(
+            greatest(lit(1), locate(term, col("text")) - lit(40)), lit(86))
             .as("snippet"))
         .orderBy(col("doc_id"))
     },

@@ -63,9 +63,46 @@ object T {
     * artifacts (IVF index, inverted index): the same op invoked at a
     * different sf must not reuse the other scale's cache. One home for
     * the sanitization so the gated caches can never silently collide.
+    * Cross-JVM isolation comes from [[scratchRoot]] being pid-keyed —
+    * a decade_gate.sh Verify and a quiet bench running concurrently each
+    * build their own copy, so no process ever reads an index another
+    * process is writing. Within a JVM, [[buildOnce]] makes the publish
+    * atomic anyway (temp dir + rename), so even a same-path writer can
+    * never expose a half-written table.
     */
   def scratchFor(dir: String, name: String): String =
     scratch(s"${name}_${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+
+  /** Atomic build-once gate for _SUCCESS-gated index artifacts: if
+    * `path/_SUCCESS` is absent, run `write` against a sibling temp dir,
+    * then rename the finished dir into place. The rename is the commit
+    * point — a reader of `path` sees either nothing or a complete table,
+    * never a torn one. A stale partial dir (crashed earlier build, no
+    * _SUCCESS) is cleared before the rename; if a competing writer wins
+    * the rename race, our temp build is discarded and the winner served.
+    */
+  def buildOnce(path: String)(write: String => Unit): String = {
+    val dst = new java.io.File(path)
+    def done = new java.io.File(dst, "_SUCCESS").exists()
+    if (!done) {
+      val tmp = new java.io.File(
+        path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
+      write(tmp.toString)
+      if (!done) {
+        if (dst.exists()) deleteRecursively(dst)
+        if (!tmp.renameTo(dst)) deleteRecursively(tmp)
+      } else deleteRecursively(tmp)
+    }
+    path
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    if (f.exists())
+      Files.walk(f.toPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.deleteIfExists(p); () })
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")

@@ -32,10 +32,11 @@ SPARK_GRAFT_VERIFY_COALESCE=0 SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-48g}" \
   tools/run.sh graft.Verify "$SF_DIR" "$OUT_DIR"
 
 echo "[decade_gate] DuckDB oracle compare -> $ARTIFACT"
-mkdir -p /tmp/duck_spill
+GRAFT_DUCKDB_TMPDIR="${GRAFT_DUCKDB_TMPDIR:-/tmp/duck_spill}"
+mkdir -p "$GRAFT_DUCKDB_TMPDIR"
 GRAFT_DUCKDB_THREADS="${GRAFT_DUCKDB_THREADS:-24}" \
 GRAFT_DUCKDB_MEMLIMIT="${GRAFT_DUCKDB_MEMLIMIT:-90GB}" \
-GRAFT_DUCKDB_TMPDIR="${GRAFT_DUCKDB_TMPDIR:-/tmp/duck_spill}" \
+GRAFT_DUCKDB_TMPDIR="$GRAFT_DUCKDB_TMPDIR" \
   python3 tools/check.py --sort-rows --json "$ARTIFACT" "$SF_DIR" "$OUT_DIR"
 
 echo "[decade_gate] done — artifact: $ARTIFACT"
