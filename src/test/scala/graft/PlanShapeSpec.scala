@@ -104,6 +104,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("StringStartsWith(token"), s"prefix filter not pushed: $p")
   }
 
+  test("serve_doc_snippet's second hop pushes the doc_id IN-list into the corpus scan") {
+    val p = plan("serve_doc_snippet")
+    assert(p.contains("In(doc_id"), s"IN-list not pushed to the corpus scan: $p")
+    assert(p.contains("substr("), s"snippet projection missing: $p")
+  }
+
   test("sink_partitioned_prune reads only the filtered partition") {
     val p = plan("sink_partitioned_prune")
     assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"), p)
