@@ -34,6 +34,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Free cached/checkpointed blocks between keys (Bench's
+      // sweepJvmState): persist-based iterative ops (LPA, kmeans) would
+      // otherwise stack their cache blocks across a 371-key sweep and
+      // squeeze execution memory at sf10/sf100.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -297,9 +297,12 @@ object Graph {
     * convergence question. Per round: one shuffle join on src + a
     * map-side-combined (v, label) count + a map-side-combinable
     * max(struct(c, -lab)) argmax per vertex (sort-free, unlike the
-    * equivalent row_number window) — the Pregel shape again, labels
-    * checkpointed per round with the superseded round's blocks freed
-    * through GraftBridge.
+    * equivalent row_number window) — the Pregel shape again. The FIXED
+    * 3 rounds make the whole loop one linear DAG executed once, so label
+    * state rides lineage (nothing materialized per round) and only the
+    * edge relation — read every round — is cached (MEMORY_AND_DISK
+    * columnar); the A/B matrix at the persist site shows this beating
+    * the old per-round localCheckpoint 2.7-2.9 s vs 3.6-4.8 s at sf0.1.
     */
   private val graphLabelPropagation = Op(
     "graph_label_propagation",
@@ -309,27 +312,35 @@ object Graph {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
+      // Materialization A/B (sf0.1 isolated, quiet host, r17): edge
+      // persist(MEMORY_AND_DISK) + labels as PURE LINEAGE 2.69-2.91 s /
+      // per-round zstd localCheckpoint (old) 3.59-4.78 s / ckpt-every-2nd
+      // 4.19 s / pure rescan 4.23 s / edges-ckpt+label-lineage 4.30 s.
+      // With a FIXED 3-round loop the whole iteration is one linear DAG
+      // executed once, so per-round label checkpoints bought nothing but
+      // block serialization; the edge relation is the only subtree read
+      // every round, and the columnar cache (compressed batches, spills
+      // serialized) is cheaper than checkpoint row blocks. Same finding
+      // as txt_bpe_merges (r16): bounded-round lineage beats
+      // checkpointing. Unbounded-round LPA would still checkpoint.
       val edges = e0
         .select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
         .unionByName(
           e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var labels = edges.select(col("src").as("v")).distinct()
-        .withColumn("lab", col("v")).localCheckpoint(true)
+        .withColumn("lab", col("v"))
       for (_ <- 1 to 3) {
         // argmax by (count DESC, label ASC) as max(struct(c, -lab)) — a
         // map-side-combinable aggregation, unlike the equivalent
         // row_number window which sorts every vertex partition (measured
         // 5.1 s -> window vs agg on the sf0.1 graph)
-        val next = edges
+        labels = edges
           .join(labels.select(col("v").as("src"), col("lab")), "src")
           .groupBy(col("dst").as("v"), col("lab")).agg(count(lit(1)).as("c"))
           .groupBy(col("v"))
           .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
           .select(col("v"), (-col("m.nl")).as("lab"))
-          .localCheckpoint(true)
-        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
-        labels = next
       }
       labels.groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_members"), min(col("v")).as("min_vertex"))

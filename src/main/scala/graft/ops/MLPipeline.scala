@@ -1046,11 +1046,17 @@ object MLPipeline {
   private val mlKmeansLloyd = Op(
     "ml_kmeans_lloyd",
     (s, d) => {
+      // Materialization A/B (sf0.1 isolated, quiet host, r17): persist
+      // (MEMORY_AND_DISK) both reused relations 0.76-0.83 s / the old
+      // localCheckpoint pair 1.23-1.51 s / pure rescan 1.67 s. x is read
+      // by every assign AND update (5 consumers), so it must materialize —
+      // but the columnar cache beats checkpoint row blocks ~1.8x here,
+      // same class-level finding as graph_label_propagation.
       val x = T.embeddings(s, d)
         .select(col("vec_id"), posexplode(col("embedding")))
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
           expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("xu"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c0 = x.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cluster"), col("dim"), col("xu").as("cu"))
       def assign(c: org.apache.spark.sql.DataFrame) =
@@ -1065,7 +1071,8 @@ object MLPipeline {
         x.join(a.select(col("vec_id"), col("cluster")), Seq("vec_id"))
           .groupBy(col("cluster"), col("dim"))
           .agg(expr("sum(xu) div count(1)").as("cu"))
-      val a2 = assign(update(assign(c0))).localCheckpoint(true)
+      val a2 = assign(update(assign(c0))).persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c2 = update(a2)
       val stats = a2.groupBy(col("cluster")).agg(
         count(lit(1)).as("n_vecs"),
