@@ -117,7 +117,7 @@ object PlanDump {
     "ml_poisson_bootstrap_ci" ->
       "Poisson bootstrap: the x64 replicate explode collapses map-side into 64 rows -- one corpus pass, no resampling shuffles",
     "txt_rake_keywords" ->
-      "RAKE: ONE corpus-sized posexplode+window pass pinned by an EAGER localCheckpoint (NOTE: the checkpoint runs at plan-BUILD time, so constructing this DataFrame -- including this dump -- executes the corpus pass; blocks are non-replicated, acceptable single-run trade measured 2.4-2.9x vs re-derivation, see Text.scala) -- everything downstream of the LogicalRDD is phrase/vocab-sized",
+      "RAKE: ONE corpus-sized posexplode+window pass materialized as a LAZY MEMORY_AND_DISK columnar cache (InMemoryRelation) feeding both consumers -- the r17 A/B beat the old eager localCheckpoint 3.8x at sf10 (4.5 s vs 17.4 s; rescan 20.3 s), see Text.scala -- everything downstream of the cache is phrase/vocab-sized",
     "evt_srm_check" ->
       "SRM guardrail: map-side-combined per-user rollup, then the 4-bucket chi-square reduces in one constant-width global agg -- no second corpus pass",
     "evt_seasonal_ma_decompose" ->

@@ -443,19 +443,20 @@ object Text {
         .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
         .filter(!col("token").isin(stoplist: _*))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      // PHRASE-BUILD FORM, measured at sf10 (500k docs / 25M tokens,
-      // 16 CPUs, single run; page-cache state adds ±2× noise — warm
-      // numbers quoted): (a) islands window, phrases re-derived by every
-      // consumer — 134 s; (b) islands window + localCheckpoint so the
-      // corpus-sized posexplode+window pass runs ONCE — 46–56 s;
-      // (c) a shuffle-free `aggregate` higher-order fold over each doc's
-      // token array — 84 s, because HigherOrderFunction lambdas are
-      // CodegenFallback (interpreted per-token closures + O(run²) array
-      // copies) and lose more than the doc-keyed exchange costs. (b) is
-      // committed; at cluster scale the checkpoint is the staged phrase
-      // table a real pipeline would materialize anyway, and doc_id is the
-      // natural partition key.
-      val phrases = toks
+      // PHRASE-BUILD FORM. r14 (16 CPUs, sf10): (a) islands window,
+      // phrases re-derived by every consumer — 134 s; (b) + eager
+      // localCheckpoint — 46–56 s; (c) shuffle-free `aggregate`
+      // higher-order fold — 84 s (HigherOrderFunction lambdas are
+      // CodegenFallback). r17 re-adjudication under the bounded-round-
+      // lineage finding (32 CPUs, min-of-two, quiet): persist
+      // (MEMORY_AND_DISK) 4.5 s sf10 / 0.71 s sf0.1, eager
+      // localCheckpoint 17.4 s / 1.44 s, rescan 20.3 s / 2.06 s. The
+      // phrase table has exactly two consumers, so it must materialize —
+      // but the compressed columnar cache (lazy, spills serialized) beats
+      // checkpoint row blocks ~3.8x at sf10. At cluster scale the cache
+      // is the staged phrase table a real pipeline would materialize
+      // anyway, and doc_id is the natural partition key.
+      val phrases0 = toks
         .withColumn("grp", col("pos") - row_number().over(w))
         .groupBy(col("doc_id"), col("grp"))
         .agg(
@@ -463,8 +464,9 @@ object Text {
             transform(array_sort(collect_list(struct(col("pos"), col("token")))),
               x => x.getField("token"))).as("phrase"),
           count(lit(1)).cast("long").as("len"))
-        .localCheckpoint(true)
-      val words = phrases
+      val phrasesMat = phrases0.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val words = phrasesMat
         .select(col("phrase"), col("len"), explode(split(col("phrase"), " ")).as("word"))
       val wordScore = words.groupBy(col("word"))
         .agg(expr("(sum(len) * 1000000) div count(1)").as("score_ppm"))
