@@ -865,6 +865,123 @@ object Similarity {
     None
   )
 
+  /** The fully-oracled IVF sibling (r16 verdict item 3): the same
+    * coarse-quantize → nProbe lists → exact re-rank chain as
+    * [[simIvfKnn]], but the quantizer is the integer-grid Lloyd kernel
+    * ml_kmeans_lloyd already proved DuckDB-twinnable (xu = ⌊x·1e6⌋ per
+    * dim, c0 = the first k vectors, 2 synchronous rounds, exact BIGINT
+    * L2) instead of spark.ml KMeans — so the ENTIRE probe chain is a
+    * finite SQL chain and the driver hash-checks every stage's effect
+    * (the same anchoring move sim_minhash_det made for the LSH family).
+    * Scale shape is identical to the exempt flagship: centroids are
+    * ≤ k·dim rows broadcast everywhere, the corpus is assigned in one
+    * broadcast-join + map-side argmin pass, each probe touches
+    * nProbe/nList of the corpus, and the exact cosine re-rank (codegen'd
+    * vec_dot) runs on candidates only. k=8 lists, nProbe=3, top-5.
+    */
+  val simIvfKnnDet = Op(
+    "sim_ivf_knn_det",
+    (s, d) => {
+      graft.functions.VectorDot.register(s)
+      val x = T.embeddings(s, d)
+        .select(col("vec_id"), posexplode(col("embedding")))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("dim"),
+          expr("CAST(floor(CAST(col AS DOUBLE) * 1000000) AS BIGINT)").as("xu"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c0 = x.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("list_id"), col("dim"), col("xu").as("cu"))
+      def assign(c: DataFrame) =
+        x.join(broadcast(c), Seq("dim"))
+          .groupBy(col("vec_id"), col("list_id"))
+          .agg(expr("sum((xu - cu) * (xu - cu))").as("dist"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("list_id"))).as("m"))
+          .select(col("vec_id"), col("m.list_id").as("list_id"))
+      def update(a: DataFrame) =
+        x.join(a, Seq("vec_id"))
+          .groupBy(col("list_id"), col("dim"))
+          .agg(expr("sum(xu) div count(1)").as("cu"))
+      val c2 = update(assign(update(assign(c0))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assigned = assign(c2)
+      // probe → 3 nearest lists by the same exact integer L2
+      val pd = x.filter(col("vec_id") < 10).join(broadcast(c2), Seq("dim"))
+        .groupBy(col("vec_id").as("probe_id"), col("list_id"))
+        .agg(expr("sum((xu - cu) * (xu - cu))").as("dist"))
+      val wl = Window.partitionBy(col("probe_id"))
+        .orderBy(col("dist").asc, col("list_id"))
+      val probeLists = pd.withColumn("lrn", row_number().over(wl))
+        .filter(col("lrn") <= 3).select(col("probe_id"), col("list_id"))
+      // candidates = union of probed lists, re-ranked by exact cosine on
+      // the original float vectors (the sim_cosine_knn scoring contract)
+      val e = T.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+          norm(col("embedding")).as("pnorm"))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+      broadcast(probeLists).join(assigned, "list_id")
+        .filter(col("probe_id") =!= col("vec_id"))
+        .join(e, "vec_id")
+        .join(broadcast(probes), "probe_id")
+        .withColumn("cosine",
+          round(dot(col("pe"), col("embedding"))
+            / (col("pnorm") * norm(col("embedding"))), 6))
+        .withColumn("rn", row_number().over(wTop))
+        .filter(col("rn") <= 5)
+        .select(col("probe_id"), col("rn").cast("long").as("rn"),
+          col("vec_id"), col("cosine"), col("list_id"))
+        .orderBy(col("probe_id"), col("rn"))
+    },
+    Some("""
+      WITH x AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xu
+        FROM embeddings),
+      c0 AS (SELECT vec_id AS list_id, dim, xu AS cu FROM x WHERE vec_id < 8),
+      d1 AS (SELECT x.vec_id, c.list_id, SUM((xu - cu) * (xu - cu)) AS dist
+             FROM x JOIN c0 c USING (dim) GROUP BY 1, 2),
+      a1 AS (SELECT vec_id, list_id FROM (
+               SELECT vec_id, list_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dist, list_id) AS rn FROM d1) WHERE rn = 1),
+      c1 AS (SELECT a1.list_id, x.dim, CAST(SUM(xu) // COUNT(*) AS BIGINT) AS cu
+             FROM x JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      d2 AS (SELECT x.vec_id, c.list_id, SUM((xu - cu) * (xu - cu)) AS dist
+             FROM x JOIN c1 c USING (dim) GROUP BY 1, 2),
+      a2 AS (SELECT vec_id, list_id FROM (
+               SELECT vec_id, list_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dist, list_id) AS rn FROM d2) WHERE rn = 1),
+      c2 AS (SELECT a2.list_id, x.dim, CAST(SUM(xu) // COUNT(*) AS BIGINT) AS cu
+             FROM x JOIN a2 USING (vec_id) GROUP BY 1, 2),
+      d3 AS (SELECT x.vec_id, c.list_id, SUM((xu - cu) * (xu - cu)) AS dist
+             FROM x JOIN c2 c USING (dim) GROUP BY 1, 2),
+      a3 AS (SELECT vec_id, list_id FROM (
+               SELECT vec_id, list_id, ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY dist, list_id) AS rn FROM d3) WHERE rn = 1),
+      pl AS (SELECT probe_id, list_id FROM (
+               SELECT vec_id AS probe_id, list_id, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY dist, list_id) AS lrn
+               FROM d3 WHERE vec_id < 10) WHERE lrn <= 3),
+      cand AS (SELECT pl.probe_id, a3.vec_id, a3.list_id
+               FROM pl JOIN a3 USING (list_id) WHERE a3.vec_id <> pl.probe_id),
+      scored AS (
+        SELECT c.probe_id, c.vec_id, c.list_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                   i -> CAST(p.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                 / (SQRT(list_sum(list_transform(p.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))), 6) AS cosine
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings p ON p.vec_id = c.probe_id)
+      SELECT probe_id, rn, vec_id, cosine, list_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                    ORDER BY cosine DESC, vec_id) AS rn
+        FROM scored)
+      WHERE rn <= 5 ORDER BY probe_id, rn
+    """)
+  )
+
   /** Hybrid search serving — the reference's actual product surface: one
     * query answered by TWO retrieval legs fused with reciprocal-rank
     * fusion (Cormack et al. 2009, the published k=60 constant). Lexical
@@ -2811,7 +2928,7 @@ object Similarity {
     dedupPipelineE2e, simJaccardPairs, simMinhashLsh, simMinhashDet, simCosineKnn,
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simSimhashShingleBands,
-    simBrpLsh, simIvfKnn, serveHybridSearch, servePrefixAutocomplete,
+    simBrpLsh, simIvfKnn, simIvfKnnDet, serveHybridSearch, servePrefixAutocomplete,
     serveDocSnippet, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,

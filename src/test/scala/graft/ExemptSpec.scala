@@ -605,6 +605,32 @@ class ExemptSpec extends AnyFunSuite {
       "second call rewrote the index — the quantizer was refit")
   }
 
+  test("sim_ivf_knn_det mirrors the exempt flagship's probe-chain contract") {
+    // The oracled twin anchors sim_ivf_knn: same chain (coarse quantize →
+    // nProbe lists → exact cosine rerank), same structural guarantees —
+    // dense ranks, ≤5 rows/probe, candidates from ≤ nProbe=3 lists — and
+    // comparable recall vs the exact brute-force knn. If this drifts, the
+    // det key stopped being evidence for the flagship's behavior.
+    val exact = Registry.queries("sim_cosine_knn")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val detRows = Registry.queries("sim_ivf_knn_det")(spark, sf).collect()
+    val det = detRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(exact.nonEmpty, "exact neighbor set is empty — recall undefined")
+    // k=8/nProbe=3 probes 3/8 of the corpus; measured 0.90 at sf0.001
+    // and 0.92 at sf0.01 on the fixtures' near-orthogonal vectors. 0.6
+    // leaves margin while still proving the chain retrieves, not recites.
+    val recall = exact.count(det.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall over ${exact.size} exact neighbors")
+    for ((probe, rows) <- detRows.groupBy(_.getLong(0))) {
+      val rns = rows.map(_.getLong(1)).sorted
+      assert(rns.sameElements(1L to rows.length.toLong),
+        s"probe $probe: rn not dense: ${rns.mkString(",")}")
+      assert(rows.length <= 5, s"probe $probe: ${rows.length} rows")
+      val lists = rows.map(_.getLong(4)).distinct
+      assert(lists.length <= 3, s"probe $probe: candidates from ${lists.length} lists")
+    }
+  }
+
   test("stream_stream_outer_join: matched + null-extended rows equal the batch LEFT JOIN twin") {
     val stream = Registry.queries("stream_stream_outer_join")(spark, sf)
       .collect()
