@@ -44,6 +44,8 @@ object PlanDump {
       "both index paths pruned: token IN-list in postings PushedFilters, broadcast 1-row query vector, TakeOrdered candidate cut, 50-row RRF windows",
     "serve_prefix_autocomplete" ->
       "StringStartsWith disjunction in postings PushedFilters, map-side df combine, bounded per-prefix top-5 window",
+    "serve_facet_counts" ->
+      "facet counts by pure bitmap algebra over two gated indexes (the Druid/Pinot segment-filter pattern): term EqualTo pushed into the postings scan, query bitmap (matching docs/63 words) BROADCAST onto the facet bitmap index, codegen'd bit_count(q & f) popcount agg -- output bounded by |facets|, corpus text never read",
     "serve_doc_snippet" ->
       "dumped plan is the SECOND hop only: 20-element doc_id IN-list in the corpus scan's PushedFilters (row-group skip) + narrow locate/substr projection; the FIRST hop (term EqualTo pushdown into the token-clustered postings, top-20 ids COLLECTED) is the serving decision -- serve_point_lookup's contract -- and runs before this plan exists",
     "txt_pack_sequences" ->

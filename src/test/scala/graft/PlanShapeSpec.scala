@@ -110,6 +110,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("substr("), s"snippet projection missing: $p")
   }
 
+  test("serve_facet_counts: postings pushdown + broadcast query bitmap + bitmap AND") {
+    val p = plan("serve_facet_counts")
+    assert(p.contains("EqualTo(token,filter)"),
+      s"term filter not pushed into the postings scan: $p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query bitmap not broadcast onto the facet index: $p")
+    assert(p.contains("bit_count") && p.contains("&"),
+      s"bitmap AND+popcount missing: $p")
+  }
+
   test("sink_partitioned_prune reads only the filtered partition") {
     val p = plan("sink_partitioned_prune")
     assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"), p)
