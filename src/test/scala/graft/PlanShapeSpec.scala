@@ -710,10 +710,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must be a bounded heap: $p")
   }
 
-  test("ml_kmeans_lloyd: final round reads only checkpointed relations") {
+  test("ml_kmeans_lloyd: final round reads only cached relations") {
+    // r17: the reused relations are MEMORY_AND_DISK caches (the A/B beat
+    // localCheckpoint ~1.8x). The plan STRING embeds each cache's build
+    // plan (including its parquet scan), so a raw "Scan parquet" count
+    // would miscount; skip everything indented under an InMemoryRelation
+    // (the cached build plan, not executed on a hit) and require the
+    // remaining live tree to read caches and never a file.
     val p = plan("ml_kmeans_lloyd")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
-      s"exploded grid and final assignment are checkpointed — no re-scan: $p")
+    def indent(l: String) = l.indexWhere(c => !(" :+-".contains(c)))
+    var skipBelow = -1
+    var liveScans = 0
+    var cacheSeen = false
+    for (l <- p.linesIterator; i = indent(l); if i >= 0) {
+      if (skipBelow >= 0 && i <= skipBelow) skipBelow = -1
+      if (skipBelow < 0) {
+        if (l.contains("InMemoryRelation")) { skipBelow = i; cacheSeen = true }
+        else if (l.contains("Scan parquet")) liveScans += 1
+      }
+    }
+    assert(cacheSeen, s"expected cache reads in the final round: $p")
+    assert(liveScans == 0,
+      s"final round re-scans parquet instead of the cache: $p")
   }
 
   test("txt_code_detect: one corpus scan, map-side-combined rollup") {
