@@ -307,27 +307,37 @@ object Graph {
   private val graphLabelPropagation = Op(
     "graph_label_propagation",
     (s, d) => {
-      val e0 = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
-        .distinct()
-      // Materialization A/B (sf0.1 isolated, quiet host, r17): edge
-      // persist(MEMORY_AND_DISK) + labels as PURE LINEAGE 2.69-2.91 s /
-      // per-round zstd localCheckpoint (old) 3.59-4.78 s / ckpt-every-2nd
-      // 4.19 s / pure rescan 4.23 s / edges-ckpt+label-lineage 4.30 s.
-      // With a FIXED 3-round loop the whole iteration is one linear DAG
-      // executed once, so per-round label checkpoints bought nothing but
-      // block serialization; the edge relation is the only subtree read
-      // every round, and the columnar cache (compressed batches, spills
-      // serialized) is cheaper than checkpoint row blocks. Same finding
-      // as txt_bpe_merges (r16): bounded-round lineage beats
-      // checkpointing. Unbounded-round LPA would still checkpoint.
-      val edges = e0
+      // Materialization A/B (sf0.1 isolated, quiet host, r17): cached
+      // edge relation + labels as PURE LINEAGE 2.69-2.91 s / per-round
+      // zstd localCheckpoint (old) 3.59-4.78 s / ckpt-every-2nd 4.19 s /
+      // pure rescan 4.23 s / edges-ckpt+label-lineage 4.30 s. With a
+      // FIXED 3-round loop the whole iteration is one linear DAG executed
+      // once, so per-round label checkpoints bought nothing but block
+      // serialization. Same finding as txt_bpe_merges (r16): bounded-
+      // round lineage beats checkpointing; unbounded-round LPA would
+      // still checkpoint. Three sf100-driven choices on top (spill
+      // sampler, 1.1 B edges): (1) the cache is SERIALIZED
+      // (MEMORY_AND_DISK_SER rides the zstd spill recipe — a deserialized
+      // columnar cache peaked at 29.9 GB on disk); (2) the cached edges
+      // are PRE-PARTITIONED on src, so each round's join reuses the
+      // cached partitioning and only the vertex-sized label relation
+      // shuffles per round (without this, three edge-sized join shuffles
+      // coexist in the one action and dominate the peak); (3) the
+      // dedup runs AFTER that one repartition, partition-locally —
+      // hashpartitioning(src) satisfies the (src, dst) clustering, so
+      // dropDuplicates adds no exchange and the old standalone distinct
+      // shuffle disappears from the build entirely.
+      val edges = pairs
         .select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
         .unionByName(
-          e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pairs.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       var labels = edges.select(col("src").as("v")).distinct()
         .withColumn("lab", col("v"))
       for (_ <- 1 to 3) {

@@ -120,6 +120,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bitmap AND+popcount missing: $p")
   }
 
+  test("graph_label_propagation: one build exchange, partition-local dedup, rounds reuse the cache") {
+    // r17 sf100 spill work: the edge build must shuffle ONCE (the explicit
+    // src repartition) with dropDuplicates(src, dst) riding that exchange
+    // partition-locally — hashpartitioning(src) satisfies the (src, dst)
+    // clustering, so a second (src, dst) exchange anywhere is a
+    // regression that re-adds ~4 GB to the sf100 peak.
+    val p = plan("graph_label_propagation")
+    assert(!p.contains("Exchange hashpartitioning(src#") ||
+      p.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(src#") && l.contains("dst#")) == 0,
+      s"dedup added its own (src, dst) exchange: $p")
+    assert(p.contains("InMemoryRelation"),
+      s"edge relation not cached — rounds would re-derive the build: $p")
+  }
+
   test("sink_partitioned_prune reads only the filtered partition") {
     val p = plan("sink_partitioned_prune")
     assert(p.contains("PartitionFilters: [") && p.contains("l_returnflag"), p)
