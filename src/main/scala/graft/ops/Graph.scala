@@ -297,7 +297,14 @@ object Graph {
     * convergence question. Per round: one shuffle join on src + a
     * map-side-combined (v, label) count + a map-side-combinable
     * max(struct(c, -lab)) argmax per vertex (sort-free, unlike the
-    * equivalent row_number window) — the Pregel shape again. The FIXED
+    * equivalent row_number window) — the Pregel shape again. Supplier
+    * vertices are offset by 1e12, not the sibling ops' 1e6: custkeys
+    * exceed 1e6 from sf10 up, and under id aliasing a pre-doubling
+    * pair-distinct (the old build, mirrored by the oracle's UNION ALL)
+    * and a post-doubling edge-dedup (this build) disagree on the aliased
+    * multi-edges — the r17 sf10 gate caught exactly that (659 vs 661
+    * communities). The collision-free offset makes the two builds
+    * equivalent at every scale. The FIXED
     * 3 rounds make the whole loop one linear DAG executed once, so label
     * state rides lineage (nothing materialized per round) and only the
     * edge relation — read every round — is cached (MEMORY_AND_DISK
@@ -332,9 +339,9 @@ object Graph {
       // dropDuplicates adds no exchange and the old standalone distinct
       // shuffle disappears from the build entirely.
       val edges = pairs
-        .select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
+        .select(col("cust").as("src"), (col("supp") + lit(1000000000000L)).as("dst"))
         .unionByName(
-          pairs.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
+          pairs.select((col("supp") + lit(1000000000000L)).as("src"), col("cust").as("dst")))
         .repartition(col("src"))
         .dropDuplicates("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -359,8 +366,8 @@ object Graph {
     Some("""
       WITH e0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
                   FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-      edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000 AS dst FROM e0
-                UNION ALL SELECT supp + 1000000, cust FROM e0),
+      edges AS MATERIALIZED (SELECT cust AS src, supp + 1000000000000 AS dst FROM e0
+                UNION ALL SELECT supp + 1000000000000, cust FROM e0),
       l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS lab FROM edges),
       n1 AS MATERIALIZED (SELECT e.dst AS v, l.lab, COUNT(*) AS c
              FROM edges e JOIN l0 l ON l.v = e.src GROUP BY e.dst, l.lab),
