@@ -44,6 +44,8 @@ object PlanDump {
       "both index paths pruned: token IN-list in postings PushedFilters, broadcast 1-row query vector, TakeOrdered candidate cut, 50-row RRF windows",
     "serve_prefix_autocomplete" ->
       "StringStartsWith disjunction in postings PushedFilters, map-side df combine, bounded per-prefix top-5 window",
+    "serve_more_like_this" ->
+      "Lucene MLT serving: probe terms from one EqualTo point lookup, document frequencies via broadcast semi-join into the postings index (rows read ∝ probe vocabulary), candidates from 5 posting lists only, integer ppm coordinate scoring, bounded windows + top-10",
     "serve_facet_counts" ->
       "facet counts by pure bitmap algebra over two gated indexes (the Druid/Pinot segment-filter pattern): term EqualTo pushed into the postings scan, query bitmap (matching docs/63 words) BROADCAST onto the facet bitmap index, codegen'd bit_count(q & f) popcount agg -- output bounded by |facets|, corpus text never read",
     "serve_doc_snippet" ->

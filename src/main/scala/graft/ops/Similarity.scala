@@ -1156,6 +1156,86 @@ object Similarity {
     """)
   )
 
+  /** More-like-this retrieval (r17) — the Lucene MLT pattern, the last
+    * classic serving leg after search/autocomplete/snippet/facets: given
+    * a probe DOCUMENT (not a query string), select its most
+    * discriminative terms by tf·idf, then retrieve and coordinate-score
+    * other documents sharing them. Stage economics at 100 TB: the probe's
+    * tokens come from ONE point lookup (doc_id EqualTo pushdown, one
+    * row); their document frequencies come from the postings index
+    * restricted to those tokens (broadcast semi-join — postings rows read
+    * ∝ the probe's vocabulary, never the corpus); candidates come from
+    * the top-5 terms' posting lists only (the IN-shaped broadcast join);
+    * and every score is integer ppm (idf_ppm = ⌊1e6·(ln((N+1)/(df+1))+1)⌋
+    * — the evt_attribution_u idiom), so coordinate sums are
+    * order-independent and the whole chain hash-matches the DuckDB twin.
+    * Windows run over per-probe term sets (≤ |probe vocab|) and the final
+    * top-10 is a bounded TakeOrdered.
+    */
+  val serveMoreLikeThis = Op(
+    "serve_more_like_this",
+    (s, d) => {
+      val probeToks = T.documents(s, d).filter(col("doc_id") === 1L)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("tf"))
+      val postings = Scans.invertedIndex(s, d)
+      val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val dfreq = postings.join(broadcast(probeToks), "token")
+        .groupBy(col("token"), col("tf")).agg(count(lit(1)).as("df"))
+      val wTerm = Window.orderBy(col("tfidf_ppm").desc, col("token"))
+      val top5 = dfreq.crossJoin(broadcast(nDocs))
+        .withColumn("idf_ppm",
+          expr("CAST(floor(1000000 * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)) AS BIGINT)"))
+        .withColumn("tfidf_ppm", col("tf") * col("idf_ppm"))
+        // ≤ |probe vocab| rows: the unpartitioned window is bounded by one
+        // document's distinct tokens, never corpus-sized
+        .withColumn("trn", row_number().over(wTerm))
+        .filter(col("trn") <= 5)
+        .select(col("token"), col("idf_ppm"))
+      val wDoc = Window.orderBy(col("score_ppm").desc, col("matched").desc, col("doc_id"))
+      postings.join(broadcast(top5), "token")
+        .filter(col("doc_id") =!= 1L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("matched"), sum(col("idf_ppm")).as("score_ppm"))
+        .withColumn("rn", row_number().over(wDoc))
+        .filter(col("rn") <= 10)
+        .select(col("rn").cast("long").as("rn"), col("doc_id"),
+          col("matched"), col("score_ppm"))
+        .orderBy(col("rn"))
+    },
+    Some("""
+      WITH p AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents),
+      probe AS (
+        SELECT token, COUNT(*) AS tf FROM (
+          SELECT unnest(string_split(text, ' ')) AS token
+          FROM documents WHERE doc_id = 1)
+        GROUP BY token),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      dfreq AS (
+        SELECT p.token, probe.tf, COUNT(*) AS df
+        FROM p JOIN probe USING (token) GROUP BY p.token, probe.tf),
+      top5 AS (
+        SELECT token, idf_ppm FROM (
+          SELECT token,
+                 CAST(FLOOR(1000000 * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0)) AS BIGINT) AS idf_ppm,
+                 tf * CAST(FLOOR(1000000 * (LN((n_docs + 1.0) / (df + 1.0)) + 1.0)) AS BIGINT) AS tfidf_ppm
+          FROM dfreq CROSS JOIN n)
+        QUALIFY ROW_NUMBER() OVER (ORDER BY tfidf_ppm DESC, token) <= 5),
+      scored AS (
+        SELECT p.doc_id, COUNT(*) AS matched,
+               CAST(SUM(t.idf_ppm) AS BIGINT) AS score_ppm
+        FROM p JOIN top5 t USING (token)
+        WHERE p.doc_id <> 1
+        GROUP BY p.doc_id)
+      SELECT rn, doc_id, matched, score_ppm FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_ppm DESC, matched DESC, doc_id) AS BIGINT) AS rn, *
+        FROM scored)
+      WHERE rn <= 10 ORDER BY rn
+    """)
+  )
+
   /** SemDeDup composition (Abbas et al. 2023, "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): k-means
     * cluster the embedding corpus, then search for near-duplicates ONLY
@@ -2929,7 +3009,7 @@ object Similarity {
     simEmbedDedup, simLabelCentroids, simShingleJaccard, simSimhash,
     simHammingPairs, simSimhashBands, simSimhashShingleBands,
     simBrpLsh, simIvfKnn, simIvfKnnDet, serveHybridSearch, servePrefixAutocomplete,
-    serveDocSnippet, simEditDistance,
+    serveDocSnippet, serveMoreLikeThis, simEditDistance,
     simTfidfCosine, embQuantizeInt8, embSrpAnn, dedupNormalizedKey,
     embSrpRecall, simPrefixFilterJoin, semDedupClusters, simIvfPq,
     dedupBlockedFuzzy, simContainmentPairs, embMatryoshkaTrunc,

@@ -57,6 +57,7 @@ object DeterminismMatrix {
     "txt_heaps_law",             // log2 buckets + prefix sums + integer OLS
     "txt_bpe_merges",            // per-round argmax (count DESC, pair ASC)
     "sim_ivf_knn_det",           // integer Lloyd rounds + tie-broken rerank
+    "serve_more_like_this",      // ppm idf sums + doubly tie-broken ranks
     "mm_shot_boundary",          // partition-iterator codec + lag deltas
     "sim_lsh_tuning_curve",      // md5 minhash + band self-joins
     "serve_bitmap_index",        // bit_or packing (commutative by design)

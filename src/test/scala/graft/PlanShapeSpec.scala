@@ -110,6 +110,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("substr("), s"snippet projection missing: $p")
   }
 
+  test("serve_more_like_this: probe point lookup pushed, term joins broadcast") {
+    val p = plan("serve_more_like_this")
+    assert(p.contains("EqualTo(doc_id,1)"),
+      s"probe point lookup not pushed into the documents scan: $p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"term sets not broadcast onto the postings index: $p")
+  }
+
   test("serve_facet_counts: postings pushdown + broadcast query bitmap + bitmap AND") {
     val p = plan("serve_facet_counts")
     assert(p.contains("EqualTo(token,filter)"),
