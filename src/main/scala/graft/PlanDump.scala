@@ -45,7 +45,7 @@ object PlanDump {
     "serve_prefix_autocomplete" ->
       "StringStartsWith disjunction in postings PushedFilters, map-side df combine, bounded per-prefix top-5 window",
     "serve_more_like_this" ->
-      "Lucene MLT serving: probe terms from one EqualTo point lookup, document frequencies via broadcast semi-join into the postings index (rows read ∝ probe vocabulary), candidates from 5 posting lists only, integer ppm coordinate scoring, bounded windows + top-10",
+      "Lucene MLT serving, dumped plan is the CANDIDATES leg: In(token, [5 terms]) in the postings scan's PushedFilters (row-group skip on the token-clustered layout), idf as a 5-branch literal CASE (no join on the scoring side), integer ppm coordinate scoring, TakeOrderedAndProject top-10; the probe term vector (one EqualTo point lookup, COLLECTED -- the serve_doc_snippet serving-decision idiom) and the dfreq leg (dumped separately below) run before this plan exists",
     "serve_facet_counts" ->
       "facet counts by pure bitmap algebra over two gated indexes (the Druid/Pinot segment-filter pattern): term EqualTo pushed into the postings scan, query bitmap (matching docs/63 words) BROADCAST onto the facet bitmap index, codegen'd bit_count(q & f) popcount agg -- output bounded by |facets|, corpus text never read",
     "serve_doc_snippet" ->
@@ -129,7 +129,9 @@ object PlanDump {
     "evt_group_sequential_obf" ->
       "O'Brien-Fleming monitoring: map-side-combined per-(look,variant) explode collapses to <=10 rows before the cumulative windows and z-boundary compare",
     "txt_cdc_chunks" ->
-      "content-defined chunking: gear cuts + chunk md5s are per-position-parallel list arithmetic below the first Exchange -- only 16-byte hashes shuffle, text never moves")
+      "content-defined chunking: gear cuts + chunk md5s are per-position-parallel list arithmetic below the first Exchange -- only 16-byte hashes shuffle, text never moves",
+    "sim_ivf_knn_det" ->
+      "fully-oracled IVF probe chain (anchors the exempt sim_ivf_knn): quantizer relations cached (InMemoryRelation: unpivoted xu + round-2 centroids -- rounds never re-derive the build), centroids/probe-lists BroadcastHashJoined so the corpus side of assign never shuffles to meet them, exact cosine re-rank an equi-join bounded by the probed lists' candidates (no cartesian), only the float re-rank legs read parquet live")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -150,6 +152,29 @@ object PlanDump {
       println(s"_${note}_\n")
       println("```")
       println(ops.Registry.queries(k)(spark, sfDir)
+        .queryExecution.explainString(FormattedMode).trim)
+      println("```")
+    }
+
+    // serve_more_like_this's FIRST index hop: the registered key's dumped
+    // plan above is the candidates leg only — the dfreq leg runs eagerly
+    // before that plan exists (its output picks the 5 winning terms), so
+    // its pushdown is dumped here against the probe's real vocabulary.
+    println("\n## serve_more_like_this -- dfreq leg (runs before the candidates plan above)\n")
+    println("_the probe document's term vector is driver-collected (one EqualTo")
+    println("point lookup -- the serve_doc_snippet serving-decision idiom); document")
+    println("frequencies then come from the postings index restricted to that token")
+    println("set: In(token, ...) in PushedFilters, min/max row-group skip on the")
+    println("token-clustered layout -- postings rows READ are proportional to one")
+    println("document's vocabulary, never the corpus._\n")
+    locally {
+      import org.apache.spark.sql.functions._
+      val probeToks = ops.T.documents(spark, sfDir)
+        .filter(col("doc_id") === 1L)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .distinct().collect().map(_.getString(0)).toSeq.sorted
+      println("```")
+      println(ops.Similarity.mltDfreqLeg(spark, sfDir, probeToks)
         .queryExecution.explainString(FormattedMode).trim)
       println("```")
     }

@@ -37,9 +37,15 @@ object Verify {
       // Free cached/checkpointed blocks between keys (Bench's
       // sweepJvmState): persist-based iterative ops (LPA, kmeans) would
       // otherwise stack their cache blocks across a 371-key sweep and
-      // squeeze execution memory at sf10/sf100.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      spark.catalog.clearCache()
+      // squeeze execution memory at sf10/sf100. Own try/catch: a sweep
+      // failure (e.g. context torn down by a fatal op error) must cost
+      // only this key, matching the write's per-key error isolation.
+      try {
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name cache sweep failed: ${e.getMessage}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

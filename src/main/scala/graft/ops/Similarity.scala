@@ -1156,51 +1156,77 @@ object Similarity {
     """)
   )
 
-  /** More-like-this retrieval (r17) — the Lucene MLT pattern, the last
-    * classic serving leg after search/autocomplete/snippet/facets: given
-    * a probe DOCUMENT (not a query string), select its most
-    * discriminative terms by tf·idf, then retrieve and coordinate-score
-    * other documents sharing them. Stage economics at 100 TB: the probe's
-    * tokens come from ONE point lookup (doc_id EqualTo pushdown, one
-    * row); their document frequencies come from the postings index
-    * restricted to those tokens (broadcast semi-join — postings rows read
-    * ∝ the probe's vocabulary, never the corpus); candidates come from
-    * the top-5 terms' posting lists only (the IN-shaped broadcast join);
-    * and every score is integer ppm (idf_ppm = ⌊1e6·(ln((N+1)/(df+1))+1)⌋
-    * — the evt_attribution_u idiom), so coordinate sums are
-    * order-independent and the whole chain hash-matches the DuckDB twin.
-    * Windows run over per-probe term sets (≤ |probe vocab|) and the final
-    * top-10 is a bounded TakeOrdered.
+  /** The document-frequency leg of [[serveMoreLikeThis]], exposed so
+    * PlanDump can show its pushdown: the postings index restricted to the
+    * probe's (driver-collected) token set by an IN-list — `In(token, …)`
+    * reaches the token-clustered parquet's PushedFilters, so the scan
+    * row-group-skips on min/max stats exactly like serve_inverted_index's
+    * (the r17 plan audit's one weak mark was this leg filtering AFTER an
+    * unpruned scan via a broadcast join).
+    */
+  private[graft] def mltDfreqLeg(s: org.apache.spark.sql.SparkSession,
+      d: String, probeTokens: Seq[String]): org.apache.spark.sql.DataFrame =
+    Scans.invertedIndex(s, d)
+      .filter(col("token").isin(probeTokens: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  /** More-like-this retrieval (r17, pushdown r18) — the Lucene MLT
+    * pattern, the last classic serving leg after
+    * search/autocomplete/snippet/facets: given a probe DOCUMENT (not a
+    * query string), select its most discriminative terms by tf·idf, then
+    * retrieve and coordinate-score other documents sharing them. Stage
+    * economics at 100 TB: the probe's term vector comes from ONE point
+    * lookup (doc_id EqualTo pushdown) and is COLLECTED — bounded by a
+    * single document's vocabulary, the serve_doc_snippet serving-decision
+    * idiom; document frequencies come from the postings index restricted
+    * to those tokens by an IN-list ([[mltDfreqLeg]] — `In(token, …)` in
+    * PushedFilters, so the token-clustered scan row-group-skips and reads
+    * ∝ the probe's vocabulary, never the corpus); the top-5 terms by
+    * tf·idf are picked on the collected ≤|probe vocab| rows (idf_ppm =
+    * ⌊1e6·(ln((N+1)/(df+1))+1)⌋ — floor/ln are identical IEEE doubles in
+    * Scala, Spark and DuckDB); and candidates come from the 5 winning
+    * posting lists only — a second IN pushdown, with idf joined back as a
+    * 5-branch literal CASE so the scoring side carries no join at all.
+    * Scores are integer ppm (the evt_attribution_u idiom), so coordinate
+    * sums are order-independent and the chain hash-matches the DuckDB
+    * twin. The final top-10 is a genuine TakeOrderedAndProject (orderBy +
+    * limit), with row_number assigned over the 10 surviving rows.
     */
   val serveMoreLikeThis = Op(
     "serve_more_like_this",
     (s, d) => {
-      val probeToks = T.documents(s, d).filter(col("doc_id") === 1L)
+      val probe: Map[String, Long] = T.documents(s, d)
+        .filter(col("doc_id") === 1L)
         .select(explode(split(col("text"), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("tf"))
-      val postings = Scans.invertedIndex(s, d)
-      val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
-      val dfreq = postings.join(broadcast(probeToks), "token")
-        .groupBy(col("token"), col("tf")).agg(count(lit(1)).as("df"))
-      val wTerm = Window.orderBy(col("tfidf_ppm").desc, col("token"))
-      val top5 = dfreq.crossJoin(broadcast(nDocs))
-        .withColumn("idf_ppm",
-          expr("CAST(floor(1000000 * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)) AS BIGINT)"))
-        .withColumn("tfidf_ppm", col("tf") * col("idf_ppm"))
-        // ≤ |probe vocab| rows: the unpartitioned window is bounded by one
-        // document's distinct tokens, never corpus-sized
-        .withColumn("trn", row_number().over(wTerm))
-        .filter(col("trn") <= 5)
-        .select(col("token"), col("idf_ppm"))
-      val wDoc = Window.orderBy(col("score_ppm").desc, col("matched").desc, col("doc_id"))
-      postings.join(broadcast(top5), "token")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nDocs = T.documents(s, d).count()
+      val dfByToken: Map[String, Long] =
+        mltDfreqLeg(s, d, probe.keys.toSeq.sorted)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def idfPpm(df: Long): Long = math.floor(
+        1000000.0 * (math.log((nDocs + 1.0) / (df + 1.0)) + 1.0)).toLong
+      val top5: Seq[(String, Long)] = dfByToken.toSeq
+        .map { case (t, df) => (t, idfPpm(df)) }
+        .sortBy { case (t, idf) => (-probe(t) * idf, t) }
+        .take(5)
+      // Typed literal CASE, no SQL splicing: tokens reach the plan only as
+      // literals, so a quote-bearing term can never break parsing.
+      val idfCol = top5.foldLeft(lit(null).cast("long")) {
+        case (acc, (t, idf)) => when(col("token") === t, lit(idf)).otherwise(acc)
+      }
+      Scans.invertedIndex(s, d)
+        .filter(col("token").isin(top5.map(_._1): _*))
         .filter(col("doc_id") =!= 1L)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("matched"), sum(col("idf_ppm")).as("score_ppm"))
-        .withColumn("rn", row_number().over(wDoc))
-        .filter(col("rn") <= 10)
-        .select(col("rn").cast("long").as("rn"), col("doc_id"),
-          col("matched"), col("score_ppm"))
+        .agg(count(lit(1)).as("matched"),
+          sum(idfCol).as("score_ppm"))
+        .orderBy(col("score_ppm").desc, col("matched").desc, col("doc_id"))
+        .limit(10)
+        .withColumn("rn", row_number().over(Window.orderBy(
+          col("score_ppm").desc, col("matched").desc, col("doc_id")))
+          .cast("long"))
+        .select(col("rn"), col("doc_id"), col("matched"), col("score_ppm"))
         .orderBy(col("rn"))
     },
     Some("""

@@ -87,10 +87,19 @@ object T {
     if (!done) {
       val tmp = new java.io.File(
         path + ".build-" + java.util.UUID.randomUUID().toString.take(8))
-      write(tmp.toString)
+      try write(tmp.toString)
+      catch { case e: Throwable => deleteRecursively(tmp); throw e }
       if (!done) {
         if (dst.exists()) deleteRecursively(dst)
-        if (!tmp.renameTo(dst)) deleteRecursively(tmp)
+        if (!tmp.renameTo(dst)) {
+          deleteRecursively(tmp)
+          // A lost rename race leaves the winner's complete table at dst;
+          // any other cause (perms, cross-device scratch) would leave the
+          // caller reading a missing path — surface it here, not there.
+          if (!done) sys.error(
+            s"buildOnce: rename $tmp -> $dst failed and no competing " +
+              "build published (_SUCCESS absent)")
+        }
       } else deleteRecursively(tmp)
     }
     path
@@ -99,9 +108,12 @@ object T {
   private def deleteRecursively(f: java.io.File): Unit = {
     import java.nio.file.{Files, Path}
     import java.util.Comparator
-    if (f.exists())
-      Files.walk(f.toPath).sorted(Comparator.reverseOrder[Path]())
+    if (f.exists()) {
+      val walk = Files.walk(f.toPath)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => { Files.deleteIfExists(p); () })
+      finally walk.close()
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")

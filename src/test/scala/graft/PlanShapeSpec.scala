@@ -21,6 +21,26 @@ class PlanShapeSpec extends AnyFunSuite {
   private def plan(name: String): String =
     Registry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  /** Indentation-aware live-scan count: the plan STRING embeds each
+    * InMemoryRelation's build plan (scan included), which is NOT executed
+    * on a cache hit — skip those subtrees and count only scans the live
+    * tree would actually run. Returns (liveScans, cacheSeen).
+    */
+  private def liveScanStats(p: String): (Int, Boolean) = {
+    def indent(l: String) = l.indexWhere(c => !(" :+-".contains(c)))
+    var skipBelow = -1
+    var liveScans = 0
+    var cacheSeen = false
+    for (l <- p.linesIterator; i = indent(l); if i >= 0) {
+      if (skipBelow >= 0 && i <= skipBelow) skipBelow = -1
+      if (skipBelow < 0) {
+        if (l.contains("InMemoryRelation")) { skipBelow = i; cacheSeen = true }
+        else if (l.contains("Scan parquet")) liveScans += 1
+      }
+    }
+    (liveScans, cacheSeen)
+  }
+
   test("filter_pred_simple pushes predicates into the parquet scan") {
     val p = plan("filter_pred_simple")
     assert(p.contains("PushedFilters: ["), p)
@@ -110,12 +130,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("substr("), s"snippet projection missing: $p")
   }
 
-  test("serve_more_like_this: probe point lookup pushed, term joins broadcast") {
+  test("serve_more_like_this: IN-lists pushed into BOTH postings scans, TakeOrdered top-10") {
+    // r18 (the r17 weak-mark fix): both index legs must row-group-skip on
+    // the token-clustered layout — the dfreq leg via the probe-vocabulary
+    // IN-list, the candidates leg via the 5 winning terms — and the final
+    // top-10 must be a bounded heap, not a global window.
     val p = plan("serve_more_like_this")
-    assert(p.contains("EqualTo(doc_id,1)"),
-      s"probe point lookup not pushed into the documents scan: $p")
-    assert(p.contains("BroadcastHashJoin"),
-      s"term sets not broadcast onto the postings index: $p")
+    assert(p.contains("In(token"),
+      s"top-5 term IN-list not pushed into the candidates postings scan: $p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"final top-10 must be a bounded TakeOrdered: $p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"scoring side should carry no join at all (literal CASE idf): $p")
+    val dfreq = graft.ops.Similarity
+      .mltDfreqLeg(spark, sf, Seq("filter", "join", "window"))
+      .queryExecution.executedPlan.toString
+    assert(dfreq.contains("In(token"),
+      s"probe-vocabulary IN-list not pushed into the dfreq postings scan: $dfreq")
   }
 
   test("serve_facet_counts: postings pushdown + broadcast query bitmap + bitmap AND") {
@@ -135,9 +166,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // clustering, so a second (src, dst) exchange anywhere is a
     // regression that re-adds ~4 GB to the sf100 peak.
     val p = plan("graph_label_propagation")
-    assert(!p.contains("Exchange hashpartitioning(src#") ||
-      p.linesIterator.count(l =>
-        l.contains("Exchange hashpartitioning(src#") && l.contains("dst#")) == 0,
+    val srcExchanges = p.linesIterator.filter(
+      _.contains("Exchange hashpartitioning(src#")).toSeq
+    // Positive pin first: the src-only build exchange must actually be
+    // present (an assertion keyed on a plan-string form that vanished
+    // would otherwise pass vacuously).
+    assert(srcExchanges.count(!_.contains("dst#")) >= 1,
+      s"the src-only build exchange is missing from the cached plan: $p")
+    assert(srcExchanges.count(_.contains("dst#")) == 0,
       s"dedup added its own (src, dst) exchange: $p")
     assert(p.contains("InMemoryRelation"),
       s"edge relation not cached — rounds would re-derive the build: $p")
@@ -741,20 +777,48 @@ class PlanShapeSpec extends AnyFunSuite {
     // (the cached build plan, not executed on a hit) and require the
     // remaining live tree to read caches and never a file.
     val p = plan("ml_kmeans_lloyd")
-    def indent(l: String) = l.indexWhere(c => !(" :+-".contains(c)))
-    var skipBelow = -1
-    var liveScans = 0
-    var cacheSeen = false
-    for (l <- p.linesIterator; i = indent(l); if i >= 0) {
-      if (skipBelow >= 0 && i <= skipBelow) skipBelow = -1
-      if (skipBelow < 0) {
-        if (l.contains("InMemoryRelation")) { skipBelow = i; cacheSeen = true }
-        else if (l.contains("Scan parquet")) liveScans += 1
-      }
-    }
+    val (liveScans, cacheSeen) = liveScanStats(p)
     assert(cacheSeen, s"expected cache reads in the final round: $p")
     assert(liveScans == 0,
       s"final round re-scans parquet instead of the cache: $p")
+  }
+
+  test("sim_ivf_knn_det: cached quantizer relations, broadcast centroids/probe-lists, no cartesian") {
+    // The scale claims its scaladoc makes (r17 verdict item 3): centroids
+    // are tiny broadcast relations (assign is a broadcast join + map-side
+    // argmin — the corpus side never shuffles to meet them), the reused
+    // relations (unpivoted xu, round-2 centroids) are MEMORY_AND_DISK
+    // caches, and the only live parquet reads are the float re-rank legs
+    // (probe vectors + candidate vectors) — the exact rerank is bounded
+    // by candidates, never a cartesian over the corpus.
+    val p = plan("sim_ivf_knn_det")
+    val (liveScans, cacheSeen) = liveScanStats(p)
+    assert(cacheSeen, s"quantizer relations must be cached (InMemoryRelation): $p")
+    // Live scans = the two float re-rank legs plus InjectRuntimeFilter's
+    // bloom-build legs (vec_id-only, probe-filtered, 10 rows — runtime
+    // filters are a win, not a leak). The pin that matters for 100 TB:
+    // no more than TWO live scans carry the corpus-sized embedding
+    // payload; the quantizer never re-derives from parquet.
+    assert(liveScans <= 4, s"unexpected live parquet scans ($liveScans): $p")
+    val payloadScans = {
+      def indent(l: String) = l.indexWhere(c => !(" :+-".contains(c)))
+      var skipBelow = -1
+      var n = 0
+      for (l <- p.linesIterator; i = indent(l); if i >= 0) {
+        if (skipBelow >= 0 && i <= skipBelow) skipBelow = -1
+        if (skipBelow < 0) {
+          if (l.contains("InMemoryRelation")) skipBelow = i
+          else if (l.contains("Scan parquet") && l.contains("embedding#")) n += 1
+        }
+      }
+      n
+    }
+    assert(payloadScans <= 2,
+      s"only the float re-rank legs may read the embedding payload live, found $payloadScans: $p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid/probe-list joins must broadcast: $p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"re-rank must stay an equi-join over probed lists: $p")
   }
 
   test("txt_code_detect: one corpus scan, map-side-combined rollup") {
