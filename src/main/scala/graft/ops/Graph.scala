@@ -27,10 +27,30 @@ object Graph {
     *
     * Deployment note (measured at sf100, 1.1 B edges — BASELINE.md r14):
     * set `spark.rdd.compress=true` (+ `spark.io.compression.codec=zstd`).
-    * localCheckpoint blocks spill to disk UNCOMPRESSED by default, and for
-    * this op's checkpointed edge relation that encoding — not the volume —
-    * is what exhausts a node's local disk (measured 60.1 GB stock vs
-    * 8.7 GB zstd peak spill, edge-linear at 8 bytes/edge compressed).
+    * Checkpoint/cache blocks spill to disk UNCOMPRESSED by default, and
+    * for this op's edge relation that encoding — not the volume — is what
+    * exhausts a node's local disk (measured 60.1 GB stock vs 8.7 GB zstd
+    * peak spill, edge-linear at 8 bytes/edge compressed).
+    *
+    * r18 materialization rework (the LPA recipe, guide §2.4/§5, A/B at
+    * the sf0.1 bench): the old form ran FOUR eager localCheckpoints
+    * (edges, deg, verts, pr per round) — each a blocking driver action
+    * serializing full rows. Now (1) the doubled edge list is built by ONE
+    * explode over the distinct pair set instead of unionByName of two
+    * projections (which evaluated the lineitem⋈orders+distinct subtree
+    * twice); (2) the degree is attached ONCE via a count window riding
+    * the src repartition (deleting the per-round deg join — 3 joins
+    * gone); (3) the (src, dst, deg) relation is a serialized columnar
+    * cache pre-partitioned on src, so each round's contribution join
+    * reuses the cached partitioning and only the vertex-sized rank
+    * relation shuffles; (4) rank state rides pure lineage — the FIXED 3
+    * rounds make the whole loop one linear DAG executed once (pr is
+    * referenced once per round, so nothing recomputes exponentially).
+    * Isolated sf0.1 A/B, min-of-2, this box: 3.45 s (old, 4 checkpoints)
+    * → 1.71 s (this form). Dedup stays PRE-doubling (distinct on the
+    * (cust, supp) pair set) — with the 1e6 offset, custkeys alias
+    * supplier ids from sf10 up and a post-doubling (src, dst) dedup
+    * would merge aliased multi-edges the oracle's UNION ALL keeps.
     */
   val graphPagerank = Op(
     "graph_pagerank",
@@ -40,33 +60,27 @@ object Graph {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
-      val edges = e0.select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
-        .unionByName(e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
-        .localCheckpoint(true)
-      // deg/verts are read every round: checkpoint ONCE so the 3-round DAG
-      // doesn't re-execute the degree groupBy / vertex distinct per round,
-      // and checkpoint each round's pr (unpersisting the superseded one) so
-      // lineage — and recompute cost — stays constant per iteration. Same
-      // idiom as graph_bfs_reachability / dedup_cc_clusters.
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .localCheckpoint(true)
+      val edges = e0.select(explode(array(
+          struct(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst")),
+          struct((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("src"))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // hashpartitioning(src) satisfies the distinct's clustering — the
+      // vertex table is a partition-local dedup over the cache, no exchange
       val verts = edges.select(col("src").as("v")).distinct()
-        .localCheckpoint(true)
       var pr = verts.withColumn("pr", lit(1000000000L))
       for (_ <- 1 to 3) {
         val contrib = edges
           .join(pr.select(col("v").as("src"), col("pr")), "src")
-          .join(deg, "src")
           .select(col("dst"), expr("pr div deg").as("share"))
           .groupBy(col("dst")).agg(sum(col("share")).as("c"))
-        val next = verts.join(contrib, col("v") === col("dst"), "left")
+        pr = verts.join(contrib, col("v") === col("dst"), "left")
           .select(col("v"),
             (lit(150000000L) + expr("(85 * coalesce(c, 0L)) div 100")).as("pr"))
-          .localCheckpoint(true)
-        // Dataset.unpersist is a no-op on checkpointed frames; free the
-        // superseded round's blocks through the LogicalRDD handle
-        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(pr)
-        pr = next
       }
       pr.select(col("v").as("vertex_id"), col("pr").as("pr_scaled"),
           (col("v") >= 1000000L).as("is_supplier"))
@@ -123,12 +137,20 @@ object Graph {
         .filter(col("l_suppkey") < 250)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // r18: pairs feeds THREE subtrees (both wedge legs + the closing-
+      // edge probe) — uncached, the order-pair self-join ran three times
+      // (its siblings clustering_coeff/common_neighbors already
+      // materialize it; guide §5: reuse > recompute for a ≤|V|²/2-row
+      // relation). Lazy columnar persist, not the eager localCheckpoint
+      // the siblings used — no blocking driver action, fills on first read
+      // inside the one final action.
       val pairs = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
         .filter(col("x.sk") < col("y.sk"))
         .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select(col("a"), col("b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val wedges = pairs.as("e1").join(pairs.as("e2"),
           col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
         .select(col("e1.b").as("u"), col("e2.b").as("v"), col("e1.a").as("apex"))
@@ -188,26 +210,36 @@ object Graph {
   val graphBfsReachability = Op(
     "graph_bfs_reachability",
     (s, d) => {
+      // r18 materialization rework (LPA recipe; see graph_pagerank): one
+      // explode builds the doubled edge list (the old unionByName of two
+      // projections evaluated the join+distinct twice), cached serialized
+      // and pre-partitioned on src so each round's hop join reuses the
+      // cached partitioning. Unlike pagerank's rank state, dist is
+      // referenced TWICE per round (the union's left leg and the hop
+      // join), so pure lineage would re-run round r−1's shuffle agg 2^r
+      // times — each round's vertex-sized frontier is therefore a LAZY
+      // columnar persist (no eager driver action; all three fill inside
+      // the one final action, each round computed exactly once).
       val e0 = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), (col("l_suppkey") + lit(1000000L)).as("supp"))
         .distinct()
-      val edges = e0.select(col("cust").as("src"), col("supp").as("dst"))
-        .unionByName(e0.select(col("supp").as("src"), col("cust").as("dst")))
-        .localCheckpoint(true)
+      val edges = e0.select(explode(array(
+          struct(col("cust").as("src"), col("supp").as("dst")),
+          struct(col("supp").as("src"), col("cust").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .repartition(col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       var dist = edges.select(col("src").as("v")).distinct()
         .filter(col("v") < 1000000L && col("v") % 100 === 0)
         .withColumn("dist", lit(0))
       for (_ <- 1 to 3) {
         val hop = edges.join(dist.select(col("v").as("src"), col("dist")), "src")
           .select(col("dst").as("v"), (col("dist") + 1).as("dist"))
-        val next = dist.unionByName(hop)
+        dist = dist.unionByName(hop)
           .groupBy(col("v")).agg(min(col("dist")).as("dist"))
-          .localCheckpoint(true)
-        // free the superseded round (Dataset.unpersist can't — see GraftBridge)
-        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(dist)
-        dist = next
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       }
       dist.select(col("v").as("vertex_id"), col("dist"),
           (col("v") >= 1000000L).as("is_supplier"))
@@ -251,13 +283,18 @@ object Graph {
   val graphDegreeDistribution = Op(
     "graph_degree_distribution",
     (s, d) => {
+      // r18: degree counting only needs each edge's ENDPOINTS — explode
+      // the two endpoint ids in one pass instead of unionByName of two
+      // projections of e0, which evaluated the lineitem⋈orders+distinct
+      // subtree twice (guide §2.4: the doubled source scan was the only
+      // shuffle-adjacent waste in this otherwise scan-speed op).
       val e0 = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
-      val edges = e0.select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
-        .unionByName(e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
+      val edges = e0.select(explode(array(
+          col("cust"), col("supp") + lit(1000000L))).as("src"))
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .select(
           (col("src") >= 1000000L).as("is_supplier"),
@@ -338,10 +375,17 @@ object Graph {
       // hashpartitioning(src) satisfies the (src, dst) clustering, so
       // dropDuplicates adds no exchange and the old standalone distinct
       // shuffle disappears from the build entirely.
+      // r18: the doubling is ONE explode over the pair stream — the old
+      // unionByName of two projections evaluated the lineitem⋈orders join
+      // twice inside the cache build (guide §2.4). Everything downstream
+      // (src repartition, partition-local dedup, serialized cache, labels
+      // as lineage) is the r17 A/B winner, unchanged.
       val edges = pairs
-        .select(col("cust").as("src"), (col("supp") + lit(1000000000000L)).as("dst"))
-        .unionByName(
-          pairs.select((col("supp") + lit(1000000000000L)).as("src"), col("cust").as("dst")))
+        .select(explode(array(
+          struct(col("cust").as("src"), (col("supp") + lit(1000000000000L)).as("dst")),
+          struct((col("supp") + lit(1000000000000L)).as("src"), col("cust").as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .repartition(col("src"))
         .dropDuplicates("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
@@ -412,6 +456,18 @@ object Graph {
   val graphKCore = Op(
     "graph_k_core",
     (s, d) => {
+      // r18 materialization rework (LPA recipe): each round's edge set is
+      // referenced twice (the next round's degree filter + its own
+      // summary), so it must materialize — but as a LAZY serialized
+      // columnar persist, not the old eager localCheckpoint chain (which
+      // ran 7 blocking driver actions: 4 edge checkpoints + 3 summary
+      // checkpoints). All four caches fill inside the ONE final action;
+      // the doubled build is one explode (the old unionByName evaluated
+      // the sparsified join+distinct twice). Peak state is now all four
+      // edge generations at once instead of the old O(1) rotation — the
+      // l_quantity < 4 sparsifier keeps that ~6% of lineitem per
+      // generation (zstd-compressed blocks; bounded at every attested
+      // scale), and each generation only shrinks under peeling.
       val k = 5
       val e0 = T.lineitem(s, d).filter(col("l_quantity") < 4)
         .select(col("l_orderkey"), col("l_suppkey"))
@@ -420,31 +476,25 @@ object Graph {
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
       var edges = e0
-        .select(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst"))
-        .unionByName(
-          e0.select((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst")))
-        .localCheckpoint(true)
+        .select(explode(array(
+          struct(col("cust").as("src"), (col("supp") + lit(1000000L)).as("dst")),
+          struct((col("supp") + lit(1000000L)).as("src"), col("cust").as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       var rounds = Vector.empty[org.apache.spark.sql.DataFrame]
       for (r <- 1 to 3) {
         val live = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
           .filter(col("deg") >= k).select(col("src").as("v"))
-        val next = edges
+        edges = edges
           .join(live, edges("src") === live("v"), "left_semi")
           .join(live, edges("dst") === live("v"), "left_semi")
-          .localCheckpoint(true)
-        org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
-        edges = next
-        // pin each round's 1-row summary as its own (tiny) checkpoint so
-        // the NEXT round can free this round's edge blocks without pulling
-        // them out from under the final union — per-round state stays one
-        // edge set + three single-row frames, never driver row data
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         rounds = rounds :+ edges.agg(
             countDistinct(col("src")).as("verts_live"),
             count(lit(1)).as("edges_live"))
           .select(lit(r).as("round"), col("verts_live"), col("edges_live"))
-          .localCheckpoint(true)
       }
-      org.apache.spark.sql.GraftBridge.unpersistCheckpoint(edges)
       rounds.reduce(_ unionByName _).orderBy(col("round"))
     },
     Some("""
@@ -509,7 +559,10 @@ object Graph {
         .distinct()
       // the support table feeds the threshold scalar AND the edge filter —
       // checkpoint so the order-pair self-join runs once (the
-      // sim_prefix_filter_join fanout discipline)
+      // sim_prefix_filter_join fanout discipline). Stays EAGER: the r18
+      // lazy-cache A/B measured 1.6 s → 3.6-4.9 s at sf0.1 here (its
+      // siblings assortativity/clustering_coeff tolerated the cache; this
+      // op's wedge join over the cached support did not) — reverted.
       val sup = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
         .filter(col("x.sk") < col("y.sk"))
         .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
@@ -593,11 +646,12 @@ object Graph {
         .filter(col("l_suppkey") < 250)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // r18: lazy persist over eager localCheckpoint (see graph_common_neighbors)
       val sup = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
         .filter(col("x.sk") < col("y.sk"))
         .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
         .agg(count(lit(1)).as("support"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val thr = sup.agg(
         expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY support)").as("thr"))
       val pairs = sup.crossJoin(broadcast(thr))
@@ -674,13 +728,14 @@ object Graph {
         .filter(col("l_suppkey") < 250)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
+      // r18: lazy persist over eager localCheckpoint (see graph_common_neighbors)
       val pairs = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
         .filter(col("x.sk") < col("y.sk"))
         .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val deg = pairs.select(col("a").as("v"))
         .unionByName(pairs.select(col("b").as("v")))
         .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -749,33 +804,44 @@ object Graph {
   val graphHits = Op(
     "graph_hits",
     (s, d) => {
+      // r18 materialization rework (LPA recipe): the old form ran three
+      // eager localCheckpoints (edges, a1, h1) — blocking driver actions
+      // serializing full rows — and STILL computed each renorm input
+      // twice (the checkpoint sat on renorm's OUTPUT, so the groupBy
+      // feeding both the max scalar and the crossJoin re-ran inside each
+      // checkpoint build). Now the edge relation and each renorm INPUT
+      // are lazy serialized columnar caches: the max scalar and the
+      // rescale projection read the same cached aggregate, every score
+      // table is computed exactly once, and all caches fill inside the
+      // one final TakeOrdered action.
       val edges = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
         .distinct()
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       def renorm(df: org.apache.spark.sql.DataFrame, key: String, v: String) = {
-        val mx = df.agg(max(col(v)).as("mx"))
-        df.crossJoin(broadcast(mx))
+        val c = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        val mx = c.agg(max(col(v)).as("mx"))
+        c.crossJoin(broadcast(mx))
           .select(col(key), expr(s"($v * 1000000) div mx").as(v))
       }
       // round 1: auth = indeg (hub0 = 1), hub = Σ auth over the row
       val a1 = renorm(
         edges.groupBy(col("supp")).agg(count(lit(1)).cast("long").as("auth")),
-        "supp", "auth").localCheckpoint(true)
+        "supp", "auth")
       val h1 = renorm(
         edges.join(a1, "supp")
           .groupBy(col("cust")).agg(sum(col("auth")).as("hub")),
-        "cust", "hub").localCheckpoint(true)
+        "cust", "hub")
       // round 2: re-score authorities from the round-1 hubs
       val a2 = renorm(
         edges.join(h1, "cust")
           .groupBy(col("supp")).agg(sum(col("hub")).as("auth")),
         "supp", "auth")
-      // edges/a1/h1 blocks stay alive (the returned frame reads them
-      // lazily); Verify/Bench free them via sweepJvmState between queries,
-      // the same lifecycle as sim_containment_pairs' shingle checkpoint.
+      // cache blocks stay alive (the returned frame reads them lazily);
+      // Verify/Bench free them via sweepJvmState between queries, the
+      // same lifecycle as sim_containment_pairs' shingle checkpoint.
       a2.orderBy(col("auth").desc, col("supp")).limit(15)
     },
     Some("""

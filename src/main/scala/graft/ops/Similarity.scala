@@ -80,6 +80,11 @@ object Similarity {
   val simJaccardPairs = Op(
     "sim_jaccard_pairs",
     (s, d) => {
+      // NOT materialized (r18 A/B): toks feeds sizes + both self-join legs,
+      // but all three consumers sit under ONE action and the distinct's
+      // exchange is REUSED across them (ReusedExchange) — adding a cache
+      // here measured 0.5 s → 1.6-1.8 s at sf0.1 (both serialized and
+      // deserialized levels) and was reverted.
       val toks = T.documents(s, d)
         .filter(col("doc_id") < 200)
         .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("token"))
@@ -188,7 +193,10 @@ object Similarity {
         .filter(col("doc_id") < 200)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .distinct()
-        .localCheckpoint(true) // feeds signatures AND the exact verify
+        // feeds signatures AND the exact verify; stays an eager
+        // localCheckpoint — the r18 lazy-cache A/B measured 0.55 s → 2.1-2.4 s
+        // at sf0.1 (both storage levels) and was reverted
+        .localCheckpoint(true)
       val mins = (1 to 8).map(i =>
         min(call_function("md5fold48",
           concat(lit(i.toString), lit(":"), col("token")))).as(s"m$i"))
@@ -1443,17 +1451,23 @@ object Similarity {
     while (changed > 0) {
       val nbr = edges.join(labels, col("dst") === col("doc_id"))
         .groupBy(col("src")).agg(min(col("lbl")).as("nlbl"))
+      // r18: the convergence flag rides the checkpointed frame itself
+      // (lbl shrank ⟺ a lower neighbor label arrived), so the old
+      // per-round second action — a join of next back onto labels just to
+      // count changes — collapses to a cheap filter-count over blocks
+      // already materialized by the checkpoint (the greedySurvivors
+      // shape). The extra chg column is dropped from the next round's
+      // join input by column pruning.
       val next = labels.join(nbr, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
+          (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("chg"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("doc_id"), col("lbl").as("old")), "doc_id")
-        .filter(col("lbl") =!= col("old")).count()
+      changed = next.filter(col("chg")).count()
       // Dataset.unpersist is a no-op on checkpointed frames (CacheManager
       // never sees checkpoint RDDs) — free the round's blocks for real
       org.apache.spark.sql.GraftBridge.unpersistCheckpoint(labels)
-      labels = next
+      labels = next.select(col("doc_id"), col("lbl"))
     }
     labels
   }
@@ -1461,10 +1475,14 @@ object Similarity {
   val dedupCcClusters = Op(
     "dedup_cc_clusters",
     (s, d) => {
+      // r18 (guide §5): docs feeds five subtrees (both legs of both
+      // edgesOn self-joins + the CC vertex set) — cache it lazily so the
+      // scan+projection runs once, not five times
       val docs = T.documents(s, d).filter(col("doc_id") < 500)
         .select(col("doc_id"),
           substring(col("text"), 1, 12).as("kpre"),
           expr("right(text, 12)").as("ksuf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       def edgesOn(k: String): DataFrame = {
         val a = docs.select(col("doc_id").as("src"), col(k).as("kk"))
         val b = docs.select(col("doc_id").as("dst"), col(k).as("kk2"))
@@ -1519,6 +1537,11 @@ object Similarity {
       // tier 1: exact — canonical per content key + absorbed count
       val exactc = docs.groupBy(col("ckey"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+      // surv/toks stay UNcached (r18 A/B): their multi-reference subtrees
+      // share exchanges under the final action (ReusedExchange), and adding
+      // lazy caches here measured 3.6 s → 4.2-6.6 s at sf0.1 (both storage
+      // levels) — reverted. The only eager actions in this op are
+      // ccMinLabel's per-round convergence checkpoints.
       val surv = exactc.select(col("doc_id"), col("n_exact"))
         .join(docs.select(col("doc_id"), col("source"), col("text")), "doc_id")
       // tier 2: fuzzy edges between survivors (token Jaccard >= 0.5)
@@ -2120,7 +2143,9 @@ object Similarity {
       // sh feeds FOUR subtrees of one plan (sizes, freq, pref, docsets);
       // uncheckpointed, each subtree re-runs read->tokenize->explode->
       // distinct — 4 corpus scans instead of 1 (measured 3x the query time
-      // at sf0.1; at 100 TB it's 3 extra passes over the corpus)
+      // at sf0.1; at 100 TB it's 3 extra passes over the corpus).
+      // Stays an eager localCheckpoint: the r18 lazy-cache A/B measured
+      // 2.5 s → 6.1-6.6 s at sf0.1 (both storage levels) and was reverted.
       val sh = T.documents(s, d)
         .filter(col("doc_id") < 100000) // CONTRACT BOUND (r11) — see scaladoc
         .select(col("doc_id"), split(col("text"), " ").as("toks"))

@@ -43,6 +43,12 @@ object TextAnalysis {
         .withColumn("rn", row_number().over(wProf))
         .filter(col("rn") <= 20)
         .select(col("p_lang"), col("bg"))
+      // Dedup BEFORE the profile join, not after: the profile holds each
+      // language's TOP-20 bigrams — the most frequent ones — so raw
+      // occurrences match it at a high rate and can match SEVERAL
+      // languages; joining first would fan the full occurrence stream out
+      // by matching langs before any aggregate (measured 2.7 s → 5.5 s in
+      // the r18 A/B — the "join below the dedup" rewrite was REVERTED).
       val docBg = bgs.select(col("doc_id"), col("bg")).distinct()
       // per-doc argmax via min(struct(-score, lang)) — lexicographic min is
       // (score DESC, lang ASC), the LPA sort-free idiom; replaces a
@@ -1396,6 +1402,17 @@ object TextAnalysis {
   val txtSourceOverlap = Op(
     "txt_source_overlap",
     (s, d) => {
+      // r18 rewrite (guide §2.4, remove shuffles outright): the old form
+      // ran a df window over the shingle relation and then SELF-JOINED the
+      // capped stream on shingle — the window's exchange plus TWO more
+      // shingle-keyed exchanges for the join legs, with the window subtree
+      // evaluated once per leg. Same result from ONE shingle-keyed
+      // aggregation: group to the per-shingle source set (collect_set is
+      // map-side combinable; |set| IS the old window's df, so the ≤16 cap
+      // is a size filter), sort it, and explode the i<j source pairs —
+      // per shingle that is exactly the pair multiset the self-join
+      // produced. The shingle relation is a lazy columnar cache (was an
+      // eager localCheckpoint) feeding the sizes agg and the pair pass.
       val sh = T.documents(s, d)
         .select(col("source"), split(col("text"), " ").as("arr"))
         .filter(size(col("arr")) >= 3)
@@ -1403,16 +1420,16 @@ object TextAnalysis {
           "transform(sequence(1, size(arr) - 2), " +
             "i -> concat(arr[i - 1], ' ', arr[i], ' ', arr[i + 1]))")).as("shingle"))
         .distinct()
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val capped = sh
-        .withColumn("df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-        .filter(col("df") <= 16)
-      val inter = capped.as("a").join(capped.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      val inter = sh.groupBy(col("shingle"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")).between(2, 16))
+        .select(explode(expr(
+          "flatten(transform(srcs, (x, i) -> " +
+            "transform(slice(srcs, i + 2, size(srcs) - i - 1), " +
+            "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("n_shared"))
       inter
         .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))

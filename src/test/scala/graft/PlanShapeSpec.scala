@@ -738,6 +738,9 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("graph_common_neighbors: support table checkpointed — no re-scan, threshold broadcast") {
+    // r18 note: a lazy-cache variant was A/B'd (1.6 s → 3.6-4.9 s at
+    // sf0.1) and REVERTED — the eager checkpoint stays, so the plan must
+    // show zero parquet scans (lineage truncated at the support table).
     val p = plan("graph_common_neighbors")
     val scans = p.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 0,
@@ -848,10 +851,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1, p)
   }
 
-  test("txt_source_overlap: pair join reads the checkpointed shingle sets, no re-scan") {
+  test("txt_source_overlap: one shingle aggregation, no self-join, cached shingles, no re-scan") {
+    // r18: pair generation is a collect_set + pair explode over ONE
+    // shingle-keyed aggregation — the old df-window + shingle self-join
+    // (three shingle exchanges) must not come back, and the shingle
+    // relation is a lazy cache (live scans counted cache-aware).
     val p = plan("txt_source_overlap")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
-      s"the corpus scans once into the checkpointed shingle relation: $p")
+    val (liveScans, cacheSeen) = liveScanStats(p)
+    assert(cacheSeen, s"shingle relation must be cached: $p")
+    assert(liveScans == 0,
+      s"the corpus scans once into the cached shingle relation: $p")
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"the df window is gone — size(collect_set) carries the cap: $p")
+    assert(!p.contains("SortMergeJoin [shingle") && !p.contains("ShuffledHashJoin [shingle"),
+      s"the shingle self-join must not come back: $p")
     assert(p.contains("TakeOrderedAndProject"), s"top-15 must be a bounded heap: $p")
   }
 
