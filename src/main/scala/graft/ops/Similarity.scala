@@ -1696,8 +1696,12 @@ object Similarity {
         explode(split(col("text"), " ")).as("token"))
       val tf = toks.groupBy(col("doc_id"), col("source"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      val dfreq = toks.select(col("doc_id"), col("token")).distinct()
-        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // df derived FROM tf (r18, guide §2.4, the txt_idf_tfidf fix): each
+      // doc has exactly one source, so tf has one row per distinct
+      // (doc, token) and df(token) = COUNT(*) of tf rows — the old
+      // distinct().groupBy chain re-ran the tokenize explode and shuffled
+      // corpus-volume rows a second time for the same number.
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val wtd = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
         .withColumn("w",

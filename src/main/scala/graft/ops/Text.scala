@@ -99,7 +99,12 @@ object Text {
       import org.apache.spark.sql.expressions.Window
       val toks = tokens(s, d)
       val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      val dfreq = toks.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // df derived FROM tf (r18, guide §2.4): tf already has exactly one
+      // row per distinct (doc, token), so df(token) = COUNT(*) of tf rows
+      // — the old toks.distinct().groupBy chain re-ran the corpus explode
+      // AND shuffled corpus-volume rows a second time for the same number.
+      // tf's exchange is shared with the scoring join via ReusedExchange.
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = T.documents(s, d).agg(count(lit(1)).as("n_docs"))
       val scored = tf
         .join(dfreq, "token")

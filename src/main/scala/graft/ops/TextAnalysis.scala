@@ -549,9 +549,13 @@ object TextAnalysis {
       val toks = T.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-      val total = toks.agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("token")).as("v_size"))
+      // totals derived FROM vocab (r18, guide §2.4): n_tokens = Σ cnt and
+      // v_size = |vocab| exactly — the old toks.agg re-ran the corpus
+      // explode a third time and paid a countDistinct expand for numbers
+      // the vocab aggregate already holds.
+      val total = vocab.agg(
+        sum(col("cnt")).as("n_tokens"),
+        count(lit(1)).as("v_size"))
       val scored = toks
         .join(broadcast(vocab), "token")
         .crossJoin(broadcast(total))
@@ -945,7 +949,10 @@ object TextAnalysis {
         .filter(col("prev").isNotNull)
         .select(col("doc_id"), col("prev"), col("token").as("cur"))
       val big = pairs.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
-      val ctx = pairs.groupBy(col("prev")).agg(count(lit(1)).as("c1"))
+      // ctx derived FROM big (r18, guide §2.4): c1(prev) = Σ c2 over that
+      // prev's bigrams, exactly — the old pairs.groupBy re-ran the
+      // posexplode + per-doc lag window a third time for the same counts.
+      val ctx = big.groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
       val vsize = toks.agg(countDistinct(col("token")).as("v_size"))
       pairs
         .join(big, Seq("prev", "cur"))
