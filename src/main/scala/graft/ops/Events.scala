@@ -1604,12 +1604,19 @@ object Events {
           to_date(timestamp_micros(col("e_us"))))))
         .withColumn("d0", unix_micros(col("day").cast("timestamp")))
         .withColumn("d1", unix_micros(date_add(col("day"), 1).cast("timestamp")))
+      // +1/-1 sweep points via ONE explode over sessDays (r18, guide §2.4):
+      // the old unionByName of two projections evaluated the whole
+      // sessionize-windows + per-day explode subtree TWICE (the union legs
+      // sit ABOVE the reusable user_id exchange, so stage reuse cannot
+      // dedupe the window/agg work). Same rows by construction.
       val points = sessDays
-        .select(col("day"), greatest(col("s_us"), col("d0")).as("us"),
-          lit(1L).as("delta"), (col("s_us") >= col("d0")).as("true_start"))
-        .unionByName(sessDays.select(col("day"),
-          least(col("e_us"), col("d1") - 1L).as("us"),
-          lit(-1L).as("delta"), lit(false).as("true_start")))
+        .select(col("day"), explode(array(
+          struct(greatest(col("s_us"), col("d0")).as("us"),
+            lit(1L).as("delta"), (col("s_us") >= col("d0")).as("true_start")),
+          struct((least(col("e_us"), col("d1") - 1L)).as("us"),
+            lit(-1L).as("delta"), lit(false).as("true_start")))).as("p"))
+        .select(col("day"), col("p.us").as("us"), col("p.delta").as("delta"),
+          col("p.true_start").as("true_start"))
       val wd = Window.partitionBy(col("day"))
         .orderBy(col("us"), col("delta").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1560,8 +1560,12 @@ object Similarity {
         .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .filter(round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6) >= 0.5)
         .select(col("a_id"), col("b_id"))
-      val edges = jac.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(jac.select(col("b_id").as("src"), col("a_id").as("dst")))
+      // doubling via ONE explode (r18, guide §2.4): the old unionByName of
+      // two projections re-ran jac's post-shuffle join+filter legs per side
+      val edges = jac.select(explode(array(
+          struct(col("a_id").as("src"), col("b_id").as("dst")),
+          struct(col("b_id").as("src"), col("a_id").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .localCheckpoint(true)
       // tier 3: transitive closure into dedup clusters
       val labels = ccMinLabel(surv.select(col("doc_id")), edges)
