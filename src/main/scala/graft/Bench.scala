@@ -93,7 +93,13 @@ object Bench {
     //     cleaner.
     var sinceGc = 0
     def sweepJvmState(): Unit = {
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // blocking=true (r18): the async form let the previous key's cache
+      // blocks be removed DURING the next key's timed runs — with the
+      // graph tier now leaving lazy InMemoryRelation blocks, that bleed
+      // showed as multi-second in-sweep excursions on untouched stateful
+      // keys. The wait itself happens here, OUTSIDE the timed region, so
+      // the timing methodology is unchanged.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       spark.catalog.clearCache()
       sinceGc += 1
       if (sinceGc >= 24) { sinceGc = 0; System.gc() }

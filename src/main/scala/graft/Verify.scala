@@ -41,7 +41,9 @@ object Verify {
       // failure (e.g. context torn down by a fatal op error) must cost
       // only this key, matching the write's per-key error isolation.
       try {
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        // blocking=true (r18, matching Bench.sweepJvmState): the async
+        // form let block removal bleed into the next key's execution
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         spark.catalog.clearCache()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name cache sweep failed: ${e.getMessage}")

@@ -646,12 +646,14 @@ object Graph {
         .filter(col("l_suppkey") < 250)
         .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
         .distinct()
-      // r18: lazy persist over eager localCheckpoint (see graph_common_neighbors)
+      // Stays an eager checkpoint, like graph_common_neighbors: the r18
+      // lazy-cache variant read +0.3 s isolated and +1.1-2.0 s in-sweep
+      // (both full sweeps) — REVERTED, same verdict as its sibling.
       val sup = orderSupp.as("x").join(orderSupp.as("y"), Seq("ok"))
         .filter(col("x.sk") < col("y.sk"))
         .groupBy(col("x.sk").as("a"), col("y.sk").as("b"))
         .agg(count(lit(1)).as("support"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(true)
       val thr = sup.agg(
         expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY support)").as("thr"))
       val pairs = sup.crossJoin(broadcast(thr))
