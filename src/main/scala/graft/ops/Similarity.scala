@@ -2860,10 +2860,13 @@ object Similarity {
       graft.functions.VectorDot.register(s)
       val W = org.apache.spark.sql.expressions.Window
       val e = T.embeddings(s, d)
+      // probes feeds ONE broadcast — the old eager localCheckpoint here was
+      // a leftover blocking driver job before the broadcast build (r18 A/B:
+      // 1.11 s → 1.06 s at sf0.1; the 100-row bound makes the broadcast
+      // build itself the materialization)
       val probes = e.filter(col("vec_id") < 100)
         .select(col("vec_id").as("probe_id"), col("label").as("true_label"),
           col("embedding").as("pe"), norm(col("embedding")).as("pnorm"))
-        .localCheckpoint(true)
       val cand = e.select(col("vec_id"), col("label"), col("embedding"),
         norm(col("embedding")).as("cnorm"))
       // SCALE FIX (r11; caught by the sf10 sweep at 15×, 76 s): the top-5
