@@ -305,7 +305,6 @@ object Aggs {
       val pairs = T.events(s, d)
         .select(expr("unix_timestamp(ts) div 3600").as("hr"), col("user_id"))
         .distinct()
-        .localCheckpoint(true)
       val hours = pairs.select(col("hr")).distinct()
       pairs
         .select(explode(expr("sequence(hr, hr + 23)")).as("hr_t"), col("user_id"))

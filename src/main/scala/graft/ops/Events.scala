@@ -1691,7 +1691,7 @@ object Events {
     "evt_assoc_rules",
     (s, d) => {
       val ut = T.events(s, d).select(col("user_id"), col("event_type"))
-        .distinct().localCheckpoint(true)
+        .distinct()
       val singles = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
       val totals = ut.select(col("user_id")).distinct()
         .agg(count(lit(1)).as("n_users"))

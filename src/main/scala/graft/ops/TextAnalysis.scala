@@ -227,7 +227,6 @@ object TextAnalysis {
       val counts = T.documents(s, d)
         .select(explode(split(lower(col("text")), " ")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
       val total = counts.agg(sum(col("cnt")).as("total"))
       counts.crossJoin(broadcast(total))
         .filter(col("cnt") * 100 > col("total"))
