@@ -875,7 +875,6 @@ object Aggs {
       graft.functions.HashFold.register(s)
       val pairs = T.events(s, d)
         .select(col("event_type"), col("user_id")).distinct()
-        .localCheckpoint(true)
       val hashes = pairs
         .select(col("event_type"),
           call_function("md5fold48", col("user_id").cast("string")).as("h"))
@@ -971,6 +970,8 @@ object Aggs {
       val pairs = T.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .select(col("event_type"), col("user_id")).distinct()
+        // r19 ladder A/B: dropping this checkpoint measured 0.75 -> 0.82 s
+        // (kept; the sibling agg_kmv_distinct's drop won and landed)
         .localCheckpoint(true)
       val hashes = pairs.select(col("event_type"),
         call_function("md5fold48", col("user_id").cast("string")).as("h"))

@@ -51,6 +51,16 @@ object Graph {
     * (cust, supp) pair set) — with the 1e6 offset, custkeys alias
     * supplier ids from sf10 up and a post-doubling (src, dst) dedup
     * would merge aliased multi-edges the oracle's UNION ALL keeps.
+    *
+    * Win profile (r19 single-run honesty A/B, interleaved 8-key subset):
+    * this key's conversion wins WARM (min-of-two 3.67 → 2.14 s: run 2
+    * re-serves run 1's InMemoryRelation via CacheManager plan matching)
+    * but costs ~0.7 s COLD (single-run 5.81 → 6.54 s vs the old eager
+    * checkpoints) — the first-run price of filling the columnar cache
+    * inside the one action. An eager `edges.count()` fill made cold
+    * WORSE (7.15 s, measured r19), so the lazy form stands; the
+    * explode-doubling and deleted deg joins are real work reductions
+    * either way (plan-proven).
     */
   val graphPagerank = Op(
     "graph_pagerank",
@@ -220,6 +230,12 @@ object Graph {
       // times — each round's vertex-sized frontier is therefore a LAZY
       // columnar persist (no eager driver action; all three fill inside
       // the one final action, each round computed exactly once).
+      // Win profile (r19 single-run honesty A/B, interleaved 8-key
+      // subset): wins WARM (min-of-two 2.74 -> 0.56 s, partly CacheManager
+      // re-serve of run 1's InMemoryRelation) at a ~0.4 s COLD cost
+      // (single-run 3.48 -> 3.91 s) — the first-run price of the columnar
+      // cache fills; the explode-doubling is a real work reduction either
+      // way.
       val e0 = T.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))

@@ -976,7 +976,6 @@ object MLPipeline {
           explode(split(col("text"), " ")).as("token"))
         .filter(length(col("token")) > 0)
         .distinct()
-        .localCheckpoint(true)
       val scalars = exploded.select(col("doc_id"), col("y")).distinct()
         .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_pos"))
       exploded.groupBy(col("token"))
@@ -1156,7 +1155,6 @@ object MLPipeline {
                 + (length(text) - length(replace(text, 'order', ''))) div 5
                 + (length(text) - length(replace(text, 'pack', ''))) div 4
                 AS BIGINT)""").as("score"))
-        .localCheckpoint(true)
       val lp = scored.queryExecution.analyzed
       def attr(n: String) = lp.output.find(_.name == n).get
       def top10(order: Seq[SortOrder]) =
@@ -1529,7 +1527,6 @@ object MLPipeline {
               as bigint)""").as("s"))
       val h = scored.groupBy(col("s"))
         .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("npos"))
-        .localCheckpoint(true)
       val desc = Window.orderBy(col("s").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val c = h

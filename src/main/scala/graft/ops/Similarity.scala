@@ -2027,7 +2027,6 @@ object Similarity {
           expr("transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS FLOAT))")
             .as("qv"))
         .withColumn("qq", dot(col("qv"), col("qv")).cast("bigint"))
-        .localCheckpoint(true)
       val a = qf.select(col("vec_id").as("a_id"), col("qv").as("va"), col("qq").as("qaa"))
       val b = qf.select(col("vec_id").as("b_id"), col("qv").as("vb"), col("qq").as("qbb"))
       val top = a.join(b, col("a_id") < col("b_id"))
@@ -2038,7 +2037,6 @@ object Similarity {
         .select(col("a_id"), col("b_id"), col("cos2_ppm"))
         .orderBy(col("cos2_ppm").desc, col("a_id"), col("b_id"))
         .limit(200)
-        .localCheckpoint(true)
       val cand = embSrpAnn.fn(s, d)
         .filter(col("a_id") < 300 && col("b_id") < 300)
         .select(col("a_id"), col("b_id"))
@@ -2431,6 +2429,9 @@ object Similarity {
         .select(col("doc_id"),
           explode(call_function("token_ngrams", col("toks"), lit(3))).as("shingle"))
         .distinct()
+        // r19 ladder A/B: dropping both checkpoints measured 0.97 -> 1.18 s
+        // (the four consumers' work above the shared distinct exchange
+        // re-runs per consumer) — checkpoints kept
         .localCheckpoint(true)
       val kept = sh0.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df") <= 20)
@@ -2620,6 +2621,9 @@ object Similarity {
           "transform(sequence(1, size(arr) - 1), i -> concat(arr[i - 1], ' ', arr[i]))"))
           .as("shingle"))
         .distinct()
+        // r19 ladder A/B: dropping this + truth's checkpoint measured
+        // 0.95 -> 1.27 s (sh feeds sizes, both self-join legs and the
+        // signature table — too many consumers above the shared exchange)
         .localCheckpoint(true)
       // exact ground truth at Jaccard >= 0.1 (integer ppm, Appendix A)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))

@@ -776,7 +776,6 @@ object TextAnalysis {
           size(split(col("text"), " ")).cast("long").as("n_tok"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
-        .localCheckpoint(true)
       val tot = perSource.agg(
         sum(col("n_tokens")).as("total_tokens"),
         count(lit(1)).as("n_sources"))
@@ -934,6 +933,23 @@ object TextAnalysis {
     * unigram op (ln through DECIMAL makes the per-doc sum shuffle-order
     * free); top-20 via orderBy+limit = TakeOrderedAndProject, never a
     * global sort.
+    *
+    * r19 single-pass rewrite ATTEMPTED AND REVERTED (three variants, all
+    * measured slower at sf0.1, min-merged isolated pairs vs 1.53 s here):
+    * (a) collapsing pairs to a (doc, prev, cur) count before the joins +
+    * an explicit (prev,cur) repartition shared by the c2 aggregate and
+    * the probe — 1.97 s (at bench scale the count tables broadcast, so
+    * the explicit repartition is a pure-overhead pair-volume shuffle);
+    * (b) the same without the repartition — 2.32 s (within a document
+    * bigrams are nearly all distinct on this corpus, so the
+    * high-cardinality pre-aggregate buys no row reduction and its hash
+    * map is built once per consumer subtree); (c) only making the window
+    * exchange explicit and riding it with the v_size countDistinct —
+    * 1.84-2.11 s (the map-side partial distinct collapses to vocabulary
+    * size BEFORE any shuffle, so the "saved" corpus re-scan was cheaper
+    * than the full-corpus shuffle read the ride costs — scan+map-side
+    * collapse beats exchange-sharing whenever the aggregate collapses
+    * heavily).
     */
   val txtBigramLogprob = Op(
     "txt_bigram_logprob",

@@ -467,12 +467,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"trailing-window distinct fell back to an unbounded join: $p")
   }
 
-  test("txt_domain_mix_balance reads the corpus at most once (checkpointed aggregate feeds both subtrees)") {
-    // the corpus scan happens ONCE, at the per-source aggregate's
-    // checkpoint; the final plan must not re-scan it for the totals
+  test("txt_domain_mix_balance: both subtrees ride ONE per-source aggregate exchange") {
+    // r19: the eager checkpoint is gone (A/B: 0.42 -> 0.31 s) — the output
+    // and totals subtrees each show the per-source aggregate statically
+    // (2 scans), but their exchanges are canonically identical (same
+    // child, same hashpartitioning(source)), so the corpus is scanned
+    // once at runtime via shuffle-stage reuse. Pin: no third evaluation,
+    // and the shared exchange really is keyed on source in both subtrees.
     val p = plan("txt_domain_mix_balance")
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
-    assert(scans <= 1, s"totals subtree re-scans the corpus ($scans scans):\n$p")
+    assert(scans == 2, s"expected the two stage-reuse-twin subtrees ($scans scans):\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(source")) == 2,
+      s"both subtrees must exchange on source (stage-reuse twins):\n$p")
   }
 
   test("sim_containment_pairs never re-scans the corpus (checkpointed shingle relation)") {
@@ -757,17 +764,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"windows must ride the contingency aggregate, never raw orders: $p")
   }
 
-  test("agg_kmv_distinct: bottom-k runs on TopKPerKeyExec over the checkpointed pairs") {
+  test("agg_kmv_distinct: bottom-k runs on TopKPerKeyExec; pair subtrees are distinct-exchange twins") {
+    // r19: the pairs checkpoint is gone (A/B: 1.15 -> 1.06 s, and the
+    // |pairs|-sized eager write was the scale-negative leg) — the
+    // consumers re-state the (type, user) distinct, whose canonically
+    // identical exchange is computed once at runtime via stage reuse.
     val p = plan("agg_kmv_distinct")
     assert(p.contains("TopKPerKey "), s"custom strategy did not plan the node: $p")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
-      s"events must be read once into the checkpointed pair table: $p")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans >= 1 && scans <= 4,
+      s"pair consumers must re-state the shared distinct, not checkpoint ($scans): $p")
   }
 
-  test("ml_chi2_feature_select: one corpus pass (checkpoint), broadcast scalars, TakeOrdered") {
+  test("ml_chi2_feature_select: distinct-exchange twins, broadcast scalars, TakeOrdered") {
+    // r19: the eager checkpoint of the corpus-sized (doc, token, y)
+    // distinct is gone (A/B: 0.91 -> 0.77 s; at 100 TB that write was the
+    // expensive leg) — both consumers re-state the distinct and share its
+    // exchange at runtime.
     val p = plan("ml_chi2_feature_select")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
-      s"token pairs are checkpointed once — no residual corpus scan: $p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"the two consumers must be stage-reuse twins of ONE distinct: $p")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("TakeOrderedAndProject"), s"top-20 must be a bounded heap: $p")
   }
@@ -909,12 +925,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"windows must consume the histogram aggregate, never raw docs: $p")
   }
 
-  test("ml_ndcg_at_k: both top-10s are TopKPerKey heaps over the checkpointed relation") {
+  test("ml_ndcg_at_k: both top-10s are TopKPerKey heaps; no rank window") {
+    // r19: the scored checkpoint is gone (A/B: 0.43 -> 0.36 s) — the two
+    // heaps re-state the scan+score projection (cheap, map-only) and the
+    // lang exchanges reuse at runtime.
     val p = plan("ml_ndcg_at_k")
     assert(p.sliding("TopKPerKey ".length).count(_ == "TopKPerKey ") == 2,
       s"both rankings must plan the bounded-heap operator: $p")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
-      s"the scored relation is checkpointed once: $p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 2,
+      s"each heap re-states the one scored scan (stage-reuse twins): $p")
     assert(!p.contains("WindowExec"), s"no rank window may replace the heaps: $p")
   }
 
@@ -939,11 +958,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gram subtree must not recompute from parquet: $p")
   }
 
-  test("ml_gain_lift_deciles: windows ride the checkpointed histogram, never the corpus") {
+  test("ml_gain_lift_deciles: windows ride the histogram aggregate, never the corpus") {
+    // r19: the histogram checkpoint is gone (A/B: 0.66 -> 0.59 s) — the
+    // boundary window and the totals scalar each re-state the groupBy(s)
+    // histogram, whose identical exchange is computed once at runtime.
     val p = plan("ml_gain_lift_deciles")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 0,
-      s"the score histogram is checkpointed once: $p")
-    assert(p.contains("Window"), s"boundary windows expected: $p")
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"windows must consume the histogram aggregate, never raw docs: $p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) <= 2,
+      s"only the histogram twins may touch parquet: $p")
   }
 
   test("evt_gini_concentration: the window consumes the count-of-counts aggregate") {
