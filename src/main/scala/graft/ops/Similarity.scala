@@ -1696,18 +1696,23 @@ object Similarity {
     (s, d) => {
       val docs = T.documents(s, d).filter(col("doc_id") < 120)
         .select(col("doc_id"), col("source"), col("text"))
-      val toks = docs.select(col("doc_id"), col("source"),
+      val toks = docs.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
-      val tf = toks.groupBy(col("doc_id"), col("source"), col("token"))
+      // tf grouped by (doc_id, token) — NOT (doc_id, source, token)
+      // (r19, ADVICE r18): df(token) = COUNT(*) of tf's groups is then the
+      // true document frequency by construction, with no reliance on the
+      // doc_id→source functional invariant; source re-attaches from the
+      // bounded docs projection (≤120 rows, broadcast).
+      val tf = toks.groupBy(col("doc_id"), col("token"))
         .agg(count(lit(1)).as("tf"))
-      // df derived FROM tf (r18, guide §2.4, the txt_idf_tfidf fix): each
-      // doc has exactly one source, so tf has one row per distinct
-      // (doc, token) and df(token) = COUNT(*) of tf rows — the old
-      // distinct().groupBy chain re-ran the tokenize explode and shuffled
-      // corpus-volume rows a second time for the same number.
+      // df derived FROM tf (r18, guide §2.4, the txt_idf_tfidf fix): tf
+      // has one row per distinct (doc, token), so df is a count of its
+      // groups — the old distinct().groupBy chain re-ran the tokenize
+      // explode and shuffled corpus-volume rows a second time.
       val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val wtd = tf.join(dfreq, "token").crossJoin(broadcast(nDocs))
+        .join(broadcast(docs.select(col("doc_id"), col("source"))), "doc_id")
         .withColumn("w",
           round(col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
         .select(col("doc_id"), col("source"), col("token"),
@@ -2361,7 +2366,13 @@ object Similarity {
       val ok = blocks.groupBy(col("bk")).agg(count(lit(1)).as("bn"))
         .filter(col("bn") >= 2 && col("bn") <= 64)
         .select(col("bk"))
-      val pruned = blocks.join(ok, "bk")
+      // SHUFFLE_HASH on the kept-blocks side (r19 A/B, interleaved pairs:
+      // 1.10/2.00/1.24 s sort-merge -> 0.91/1.10/0.87 s shuffled-hash —
+      // hint-better in every pair): ok is one row per surviving block —
+      // trivially hash-buildable per partition — while sort-merge sorted
+      // the FULL doubled block list; at 100 TB the build side stays
+      // block-count-bounded so the per-partition hash map cannot blow up
+      val pruned = blocks.join(ok.hint("shuffle_hash"), "bk")
       val cand = pruned.select(col("bk"), col("doc_id").as("a_id"), col("pre").as("pa"))
         .join(pruned.select(col("bk"), col("doc_id").as("b_id"), col("pre").as("pb")),
           Seq("bk"))

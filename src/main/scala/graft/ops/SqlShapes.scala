@@ -194,6 +194,9 @@ object SqlShapes {
       val perOrder = grp.groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_supp"),
           sum(when(col("n_late_rows") > 0, 1L).otherwise(0L)).as("n_late_supp"))
+      // NO shuffle_hash hint (r19 A/B: 1.40 -> 1.53-2.71 s): the hint
+      // pins the strategy and blocks AQE's runtime broadcast of the
+      // vertex-sized perOrder side, which is what actually fires here
       val waiting = grp.join(perOrder, "l_orderkey")
         .filter(col("n_late_rows") > 0 &&
           col("n_supp") >= 2 && col("n_late_supp") === 1)
